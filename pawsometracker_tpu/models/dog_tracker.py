@@ -1,0 +1,196 @@
+"""The DoG tracker model — the framework's flagship compute path.
+
+TPU-native redesign of the reference's per-frame hot loop
+(reference: src/PawsomeTracker.jl:32-62):
+
+- The tracker state is a static, hashable :class:`TrackerSpec`; all per-spec
+  functions are jitted once and cached (XLA traces with static shapes).
+- One frame step = pad-with-mode -> ``lax.dynamic_slice`` the guess-centered
+  search window (+ kernel apron) -> DoG response via two separable Gaussian
+  correlations -> column-major argmax -> map window index back to absolute
+  frame coordinates -> clamp to the frame.
+- A video is tracked by ``jax.lax.scan`` over a ``[T, H, W]`` uint8 frame chunk
+  carrying the position (the recurrence is inherently sequential: each window
+  depends on the previous result). Throughput scale-out comes from ``vmap``
+  over a batch of videos, sharded over a device mesh (see ``parallel/``).
+
+All coordinates are 0-based ``(row, col)`` int32. The reference's 1-based Julia
+conventions map as ``julia_index = py_index + 1``.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.dog_kernel import (
+    dog_kernel_2d,
+    dog_kernel_separable,
+    fix_window_size,
+    get_sigma,
+)
+from ..ops.filters import argmax_colmajor, separable_correlate_valid
+
+__all__ = ["TrackerSpec", "TrackerFns", "tracker_fns", "center_guess", "autodetect_spec"]
+
+
+@dataclass(frozen=True)
+class TrackerSpec:
+    """Static configuration of one tracker instance.
+
+    Mirrors the reference ``Tracker`` constructor inputs
+    (reference: src/PawsomeTracker.jl:39-52) minus the live buffers, which in
+    JAX are functional arguments instead of mutable state.
+    """
+
+    frame_shape: tuple[int, int]  # (H, W)
+    window_size: tuple[int, int]  # (rows, cols) — already normalized
+    target_width: float
+    darker_target: bool
+
+    @property
+    def sigma(self) -> float:
+        return get_sigma(self.target_width)
+
+    @property
+    def radii(self) -> tuple[int, int]:
+        # reference: src/PawsomeTracker.jl:44
+        return (self.window_size[0] // 2, self.window_size[1] // 2)
+
+    @property
+    def kernel_len(self) -> int:
+        return dog_kernel_2d(self.sigma, self.darker_target)[1]
+
+    @property
+    def pad(self) -> tuple[int, int]:
+        """Apron each frame needs so every window tap is in-bounds.
+
+        The reference pads by ``radii + kernel_size`` (src/PawsomeTracker.jl:45)
+        which is more than needed; ``radii + L//2`` is exactly sufficient and
+        produces identical responses (same constant fill value).
+        """
+        half = self.kernel_len // 2
+        return (self.radii[0] + half, self.radii[1] + half)
+
+    @property
+    def patch_shape(self) -> tuple[int, int]:
+        ri, rj = self.radii
+        L = self.kernel_len
+        return (2 * ri + L, 2 * rj + L)
+
+
+def center_guess(frame_shape: tuple[int, int]) -> tuple[int, int]:
+    """Frame-center starting guess, 0-based.
+
+    The reference uses the 1-based ``sz .div 2`` (src/PawsomeTracker.jl:86-90);
+    in 0-based coordinates that is ``sz//2 - 1``.
+    """
+    return (frame_shape[0] // 2 - 1, frame_shape[1] // 2 - 1)
+
+
+def autodetect_spec(spec: TrackerSpec) -> TrackerSpec:
+    """First-pass auto-detection spec with a quarter-frame window
+    (reference: src/PawsomeTracker.jl:99-107)."""
+    h, w = spec.frame_shape
+    return TrackerSpec(
+        frame_shape=spec.frame_shape,
+        window_size=(h // 4, w // 4),
+        target_width=spec.target_width,
+        darker_target=spec.darker_target,
+    )
+
+
+@dataclass(frozen=True)
+class TrackerFns:
+    """Jitted, spec-specialized tracker entry points.
+
+    - ``snap(frame_u8 [H,W], guess int32[2], fill_u8) -> int32[2]``
+    - ``scan(frames_u8 [T,H,W], pos0 int32[2], fill_u8) -> positions int32[T,2]``
+    - ``snap_batch`` / ``scan_batch``: same with a leading batch axis
+      (frames ``[B,...]``, pos ``[B,2]``, fill ``[B]``).
+    """
+
+    spec: TrackerSpec
+    snap: callable
+    scan: callable
+    snap_batch: callable
+    scan_batch: callable
+    step_padded: callable
+    pad_frame: callable
+
+
+def _build(spec: TrackerSpec) -> TrackerFns:
+    gc_np, gs_np, direction, L = dog_kernel_separable(spec.sigma, spec.darker_target)
+    gc = jnp.asarray(gc_np, jnp.float32)
+    gs = jnp.asarray(gs_np, jnp.float32)
+    ri, rj = spec.radii
+    H, W = spec.frame_shape
+    pi, pj = spec.pad
+    ph, pw = spec.patch_shape
+    radii_arr = np.array([ri, rj], np.int32)
+    max_pos = np.array([H - 1, W - 1], np.int32)
+
+    def pad_frame(frame_u8, fill_u8):
+        return jnp.pad(frame_u8, ((pi, pi), (pj, pj)), constant_values=fill_u8)
+
+    def step_padded(padded_u8, pos):
+        """One tracker step on an already-padded frame.
+
+        With pad = radii + L//2, the patch origin in padded coordinates is
+        exactly ``pos`` (reference hot loop: src/PawsomeTracker.jl:55-62).
+        """
+        patch = jax.lax.dynamic_slice(padded_u8, (pos[0], pos[1]), (ph, pw)).astype(jnp.float32)
+        # DoG response as a difference of two separable Gaussian correlations.
+        # The /255 uint8 normalization is omitted: the kernel sums to ~0, so
+        # the response is affine-intensity-invariant and the argmax unchanged.
+        resp = direction * (
+            separable_correlate_valid(patch, gc, gc) - separable_correlate_valid(patch, gs, gs)
+        )
+        idx = argmax_colmajor(resp)
+        new = pos - radii_arr + idx
+        return jnp.clip(new, 0, max_pos).astype(jnp.int32)
+
+    def snap(frame_u8, guess, fill_u8):
+        return step_padded(pad_frame(frame_u8, fill_u8), guess.astype(jnp.int32))
+
+    def scan(frames_u8, pos0, fill_u8):
+        def body(pos, frame):
+            new = step_padded(pad_frame(frame, fill_u8), pos)
+            return new, new
+
+        _, positions = jax.lax.scan(body, pos0.astype(jnp.int32), frames_u8)
+        return positions
+
+    snap_j = jax.jit(snap)
+    scan_j = jax.jit(scan)
+    snap_b = jax.jit(jax.vmap(snap))
+    scan_b = jax.jit(jax.vmap(scan))
+    return TrackerFns(
+        spec=spec,
+        snap=snap_j,
+        scan=scan_j,
+        snap_batch=snap_b,
+        scan_batch=scan_b,
+        step_padded=step_padded,
+        pad_frame=pad_frame,
+    )
+
+
+@functools.lru_cache(maxsize=256)
+def tracker_fns(spec: TrackerSpec) -> TrackerFns:
+    """Jitted tracker functions for ``spec`` (cached per spec)."""
+    return _build(spec)
+
+
+def make_spec(frame_shape, window_size, target_width, darker_target) -> TrackerSpec:
+    """Build a spec from user-facing arguments (normalizes window size)."""
+    return TrackerSpec(
+        frame_shape=(int(frame_shape[0]), int(frame_shape[1])),
+        window_size=fix_window_size(window_size),
+        target_width=float(target_width),
+        darker_target=bool(darker_target),
+    )

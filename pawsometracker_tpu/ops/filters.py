@@ -1,0 +1,102 @@
+"""Device-side filtering primitives (pure JAX / XLA).
+
+These are the building blocks of the tracker hot loop. All shapes are static so
+everything jits cleanly onto the TPU; XLA lowers the small valid correlations
+onto the MXU and fuses the surrounding elementwise work.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "correlate2d_valid",
+    "separable_correlate_valid",
+    "argmax_colmajor",
+    "mode_u8",
+    "mode_u8_host",
+]
+
+
+def correlate2d_valid(patch: jax.Array, kernel: jax.Array) -> jax.Array:
+    """2-D valid cross-correlation of ``patch [Ph, Pw]`` with ``kernel [L, L]``.
+
+    Returns ``[Ph-L+1, Pw-L+1]``. XLA's conv is cross-correlation (no kernel
+    flip), matching the reference's ``imfilter!`` FIR correlation semantics
+    (reference: src/PawsomeTracker.jl:57).
+    """
+    lhs = patch[None, None, :, :].astype(jnp.float32)
+    rhs = kernel[None, None, :, :].astype(jnp.float32)
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[0, 0]
+
+
+def separable_correlate_valid(patch: jax.Array, g_row: jax.Array, g_col: jax.Array) -> jax.Array:
+    """Valid correlation with a rank-1 kernel ``outer(g_row, g_col)``.
+
+    Evaluated as two banded matmuls (MXU-friendly): rows first, then cols.
+    ``patch [Ph, Pw]`` -> ``[Ph-Lr+1, Pw-Lc+1]``.
+    """
+    lr = g_row.shape[0]
+    lc = g_col.shape[0]
+    p = patch.astype(jnp.float32)
+    # correlate along rows: out[a, :] = sum_k g_row[k] * p[a+k, :]
+    out = jax.lax.conv_general_dilated(
+        p[None, None, :, :],
+        g_row.astype(jnp.float32)[None, None, :, None],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out = jax.lax.conv_general_dilated(
+        out,
+        g_col.astype(jnp.float32)[None, None, None, :],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    del lr, lc
+    return out[0, 0]
+
+
+def argmax_colmajor(x: jax.Array) -> jax.Array:
+    """First-maximum index of a 2-D array in *column-major* scan order.
+
+    Returns ``int32[2] = (row, col)``. Julia's ``findmax`` returns the first
+    maximum in column-major order (reference: src/PawsomeTracker.jl:59); jnp's
+    row-major argmax is applied to the transpose to replicate the tie-break.
+    """
+    rows = x.shape[0]
+    k = jnp.argmax(x.T.ravel())
+    col = k // rows
+    row = k % rows
+    return jnp.stack([row, col]).astype(jnp.int32)
+
+
+def mode_u8(frame: jax.Array) -> jax.Array:
+    """Most common byte value of a uint8 array (lowest value wins ties).
+
+    Device-side analog of the reference's ``mode(first_frame)`` fill value
+    (reference: src/PawsomeTracker.jl:47-48).
+    """
+    counts = jnp.zeros((256,), jnp.int32).at[frame.ravel().astype(jnp.int32)].add(1)
+    return jnp.argmax(counts).astype(jnp.uint8)
+
+
+def mode_u8_host(frame: np.ndarray) -> int:
+    """Host-side mode of a uint8 frame (lowest value wins ties)."""
+    return int(np.bincount(np.asarray(frame, dtype=np.uint8).ravel(), minlength=256).argmax())
