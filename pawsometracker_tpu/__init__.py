@@ -1,0 +1,43 @@
+"""PawsomeTracker-TPU — a TPU-native single-target video auto-tracker.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+yakir12/PawsomeTracker.jl: follow one blob-like target through a video with a
+Difference-of-Gaussians matched filter evaluated in a search window around the
+previous position. Host-side native decode feeds chunked uint8 frames to a
+jitted ``lax.scan``; batches of videos scale across TPU chips via
+``jax.sharding`` over a device mesh.
+
+Public surface: :func:`track` (the reference's sole export,
+reference: src/PawsomeTracker.jl:26), plus the batch/sharded APIs, tracker
+model internals, and I/O layers for power users.
+"""
+
+from .api import DEFAULT_MAX_DURATION_SECONDS, IJ, track
+from .diagnose import Diagnose, Dont, diagnose
+from .models.dog_tracker import TrackerSpec, autodetect_spec, make_spec, tracker_fns
+from .ops.dog_kernel import (
+    dog_kernel_2d,
+    fix_window_size,
+    get_sigma,
+    guess_window_size,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "track",
+    "IJ",
+    "DEFAULT_MAX_DURATION_SECONDS",
+    "TrackerSpec",
+    "tracker_fns",
+    "make_spec",
+    "autodetect_spec",
+    "get_sigma",
+    "guess_window_size",
+    "fix_window_size",
+    "dog_kernel_2d",
+    "Diagnose",
+    "Dont",
+    "diagnose",
+    "__version__",
+]

@@ -1,0 +1,289 @@
+"""Public tracking API.
+
+``track(file | files, ...)`` preserves the reference's API surface and
+semantics (reference: src/PawsomeTracker.jl:109-214) on a TPU-native engine:
+host decode (overlapped, chunked) feeding a jitted ``lax.scan`` tracker.
+
+Coordinate conventions (0-based everywhere; ``julia = python + 1``):
+
+- ``start_location=None`` — auto-detect in a quarter-frame window centered on
+  the frame (reference: src/PawsomeTracker.jl:99-107).
+- ``start_location=IJ(i, j)`` — raw frame index (row i, col j), the analog of
+  the reference's ``CartesianIndex`` (src/PawsomeTracker.jl:74-77).
+- ``start_location=(x, y)`` — *display* pixel coordinates from the left-top
+  corner; x is divided by the sample aspect ratio to get the raw column
+  (src/PawsomeTracker.jl:79-84).
+
+Returns ``(ts, positions)``: ``ts`` float64 seconds, ``positions`` int
+``[N, 2]`` of (row, col).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Sequence
+
+import numpy as np
+
+from .diagnose import diagnose
+from .io.decode import open_source, probe, ChunkPrefetcher
+from .models.dog_tracker import (
+    autodetect_spec,
+    center_guess,
+    make_spec,
+    tracker_fns,
+)
+from .ops.dog_kernel import fix_window_size, guess_window_size
+from .ops.filters import mode_u8_host
+
+#: 24 hours minus 1 millisecond (reference: src/PawsomeTracker.jl:19)
+DEFAULT_MAX_DURATION_SECONDS = 86399.999
+
+#: frames per device scan call; the host decodes the next chunk while the
+#: device tracks the current one
+DEFAULT_CHUNK_SIZE = 64
+
+__all__ = ["track", "IJ", "DEFAULT_MAX_DURATION_SECONDS"]
+
+
+class IJ(NamedTuple):
+    """A raw (row, col) frame index, 0-based — the ``CartesianIndex`` analog."""
+
+    i: int
+    j: int
+
+
+def _resolve_guess(start_location, sar: float, frame_shape) -> tuple[int, int]:
+    """Start-location resolution (reference: src/PawsomeTracker.jl:74-90)."""
+    if start_location is None:
+        return center_guess(frame_shape)
+    if isinstance(start_location, IJ):
+        return (int(start_location.i), int(start_location.j))
+    if isinstance(start_location, Sequence) and len(start_location) == 2:
+        x, y = start_location
+        # x is in display pixels; divide by SAR to get the raw column.
+        # np.round matches Julia's round-half-even.
+        return (int(np.round(y)), int(np.round(x / sar)))
+    raise TypeError(f"invalid start_location: {start_location!r}")
+
+
+def _initial_position(frame0: np.ndarray, guess, auto: bool, spec, fill: int):
+    """Snap onto the target in frame 1. Even with a user-provided location the
+    tracker runs one step, so ``positions[0]`` is the *detected* position near
+    the given location (reference: src/PawsomeTracker.jl:92-107)."""
+    import jax.numpy as jnp
+
+    frame_dev = jnp.asarray(frame0)
+    g = jnp.asarray(np.asarray(guess, np.int32))
+    fill = np.uint8(fill)
+    if auto:
+        det = tracker_fns(autodetect_spec(spec))
+        pos = det.snap(frame_dev, g, fill)
+    else:
+        pos = tracker_fns(spec).snap(frame_dev, g, fill)
+    return pos
+
+
+def _track_one(
+    file,
+    start: float,
+    stop: float,
+    target_width: float,
+    start_location,
+    window_size: tuple[int, int],
+    darker_target: bool,
+    fps: float,
+    dia,
+    *,
+    sar: float | None = None,
+    backend: str = "auto",
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+):
+    """Track one file (reference pipeline: src/PawsomeTracker.jl:148-174)."""
+    import jax.numpy as jnp
+
+    t = stop - start
+    # length-based timestamp range: step = t/(n-1), slightly != 1/fps by design
+    # (reference: src/PawsomeTracker.jl:149-152)
+    n = int(np.round(fps * t))
+    if n < 1:
+        raise ValueError(f"no frames to track in [{start}, {stop}] at fps={fps}")
+    ts = np.linspace(start, stop, n)
+
+    src = open_source(file, start=start, stop=stop, fps=fps, backend=backend)
+    try:
+        if sar is None:
+            sar_val = src.info.sar
+        else:
+            sar_val = float(sar)
+
+        frame0 = src.read()
+        if frame0 is None:
+            raise EOFError(f"no frames decoded from {file}")
+        frame_shape = frame0.shape
+        dia.update_ratio(frame_shape)
+
+        fill = mode_u8_host(frame0)  # mode of FIRST frame, used for all frames
+        spec = make_spec(frame_shape, window_size, target_width, darker_target)
+        fns = tracker_fns(spec)
+        guess = _resolve_guess(start_location, sar_val, frame_shape)
+        pos = _initial_position(frame0, guess, start_location is None, spec, fill)
+
+        positions = [np.asarray(pos)]
+        last_frame = 1
+        fill_dev = np.uint8(fill)
+
+        if n > 1:
+            prefetch = ChunkPrefetcher(src, chunk_size, max_frames=n - 1)
+            for chunk in prefetch:
+                k = chunk.shape[0]
+                if k < chunk_size:
+                    # pad to the static scan length by repeating the last frame;
+                    # padded steps are discarded below
+                    pad = np.repeat(chunk[-1:], chunk_size - k, axis=0)
+                    chunk_in = np.concatenate([chunk, pad], axis=0)
+                else:
+                    chunk_in = chunk
+                pos_out = fns.scan(jnp.asarray(chunk_in), pos, fill_dev)
+                pos = pos_out[k - 1]
+                valid = np.asarray(pos_out[:k])
+                positions.append(valid)
+                for i in range(k):
+                    dia(chunk[i], valid[i])
+                last_frame += k
+    finally:
+        src.close()
+
+    ij = np.concatenate([p.reshape(-1, 2) for p in positions], axis=0)
+    return ts[:last_frame], ij[:last_frame]
+
+
+def track(
+    file,
+    *,
+    start=None,
+    stop=None,
+    target_width: float = 25,
+    start_location=None,
+    window_size=None,
+    darker_target: bool = True,
+    fps: float = 24,
+    diagnostic_file: str | None = None,
+    sar: float | None = None,
+    backend: str = "auto",
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+):
+    """Track a blob-like target in a video ``file`` (or list of segment files).
+
+    Mirrors the reference API (reference: src/PawsomeTracker.jl:109-146 single
+    file; :176-214 segmented). Keyword defaults: ``start=0``,
+    ``stop=86399.999``, ``target_width=25`` (FWHM of the DoG center Gaussian),
+    ``start_location=None`` (auto-detect), ``window_size`` from
+    :func:`guess_window_size`, ``darker_target=True``, ``fps=24``,
+    ``diagnostic_file=None``.
+
+    Extensions over the reference: ``sar`` overrides the probed sample aspect
+    ratio; ``backend`` picks the decode engine; ``chunk_size`` tunes the
+    host->device streaming granularity.
+
+    For a list of ``file``s the per-file ``start``/``stop``/``start_location``
+    may be lists of the same length; a ``None`` start_location in segment k>0
+    resumes from the previous segment's last position
+    (reference: src/PawsomeTracker.jl:203-206).
+    """
+    if window_size is None:
+        window_size = guess_window_size(target_width)
+    window_size = fix_window_size(window_size)
+
+    if isinstance(file, (list, tuple)) and not isinstance(file, IJ):
+        return _track_many(
+            list(file),
+            start=start,
+            stop=stop,
+            target_width=target_width,
+            start_location=start_location,
+            window_size=window_size,
+            darker_target=darker_target,
+            fps=fps,
+            diagnostic_file=diagnostic_file,
+            sar=sar,
+            backend=backend,
+            chunk_size=chunk_size,
+        )
+
+    start = 0.0 if start is None else float(start)
+    stop = DEFAULT_MAX_DURATION_SECONDS if stop is None else float(stop)
+    with diagnose(diagnostic_file, darker_target, fps) as dia:
+        return _track_one(
+            file,
+            start,
+            stop,
+            target_width,
+            start_location,
+            window_size,
+            darker_target,
+            fps,
+            dia,
+            sar=sar,
+            backend=backend,
+            chunk_size=chunk_size,
+        )
+
+
+def _track_many(
+    files,
+    *,
+    start,
+    stop,
+    target_width,
+    start_location,
+    window_size,
+    darker_target,
+    fps,
+    diagnostic_file,
+    sar,
+    backend,
+    chunk_size,
+):
+    """Segmented videos: chain each segment's start from the previous
+    segment's final position (reference: src/PawsomeTracker.jl:181-214)."""
+    nfiles = len(files)
+    starts = [0.0] * nfiles if start is None else [float(s) for s in start]
+    stops = [DEFAULT_MAX_DURATION_SECONDS] * nfiles if stop is None else [float(s) for s in stop]
+    locs = [None] * nfiles if start_location is None else list(start_location)
+    if not (len(starts) == len(stops) == len(locs) == nfiles):
+        raise ValueError(
+            f"array length mismatch: files={nfiles}, start={len(starts)}, "
+            f"stop={len(stops)}, start_location={len(locs)}"
+        )
+
+    tss, ijs = [], []
+    with diagnose(diagnostic_file, darker_target, fps) as dia:
+        end_location = None
+        for f, t0, t1, loc in zip(files, starts, stops, locs):
+            loc = loc if loc is not None else end_location
+            ts_i, ij_i = _track_one(
+                f,
+                t0,
+                t1,
+                target_width,
+                loc,
+                window_size,
+                darker_target,
+                fps,
+                dia,
+                sar=sar,
+                backend=backend,
+                chunk_size=chunk_size,
+            )
+            tss.append(ts_i)
+            ijs.append(ij_i)
+            end_location = IJ(int(ij_i[-1][0]), int(ij_i[-1][1]))
+
+    # merged timestamps assume all segments share segment 1's step — the
+    # reference's uniform-fps convention (src/PawsomeTracker.jl:209-211)
+    n = sum(len(t) for t in tss)
+    step = (tss[0][1] - tss[0][0]) if len(tss[0]) > 1 else 1.0 / fps
+    ts = tss[0][0] + step * np.arange(n)
+    ij = np.concatenate(ijs, axis=0)
+    return ts, ij

@@ -1,0 +1,119 @@
+"""Diagnostic overlay video writer (host-side).
+
+Analog of the reference's diagnose subsystem (reference: src/diagnose.jl:1-55):
+a fixed 640x360 grayscale video with the clip label, a marker at the tracked
+position, and a trail through the last 100 positions. Null-object (`Dont`) when
+disabled; a context manager guarantees encoder finalization on error.
+
+Rendering uses OpenCV on the host (text via Hershey fonts instead of the
+reference's bundled FreeType face — same role, reference: src/diagnose.jl:34).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import deque
+from contextlib import contextmanager
+
+import numpy as np
+
+#: (rows, cols) of the diagnostic video (reference: src/diagnose.jl:2)
+DIAGNOSTIC_VIDEO_SIZE = (360, 640)
+#: trail length in positions (reference: src/diagnose.jl:3)
+TRACE_BUFFER_SIZE = 100
+
+__all__ = ["Diagnose", "Dont", "diagnose", "DIAGNOSTIC_VIDEO_SIZE", "TRACE_BUFFER_SIZE"]
+
+_FOURCC_BY_EXT = {
+    ".mp4": "mp4v",
+    ".m4v": "mp4v",
+    ".mov": "mp4v",
+    ".avi": "MJPG",
+    ".mkv": "mp4v",
+    ".ts": "mp4v",
+}
+
+
+def _open_writer(file: str, fps: float):
+    import cv2
+
+    ext = os.path.splitext(file)[1].lower()
+    candidates = [_FOURCC_BY_EXT.get(ext, "mp4v"), "mp4v", "MJPG", "XVID"]
+    h, w = DIAGNOSTIC_VIDEO_SIZE
+    for fourcc in candidates:
+        vw = cv2.VideoWriter(file, cv2.VideoWriter_fourcc(*fourcc), fps, (w, h), isColor=False)
+        if vw.isOpened():
+            return vw
+        vw.release()
+    raise IOError(f"could not open diagnostic video writer for {file}")
+
+
+class Diagnose:
+    """Overlay writer. Label is the basename (sans extension) of the
+    *diagnostic output file*, not the input video (reference: src/diagnose.jl:14);
+    overlay color is white for darker targets, black otherwise (:17)."""
+
+    def __init__(self, file: str, darker_target: bool, fps: float = 24.0):
+        self.file = str(file)
+        self.label = os.path.splitext(os.path.basename(self.file))[0]
+        self.color = 255 if darker_target else 0
+        self.trace: deque = deque(maxlen=TRACE_BUFFER_SIZE)
+        self.ratio: tuple[float, float] | None = None
+        self._writer = _open_writer(self.file, fps)
+        self._buffer = np.empty(DIAGNOSTIC_VIDEO_SIZE, np.uint8)
+
+    def update_ratio(self, frame_shape):
+        """Set the full-frame -> diagnostic-buffer scale from frame 1
+        (reference: src/diagnose.jl:26-28)."""
+        self.ratio = (
+            DIAGNOSTIC_VIDEO_SIZE[0] / frame_shape[0],
+            DIAGNOSTIC_VIDEO_SIZE[1] / frame_shape[1],
+        )
+
+    def __call__(self, img: np.ndarray, point):
+        """Write one overlay frame (reference: src/diagnose.jl:30-38)."""
+        import cv2
+
+        if self.ratio is None:
+            self.update_ratio(img.shape)
+        ij = (
+            int(np.rint(point[0] * self.ratio[0])),
+            int(np.rint(point[1] * self.ratio[1])),
+        )
+        self.trace.append(ij)
+        cv2.resize(img, (DIAGNOSTIC_VIDEO_SIZE[1], DIAGNOSTIC_VIDEO_SIZE[0]), dst=self._buffer)
+        buf = self._buffer
+        cv2.putText(buf, self.label, (20, 30), cv2.FONT_HERSHEY_SIMPLEX, 0.6, self.color, 1, cv2.LINE_AA)
+        cv2.circle(buf, (ij[1], ij[0]), 2, self.color, -1)
+        if len(self.trace) > 1:
+            pts = np.array([(j, i) for i, j in self.trace], np.int32).reshape(-1, 1, 2)
+            cv2.polylines(buf, [pts], False, self.color, 1)
+        self._writer.write(buf)
+
+    def close(self):
+        self._writer.release()
+
+
+class Dont:
+    """Null-object: answers all Diagnose calls with None
+    (reference: src/diagnose.jl:42-46)."""
+
+    def update_ratio(self, frame_shape):
+        return None
+
+    def __call__(self, img, point):
+        return None
+
+    def close(self):
+        return None
+
+
+@contextmanager
+def diagnose(file: str | None, darker_target: bool, fps: float = 24.0):
+    """Context manager guaranteeing encoder finalization
+    (reference: src/diagnose.jl:48-55)."""
+    dia = Dont() if file is None else Diagnose(file, darker_target, fps)
+    try:
+        yield dia
+    finally:
+        dia.close()

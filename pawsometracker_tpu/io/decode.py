@@ -1,0 +1,275 @@
+"""Host-side video decode layer.
+
+TPU-native replacement for the reference's decode stack (an out-of-process
+``ffmpeg -ss <start> -i <file> -t <t> -vf fps=<fps> -f matroska -`` pipe decoded
+to GRAY8 by libav — reference: src/PawsomeTracker.jl:155-157). Here decode runs
+on the host, overlapped with device compute via a background prefetch thread,
+and feeds uint8 grayscale frame *chunks* ``[T, H, W]`` to the device scan.
+
+Two backends implement the same semantics:
+
+- :class:`OpenCVFrameSource` — cv2.VideoCapture (FFMPEG backend), pure Python.
+- the native C++ libav decoder in ``io/native`` (see :mod:`.native_io`), which
+  decodes straight to GRAY8 with swscale like the reference does and skips the
+  BGR round-trip.
+
+The fps resampling reproduces ffmpeg's ``fps`` filter (round=near): each input
+frame at shifted time ``t`` is assigned output slot ``round(t*fps)`` (half away
+from zero); when consecutive input frames map to slots ``n1 < n2`` the first
+frame is emitted for every slot in ``[n1, n2)`` (duplication); frames mapping
+to an already-filled slot are dropped; the final frame is emitted once at EOF.
+"""
+
+from __future__ import annotations
+
+import math
+import queue
+import threading
+from dataclasses import dataclass
+from fractions import Fraction
+
+import numpy as np
+
+__all__ = [
+    "VideoInfo",
+    "probe",
+    "OpenCVFrameSource",
+    "open_source",
+    "ChunkPrefetcher",
+    "fps_slot",
+]
+
+
+@dataclass(frozen=True)
+class VideoInfo:
+    """Container/stream metadata needed by the tracker."""
+
+    width: int
+    height: int
+    fps: float  # native frame rate
+    sar: float  # sample (pixel) aspect ratio; display width = width * sar
+    frame_count: int  # container frame count (0 if unknown)
+
+    @property
+    def frame_shape(self) -> tuple[int, int]:
+        return (self.height, self.width)
+
+
+def _cv2():
+    import cv2
+
+    return cv2
+
+
+def probe(path: str) -> VideoInfo:
+    """Probe stream geometry + SAR (analog of VideoIO ``aspect_ratio``,
+    reference: src/PawsomeTracker.jl:79-84)."""
+    cv2 = _cv2()
+    cap = cv2.VideoCapture(str(path))
+    if not cap.isOpened():
+        raise IOError(f"could not open video: {path}")
+    try:
+        width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        fps = float(cap.get(cv2.CAP_PROP_FPS)) or 24.0
+        num = cap.get(getattr(cv2, "CAP_PROP_SAR_NUM", -1)) if hasattr(cv2, "CAP_PROP_SAR_NUM") else 0
+        den = cap.get(getattr(cv2, "CAP_PROP_SAR_DEN", -1)) if hasattr(cv2, "CAP_PROP_SAR_DEN") else 0
+        sar = float(Fraction(int(num), int(den))) if num and den else 1.0
+        count = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+        return VideoInfo(width=width, height=height, fps=fps, sar=sar, frame_count=max(count, 0))
+    finally:
+        cap.release()
+
+
+def fps_slot(t: float, fps: float) -> int:
+    """ffmpeg fps-filter slot assignment with round=near (half away from zero)."""
+    return int(math.floor(t * fps + 0.5)) if t >= 0 else -int(math.floor(-t * fps + 0.5))
+
+
+class OpenCVFrameSource:
+    """Iterates fps-resampled GRAY8 frames of ``path`` over ``[start, stop)``.
+
+    Mirrors the reference decode pipeline semantics: seek to ``start``, clamp
+    duration to ``stop - start``, resample to ``fps``
+    (reference: src/PawsomeTracker.jl:155).
+    """
+
+    def __init__(self, path: str, *, start: float = 0.0, stop: float = math.inf, fps: float = 24.0):
+        cv2 = _cv2()
+        self.path = str(path)
+        self.start = float(start)
+        self.stop = float(stop)
+        self.fps = float(fps)
+        self.duration = self.stop - self.start
+        self.cap = cv2.VideoCapture(self.path)
+        if not self.cap.isOpened():
+            raise IOError(f"could not open video: {self.path}")
+        self.info = probe(self.path)
+        self._cv2_mod = cv2
+        self._native_fps = float(self.cap.get(cv2.CAP_PROP_FPS)) or 24.0
+        self._in_idx = 0  # next input frame index (in native timeline)
+        if self.start > 0:
+            # coarse container seek, then decode-and-discard up to `start`
+            # (ffmpeg's accurate -ss behavior)
+            self.cap.set(cv2.CAP_PROP_POS_MSEC, max(0.0, (self.start - 2.0) * 1000.0))
+            landed = self.cap.get(cv2.CAP_PROP_POS_FRAMES)
+            self._in_idx = int(landed) if landed and landed > 0 else 0
+        # resampler state: the pending (frame, slot) not yet emitted
+        self._pending: tuple[np.ndarray, int] | None = None
+        self._emit_slot = 0  # next output slot to produce
+        self._flushed = False
+        self._prev_gray: np.ndarray | None = None
+
+    # -- raw decode ---------------------------------------------------------
+    def _next_input(self):
+        """Next decoded gray frame at shifted time ``t' = t - start``, skipping
+        pre-start frames; returns (gray, t') or None at EOF / past duration."""
+        cv2 = self._cv2_mod
+        while True:
+            ok, frame = self.cap.read()
+            if not ok:
+                return None
+            t = self._in_idx / self._native_fps
+            self._in_idx += 1
+            tp = t - self.start
+            if tp < -0.5 / self._native_fps:
+                continue  # still before start: decode-and-discard
+            if tp >= self.duration:
+                return None
+            if frame.ndim == 3:
+                gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+            else:
+                gray = frame
+            return gray, tp
+
+    # -- fps-filter resampling ---------------------------------------------
+    def read(self) -> np.ndarray | None:
+        """Next fps-resampled GRAY8 frame ``[H, W] uint8``, or None at EOF."""
+        while True:
+            if self._pending is not None:
+                frame, slot = self._pending
+                if self._emit_slot < slot:
+                    # duplicate previous frame to fill the gap
+                    out = self._prev_gray if self._prev_gray is not None else frame
+                    self._emit_slot += 1
+                    if (self._emit_slot - 1) / self.fps >= self.duration:
+                        return None
+                    return out
+            nxt = self._next_input()
+            if nxt is None:
+                if self._pending is not None and not self._flushed:
+                    self._flushed = True
+                    frame, slot = self._pending
+                    self._prev_gray = frame
+                    self._emit_slot = max(self._emit_slot, slot) + 1
+                    if (self._emit_slot - 1) / self.fps >= self.duration:
+                        return None
+                    return frame
+                return None
+            gray, tp = nxt
+            slot = fps_slot(tp, self.fps)
+            if self._pending is None:
+                # first frame: anchor the output timeline at its slot
+                self._pending = (gray, max(slot, 0))
+                self._emit_slot = max(slot, 0)
+                self._prev_gray = None
+                continue
+            pframe, pslot = self._pending
+            if slot <= pslot:
+                # maps to the same slot: the pending frame covers zero output
+                # slots, so ffmpeg drops it and the newer frame takes over
+                self._pending = (gray, pslot)
+                continue
+            # emit pending for its slot now; duplicates (if any) flow from the top
+            self._pending = (gray, slot)
+            self._prev_gray = pframe
+            if self._emit_slot == pslot:
+                self._emit_slot += 1
+                if (self._emit_slot - 1) / self.fps >= self.duration:
+                    return None
+                return pframe
+
+    def read_chunk(self, n: int) -> np.ndarray:
+        """Up to ``n`` frames stacked ``[k, H, W] uint8`` (k=0 at EOF)."""
+        frames = []
+        for _ in range(n):
+            f = self.read()
+            if f is None:
+                break
+            frames.append(f)
+        if not frames:
+            return np.empty((0, self.info.height, self.info.width), np.uint8)
+        return np.stack(frames)
+
+    def close(self):
+        self.cap.release()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def open_source(path: str, *, start: float = 0.0, stop: float = math.inf, fps: float = 24.0, backend: str = "auto"):
+    """Open a frame source, preferring the native libav decoder when built."""
+    if backend in ("auto", "native"):
+        try:
+            from .native_io import NativeFrameSource, native_available
+
+            if native_available():
+                return NativeFrameSource(path, start=start, stop=stop, fps=fps)
+        except Exception:
+            if backend == "native":
+                raise
+    return OpenCVFrameSource(path, start=start, stop=stop, fps=fps)
+
+
+class ChunkPrefetcher:
+    """Background decode-ahead: a bounded queue of frame chunks.
+
+    The host decodes the next chunk while the device tracks the current one —
+    the TPU analog of the reference's out-of-process ffmpeg pipe overlapping
+    decode with compute (reference: src/PawsomeTracker.jl:155-157).
+    """
+
+    def __init__(self, source, chunk_size: int, max_frames: int | None = None, depth: int = 2):
+        self.source = source
+        self.chunk_size = int(chunk_size)
+        self.max_frames = max_frames
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._err: BaseException | None = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            remaining = self.max_frames if self.max_frames is not None else math.inf
+            while remaining > 0:
+                k = int(min(self.chunk_size, remaining))
+                chunk = self.source.read_chunk(k)
+                if chunk.shape[0] == 0:
+                    break
+                remaining -= chunk.shape[0]
+                self._q.put(chunk)
+        except BaseException as e:  # surface decode errors to the consumer
+            self._err = e
+        finally:
+            self._q.put(None)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item
+
+    def close(self):
+        # drain so the producer thread can exit
+        try:
+            while self._q.get_nowait() is not None:
+                pass
+        except queue.Empty:
+            pass

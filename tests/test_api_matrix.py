@@ -1,0 +1,165 @@
+"""End-to-end integration matrix against synthetic ground-truth videos.
+
+Port of the reference's released test strategy (SURVEY.md §4; reference
+test/test-basic-test.jl:106-148): sweep fps, start_location kinds, frame size,
+target width, polarity, aspect ratio, segments, diagnostics. Oracle: RMSE < 1
+pixel vs the ground-truth spiral.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from pawsometracker_tpu import IJ, track
+
+import helpers
+
+
+def test_defaults_ij_start(tmp_path):
+    # the reference Defaults snippet: fps=24, start=(50,50), 100x100, tw=10, darker
+    assert helpers.compare(tmp_path, fps=24, start_location=IJ(50, 50)) < 1.0
+
+
+@pytest.mark.parametrize("fps", [10, 24, 30])
+def test_fps_sweep(tmp_path, fps):
+    assert helpers.compare(tmp_path, fps=fps, start_location=IJ(50, 50)) < 1.0
+
+
+@pytest.mark.parametrize(
+    "start_location",
+    [None, IJ(50, 50), (50, 50), IJ(30, 70), (70, 30)],
+    ids=["auto", "ij-center", "xy-center", "ij-off", "xy-off"],
+)
+def test_start_location_kinds(tmp_path, start_location):
+    assert helpers.compare(tmp_path, start_location=start_location) < 1.0
+
+
+@pytest.mark.parametrize("w,h", [(100, 100), (160, 90), (90, 160)])
+def test_frame_sizes(tmp_path, w, h):
+    assert helpers.compare(tmp_path, w=w, h=h, start_location=None) < 1.0
+
+
+@pytest.mark.parametrize("target_width", [6, 10, 20])
+def test_target_widths(tmp_path, target_width):
+    assert helpers.compare(tmp_path, target_width=target_width, start_location=IJ(50, 50)) < 1.0
+
+
+@pytest.mark.parametrize("darker_target", [True, False])
+def test_polarity(tmp_path, darker_target):
+    assert helpers.compare(tmp_path, darker_target=darker_target, start_location=IJ(50, 50)) < 1.0
+
+
+@pytest.mark.parametrize("aspect", [2, 0.5])
+def test_aspect_ratio(tmp_path, aspect):
+    # anamorphic squeeze: display (x, y) start + sar-corrected tracking
+    assert (
+        helpers.compare(
+            tmp_path, aspect=aspect, start_location=(60, 50), w=200, h=100, target_width=12
+        )
+        < 1.0
+    )
+
+
+@pytest.mark.parametrize("window_size", [21, (31, 21), (21, 31)])
+def test_window_size_kinds(tmp_path, window_size):
+    assert (
+        helpers.compare(tmp_path, start_location=IJ(50, 50), window_size=window_size) < 1.0
+    )
+
+
+@pytest.mark.parametrize("nsegments", [2, 3])
+def test_segmented_videos(tmp_path, nsegments):
+    # segment chaining: each segment resumes from the previous end position
+    assert helpers.compare(tmp_path, nsegments=nsegments, start_location=IJ(50, 50)) < 1.0
+
+
+def test_segmented_auto_start(tmp_path):
+    assert helpers.compare(tmp_path, nsegments=2, start_location=None) < 1.0
+
+
+def test_lossy_codec(tmp_path):
+    # mp4v-compressed video still tracks under 1 px
+    assert helpers.compare(tmp_path, start_location=IJ(50, 50), codec="mp4v") < 1.0
+
+
+def test_diagnostic_file(tmp_path):
+    # reference testitem "Diagnostic file generation"
+    dia = str(tmp_path / "diag.mp4")
+    rmse = helpers.compare(tmp_path, start_location=IJ(50, 50), diagnostic_file=dia)
+    assert rmse < 1.0
+    assert os.path.exists(dia) and os.path.getsize(dia) > 0
+    import cv2
+
+    cap = cv2.VideoCapture(dia)
+    assert cap.isOpened()
+    w = cap.get(cv2.CAP_PROP_FRAME_WIDTH)
+    h = cap.get(cv2.CAP_PROP_FRAME_HEIGHT)
+    nfr = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    assert (w, h) == (640, 360)
+    # frame 1 only sets the scaling ratio; diagnostic video has frames 2..n
+    # (reference: src/PawsomeTracker.jl:160-168)
+    assert nfr == 240
+
+
+def test_no_diagnostic_file(tmp_path):
+    helpers.compare(tmp_path, start_location=IJ(50, 50), diagnostic_file=None)
+    assert not os.path.exists(str(tmp_path / "diag.mp4"))
+
+
+def test_timestamps_length_convention(tmp_path):
+    """ts = linspace(start, stop, n) truncated to frames read
+    (reference: src/PawsomeTracker.jl:149-152,173)."""
+    rng = np.random.default_rng(1)
+    _, tra = helpers.build_trajectory(30, 24, (50, 50), rng)
+    f = helpers.trajectory2video(tra, str(tmp_path), 24, 100, 100, 10, True)
+    ts, ij = track(f, fps=24, start_location=IJ(50, 50))
+    assert len(ts) == len(ij) == len(tra)
+    assert ts[0] == 0.0
+    # step is (stop-start)/(n-1) with the default 24h stop: ~1/24 s
+    assert ts[1] == pytest.approx(1 / 24, rel=1e-3)
+    # explicit start/stop: ts spans [start, stop] inclusive by length
+    ts2, ij2 = track(f, fps=24, start=0, stop=5, start_location=IJ(50, 50))
+    n = round(24 * 5)
+    assert len(ts2) <= n
+    ref = np.linspace(0, 5, n)
+    np.testing.assert_allclose(ts2, ref[: len(ts2)])
+
+
+def test_start_stop_window(tmp_path):
+    rng = np.random.default_rng(2)
+    _, tra = helpers.build_trajectory(30, 24, (50, 50), rng)
+    f = helpers.trajectory2video(tra, str(tmp_path), 24, 100, 100, 10, True)
+    # start mid-video: must begin near the mid-trajectory position -> give the
+    # tracker the correct start location for that time
+    k = 24 * 4
+    ts, ij = track(f, fps=24, start=4.0, stop=8.0, start_location=IJ(*tra[k]))
+    assert 90 <= len(ij) <= 97  # ~96 frames
+    err = np.linalg.norm(np.asarray(ij[0]) - np.asarray(tra[k]))
+    assert err < 3
+
+
+def test_multifile_length_mismatch_raises(tmp_path):
+    rng = np.random.default_rng(3)
+    _, tra = helpers.build_trajectory(20, 24, (50, 50), rng)
+    f = helpers.trajectory2video(tra, str(tmp_path), 24, 100, 100, 10, True)
+    with pytest.raises(ValueError, match="length mismatch"):
+        track([f, f], start=[0.0], start_location=None)
+
+
+def test_bad_file_raises():
+    with pytest.raises(IOError):
+        track("/nonexistent/video.mp4")
+
+
+def test_merged_timestamps_uniform_step(tmp_path):
+    """Multi-file ts = range from segment 1's step over the total length
+    (reference: src/PawsomeTracker.jl:209-213)."""
+    rng = np.random.default_rng(4)
+    _, tra = helpers.build_trajectory(30, 24, (50, 50), rng)
+    files = helpers.trajectory2video(tra, str(tmp_path), 24, 100, 100, 10, True, nsegments=2)
+    ts, ij = track(files, fps=24, start_location=[IJ(50, 50), None])
+    assert len(ts) == len(ij)
+    steps = np.diff(ts)
+    np.testing.assert_allclose(steps, steps[0])

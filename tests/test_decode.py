@@ -1,0 +1,123 @@
+"""Host decode layer tests: fps resampling semantics, seek windows, prefetch.
+
+The resampler reproduces ffmpeg's ``fps`` filter (round=near) used by the
+reference's decode pipe (reference: src/PawsomeTracker.jl:155).
+"""
+
+import numpy as np
+import pytest
+
+from pawsometracker_tpu.io.decode import (
+    ChunkPrefetcher,
+    OpenCVFrameSource,
+    fps_slot,
+    open_source,
+    probe,
+)
+
+import helpers
+
+
+@pytest.fixture(scope="module")
+def counter_video(tmp_path_factory):
+    """24fps video whose frame index is encoded in a solid 16x16 patch value."""
+    d = tmp_path_factory.mktemp("vid")
+    frames = []
+    for i in range(48):  # 2 seconds
+        f = np.full((64, 64), 128, np.uint8)
+        f[:16, :16] = i * 5  # recover index as round(patch/5)
+        frames.append(f)
+    return helpers.write_video(frames, str(d / "counter"), 24, codec="FFV1"), 24
+
+
+def read_indices(src):
+    out = []
+    while True:
+        f = src.read()
+        if f is None:
+            return out
+        out.append(int(np.round(float(np.median(f[:16, :16])) / 5)))
+
+
+def test_fps_slot_round_near():
+    assert fps_slot(0.0, 24) == 0
+    assert fps_slot(1.0, 24) == 24
+    # round half away from zero
+    assert fps_slot(1.5 / 24, 24) == 2
+    assert fps_slot(0.49 / 24, 24) == 0
+
+
+def test_probe(counter_video):
+    path, fps = counter_video
+    info = probe(path)
+    assert info.width == 64 and info.height == 64
+    assert info.fps == pytest.approx(fps)
+    assert info.sar == 1.0
+
+
+def test_identity_resample(counter_video):
+    path, fps = counter_video
+    with OpenCVFrameSource(path, fps=fps) as src:
+        idx = read_indices(src)
+    assert idx == list(range(48))
+
+
+def test_downsample_half(counter_video):
+    path, fps = counter_video
+    with OpenCVFrameSource(path, fps=fps / 2) as src:
+        idx = read_indices(src)
+    # 12 fps over 2 s -> 24 frames (+1 for the EOF flush of the final slot)
+    assert len(idx) in (24, 25)
+    assert idx[0] == 0
+    deltas = np.diff(idx)
+    assert set(deltas) <= {1, 2, 3}
+    assert np.mean(deltas) == pytest.approx(2.0, abs=0.2)
+
+
+def test_upsample_double(counter_video):
+    path, fps = counter_video
+    with OpenCVFrameSource(path, fps=fps * 2) as src:
+        idx = read_indices(src)
+    # 48 fps over 2 s -> ~96 frames with duplicates
+    assert 94 <= len(idx) <= 97
+    deltas = np.diff(idx)
+    assert set(deltas) <= {0, 1}
+    assert np.mean(deltas) == pytest.approx(0.5, abs=0.1)
+
+
+def test_start_stop_clamp(counter_video):
+    path, fps = counter_video
+    with OpenCVFrameSource(path, start=1.0, stop=1.5, fps=fps) as src:
+        idx = read_indices(src)
+    # frames in [1.0, 1.5) at 24fps -> 12 frames starting at index 24
+    assert len(idx) == 12
+    assert idx[0] in (23, 24, 25)
+
+
+def test_read_chunk_and_eof(counter_video):
+    path, fps = counter_video
+    with OpenCVFrameSource(path, fps=fps) as src:
+        c1 = src.read_chunk(30)
+        c2 = src.read_chunk(30)
+        c3 = src.read_chunk(30)
+    assert c1.shape == (30, 64, 64)
+    assert c2.shape == (18, 64, 64)
+    assert c3.shape == (0, 64, 64)
+
+
+def test_chunk_prefetcher(counter_video):
+    path, fps = counter_video
+    src = OpenCVFrameSource(path, fps=fps)
+    chunks = list(ChunkPrefetcher(src, chunk_size=20, max_frames=45))
+    src.close()
+    ks = [c.shape[0] for c in chunks]
+    assert ks == [20, 20, 5]
+
+
+def test_open_source_auto(counter_video):
+    path, fps = counter_video
+    src = open_source(path, fps=fps)
+    try:
+        assert src.read().shape == (64, 64)
+    finally:
+        src.close()
