@@ -13,7 +13,9 @@ model internals, and I/O layers for power users.
 """
 
 from .api import DEFAULT_MAX_DURATION_SECONDS, IJ, track
+from .batch import track_batch
 from .diagnose import Diagnose, Dont, diagnose
+from .parallel.mesh import ShardedBatchTracker, global_detect_batch, make_mesh
 from .models.dog_tracker import TrackerSpec, autodetect_spec, make_spec, tracker_fns
 from .ops.dog_kernel import (
     dog_kernel_2d,
@@ -26,6 +28,10 @@ __version__ = "0.1.0"
 
 __all__ = [
     "track",
+    "track_batch",
+    "make_mesh",
+    "ShardedBatchTracker",
+    "global_detect_batch",
     "IJ",
     "DEFAULT_MAX_DURATION_SECONDS",
     "TrackerSpec",

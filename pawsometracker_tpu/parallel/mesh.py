@@ -1,0 +1,174 @@
+"""Multi-chip scale-out over a ``jax.sharding.Mesh``.
+
+The reference's only parallelism is intra-frame CPU multithreading of the FIR
+filter (reference: src/PawsomeTracker.jl:57). On TPU the equivalent axes are:
+
+- **data** — many videos (or many search windows) tracked per step: the batch
+  axis of ``[B, T, H, W]`` frame chunks is sharded across chips; each chip runs
+  its videos' scans independently (no cross-chip traffic in steady state, so
+  scaling is embarrassingly linear over ICI).
+- **space** — for the full-frame global-detection pass, the frame's row axis is
+  sharded; XLA's SPMD partitioner inserts the halo exchanges the valid DoG
+  correlation needs across shard boundaries (collectives ride ICI).
+
+The per-video scan itself is inherently sequential (each frame's window depends
+on the previous position — SURVEY.md §2.4), so single-video latency is bound to
+one core; throughput comes from batching.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.dog_tracker import TrackerSpec, autodetect_spec, tracker_fns
+from ..ops.dog_kernel import dog_kernel_separable
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "ShardedBatchTracker",
+    "global_detect_batch",
+]
+
+
+def make_mesh(n_devices: int | None = None, *, space: int = 1, devices=None) -> Mesh:
+    """A ``(data, space)`` mesh over the first ``n_devices`` devices.
+
+    ``space`` divides ``n_devices``; the data axis gets the rest. With
+    ``space=1`` (default) this is a pure data-parallel mesh.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if n_devices % space != 0:
+        raise ValueError(f"space={space} must divide n_devices={n_devices}")
+    arr = np.array(devices[:n_devices]).reshape(n_devices // space, space)
+    return Mesh(arr, ("data", "space"))
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the leading (batch) axis on ``data``; replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def global_detect_batch(spec: TrackerSpec, mesh: Mesh | None = None):
+    """Whole-frame target detection, batched and (optionally) spatially sharded.
+
+    Framework extension beyond the reference's quarter-frame auto-detect
+    (reference: src/PawsomeTracker.jl:99-107): computes the DoG response over
+    the ENTIRE frame and returns the argmax per batch element. With a mesh, the
+    frame row axis is sharded over ``space`` and the batch over ``data``; XLA
+    inserts halo exchanges for the valid correlation.
+
+    Returns a jitted ``fn(frames_u8 [B, H, W], fills_u8 [B]) -> int32 [B, 2]``.
+    """
+    gc_np, gs_np, direction, L = dog_kernel_separable(spec.sigma, spec.darker_target)
+    gc = jnp.asarray(gc_np, jnp.float32)
+    gs = jnp.asarray(gs_np, jnp.float32)
+    half = L // 2
+    H, W = spec.frame_shape
+
+    def detect(frames, fills):
+        x = frames.astype(jnp.float32)  # [B, H, W]
+        fill = fills.astype(jnp.float32)[:, None, None]
+        x = jnp.pad(x, ((0, 0), (half, half), (half, half)))  # constant 0, fixed below
+        # restore the constant fill on the apron (jnp.pad with per-batch
+        # constants isn't expressible directly)
+        mask = jnp.pad(jnp.ones((frames.shape[1], frames.shape[2]), jnp.float32), ((half, half), (half, half)))
+        x = x * mask + fill * (1.0 - mask)
+        lhs = x[:, None, :, :]
+
+        def corr(g):
+            r = jax.lax.conv_general_dilated(
+                lhs,
+                g[None, None, :, None],
+                (1, 1),
+                "VALID",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return jax.lax.conv_general_dilated(
+                r,
+                g[None, None, None, :],
+                (1, 1),
+                "VALID",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        resp = direction * (corr(gc) - corr(gs))  # [B, 1, H, W]
+        resp = resp[:, 0]
+        # column-major first-max to match the tracker's tie-break
+        k = jnp.argmax(resp.transpose(0, 2, 1).reshape(resp.shape[0], -1), axis=1)
+        col = k // H
+        row = k % H
+        return jnp.stack([row, col], axis=1).astype(jnp.int32)
+
+    if mesh is None:
+        return jax.jit(detect)
+    in_sh = (
+        NamedSharding(mesh, P("data", "space", None)),
+        NamedSharding(mesh, P("data")),
+    )
+    out_sh = NamedSharding(mesh, P("data", None))
+    return jax.jit(detect, in_shardings=in_sh, out_shardings=out_sh)
+
+
+class ShardedBatchTracker:
+    """Batch-of-videos tracking engine, sharded over a device mesh.
+
+    ``snap``/``scan`` mirror :class:`~..models.dog_tracker.TrackerFns` batched
+    forms but with explicit shardings so pjit distributes videos across chips.
+    """
+
+    def __init__(self, spec: TrackerSpec, mesh: Mesh | None = None):
+        self.spec = spec
+        self.mesh = mesh
+        fns = tracker_fns(spec)
+        det = tracker_fns(autodetect_spec(spec))
+        if mesh is None:
+            self.snap = fns.snap_batch
+            self.snap_detect = det.snap_batch
+            self.scan = fns.scan_batch
+        else:
+            frames_sh = NamedSharding(mesh, P("data", None, None))
+            chunk_sh = NamedSharding(mesh, P("data", None, None, None))
+            vec_sh = NamedSharding(mesh, P("data"))
+            pos_sh = NamedSharding(mesh, P("data", None))
+            tpos_sh = NamedSharding(mesh, P("data", None, None))
+
+            def _jit_b(fn, in_sh, out_sh):
+                return jax.jit(fn, in_shardings=in_sh, out_shardings=out_sh)
+
+            base = tracker_fns(spec)
+            detb = tracker_fns(autodetect_spec(spec))
+            self.snap = _jit_b(
+                jax.vmap(_unwrap(base.snap)), (frames_sh, pos_sh, vec_sh), pos_sh
+            )
+            self.snap_detect = _jit_b(
+                jax.vmap(_unwrap(detb.snap)), (frames_sh, pos_sh, vec_sh), pos_sh
+            )
+            self.scan = _jit_b(
+                jax.vmap(_unwrap(base.scan)), (chunk_sh, pos_sh, vec_sh), tpos_sh
+            )
+
+    def shard_chunk(self, chunk: np.ndarray):
+        """Place a ``[B, T, H, W]`` host chunk on the mesh, batch-sharded."""
+        if self.mesh is None:
+            return jnp.asarray(chunk)
+        return jax.device_put(chunk, batch_sharding(self.mesh, chunk.ndim))
+
+
+def _unwrap(jitted):
+    """The underlying python function of a jitted callable (re-jitted with
+    shardings by the caller)."""
+    return getattr(jitted, "__wrapped__", jitted)

@@ -1,0 +1,124 @@
+"""Multi-device SPMD tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pawsometracker_tpu.models.dog_tracker import make_spec, tracker_fns
+from pawsometracker_tpu.parallel.mesh import (
+    ShardedBatchTracker,
+    batch_sharding,
+    global_detect_batch,
+    make_mesh,
+)
+
+from test_tracker_core import draw_blob
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual CPU devices"
+    return make_mesh(8, space=2)
+
+
+def test_make_mesh_shapes():
+    m = make_mesh(8, space=2)
+    assert m.devices.shape == (4, 2)
+    assert m.axis_names == ("data", "space")
+    m1 = make_mesh(4)
+    assert m1.devices.shape == (4, 1)
+    with pytest.raises(ValueError):
+        make_mesh(6, space=4)
+
+
+def test_sharded_scan_matches_single_device(mesh8):
+    h, w = 64, 64
+    B, T = 8, 12
+    paths = [[(16 + t, 10 + 2 * b + t) for t in range(T)] for b in range(B)]
+    frames = np.stack([np.stack([draw_blob(h, w, ij, 3) for ij in p]) for p in paths])
+    spec = make_spec((h, w), 15, 6, True)
+    pos0 = np.array([p[0] for p in paths], np.int32)
+    fills = np.full((B,), 128, np.uint8)
+
+    # single-device reference
+    fns = tracker_fns(spec)
+    want = np.asarray(fns.scan_batch(jnp.asarray(frames), jnp.asarray(pos0), jnp.asarray(fills)))
+
+    # sharded across the data axis
+    engine = ShardedBatchTracker(spec, mesh8)
+    got = engine.scan(engine.shard_chunk(frames), jnp.asarray(pos0), jnp.asarray(fills))
+    assert got.sharding.spec[0] == "data"  # batch axis stays sharded on the mesh
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_global_detect_spatial_sharding(mesh8):
+    h, w = 64, 96
+    B = 8
+    frames = np.stack([draw_blob(h, w, (10 + 5 * b, 20 + 8 * b), 4) for b in range(B)])
+    fills = np.full((B,), 128, np.uint8)
+    spec = make_spec((h, w), 15, 8, True)
+
+    # unsharded reference
+    want = np.asarray(global_detect_batch(spec)(jnp.asarray(frames), jnp.asarray(fills)))
+
+    detect = global_detect_batch(spec, mesh8)
+    f0 = jax.device_put(
+        frames, jax.sharding.NamedSharding(mesh8, jax.sharding.PartitionSpec("data", "space", None))
+    )
+    got = np.asarray(detect(f0, jnp.asarray(fills)))
+    np.testing.assert_array_equal(got, want)
+    # detection actually found the blobs
+    for b in range(B):
+        assert abs(got[b, 0] - (10 + 5 * b)) <= 1
+        assert abs(got[b, 1] - (20 + 8 * b)) <= 1
+
+
+def test_batch_sharding_spec(mesh8):
+    sh = batch_sharding(mesh8, 4)
+    assert sh.spec == jax.sharding.PartitionSpec("data", None, None, None)
+
+
+def test_graft_entry_singlechip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (16, 2)
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+    ge.dryrun_multichip(4)
+
+
+def test_track_batch_end_to_end(tmp_path, mesh8):
+    """track_batch over real video files, sharded across the mesh."""
+    import helpers
+    from pawsometracker_tpu import IJ
+    from pawsometracker_tpu.batch import track_batch
+
+    rng = np.random.default_rng(7)
+    files, truths = [], []
+    for b in range(4):
+        _, tra = helpers.build_trajectory(25, 24, (50, 50), rng)
+        f = helpers.trajectory2video(tra[: 60 + 10 * b], str(tmp_path), 24, 100, 100, 10, True)
+        f2 = str(tmp_path / f"v{b}.avi")
+        import os
+
+        os.rename(f, f2)
+        files.append(f2)
+        truths.append(tra[: 60 + 10 * b])
+
+    results = track_batch(files, start_location=IJ(50, 50), target_width=10, mesh=mesh8, chunk_size=16)
+    assert len(results) == 4
+    for (ts, ij), tra in zip(results, truths):
+        assert len(ij) == len(tra)  # per-video truncation at its own EOF
+        rmse = np.sqrt(np.mean(np.sum((np.asarray(ij) - np.asarray(tra)) ** 2, axis=1)))
+        assert rmse < 1.0
