@@ -35,11 +35,20 @@ _FOURCC_BY_EXT = {
 
 
 def _open_writer(file: str, fps: float):
+    h, w = DIAGNOSTIC_VIDEO_SIZE
+    # prefer the native libx264 encoder (analog of the reference's libav
+    # VideoWriter, reference: src/diagnose.jl:18); fall back to cv2
+    try:
+        from .io.native_io import NativeVideoWriter, native_available
+
+        if native_available():
+            return NativeVideoWriter(file, w, h, fps)
+    except Exception:
+        pass
     import cv2
 
     ext = os.path.splitext(file)[1].lower()
     candidates = [_FOURCC_BY_EXT.get(ext, "mp4v"), "mp4v", "MJPG", "XVID"]
-    h, w = DIAGNOSTIC_VIDEO_SIZE
     for fourcc in candidates:
         vw = cv2.VideoWriter(file, cv2.VideoWriter_fourcc(*fourcc), fps, (w, h), isColor=False)
         if vw.isOpened():

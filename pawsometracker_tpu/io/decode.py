@@ -81,9 +81,16 @@ def probe(path: str) -> VideoInfo:
         cap.release()
 
 
-def fps_slot(t: float, fps: float) -> int:
-    """ffmpeg fps-filter slot assignment with round=near (half away from zero)."""
-    return int(math.floor(t * fps + 0.5)) if t >= 0 else -int(math.floor(-t * fps + 0.5))
+def fps_slot(t, fps) -> int:
+    """ffmpeg fps-filter slot assignment with round=near (half away from zero).
+
+    ``t`` and ``fps`` may be :class:`~fractions.Fraction` for exact arithmetic
+    at half-slot boundaries — ffmpeg itself uses integer rational rescaling
+    (``av_rescale_q_rnd`` with ``AV_ROUND_NEAR_INF``), and the native backend
+    mirrors that; floats are accepted for convenience.
+    """
+    x = t * fps
+    return int(math.floor(x + Fraction(1, 2))) if x >= 0 else -int(math.floor(-x + Fraction(1, 2)))
 
 
 class OpenCVFrameSource:
@@ -107,6 +114,10 @@ class OpenCVFrameSource:
         self.info = probe(self.path)
         self._cv2_mod = cv2
         self._native_fps = float(self.cap.get(cv2.CAP_PROP_FPS)) or 24.0
+        # exact rationals for slot assignment (see fps_slot)
+        self._native_frac = Fraction(self._native_fps).limit_denominator(1001000)
+        self._fps_frac = Fraction(self.fps).limit_denominator(1001000)
+        self._start_frac = Fraction(self.start).limit_denominator(1001000)
         self._in_idx = 0  # next input frame index (in native timeline)
         if self.start > 0:
             # coarse container seek, then decode-and-discard up to `start`
@@ -129,12 +140,12 @@ class OpenCVFrameSource:
             ok, frame = self.cap.read()
             if not ok:
                 return None
-            t = self._in_idx / self._native_fps
+            t = Fraction(self._in_idx) / self._native_frac
             self._in_idx += 1
-            tp = t - self.start
-            if tp < -0.5 / self._native_fps:
+            tp = t - self._start_frac
+            if tp < Fraction(-1, 2) / self._native_frac:
                 continue  # still before start: decode-and-discard
-            if tp >= self.duration:
+            if float(tp) >= self.duration:
                 return None
             if frame.ndim == 3:
                 gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
@@ -167,7 +178,7 @@ class OpenCVFrameSource:
                     return frame
                 return None
             gray, tp = nxt
-            slot = fps_slot(tp, self.fps)
+            slot = fps_slot(tp, self._fps_frac)
             if self._pending is None:
                 # first frame: anchor the output timeline at its slot
                 self._pending = (gray, max(slot, 0))

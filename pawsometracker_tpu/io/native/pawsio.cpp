@@ -1,0 +1,537 @@
+// pawsio — native host-side video I/O for pawsometracker_tpu.
+//
+// TPU-host-native equivalent of the reference's decode/encode stack (an
+// out-of-process `ffmpeg -ss .. -t .. -vf fps=..` pipe decoded by libav to
+// GRAY8, reference: src/PawsomeTracker.jl:155-157, and a libav encoder for the
+// diagnostic stream, reference: src/diagnose.jl:18,37,40). Implemented
+// directly against libavformat/libavcodec/libswscale:
+//
+//   - demux -> decode -> swscale to GRAY8 (no BGR round trip)
+//   - accurate seek: container seek to the keyframe before `start`, then
+//     decode-and-discard up to `start`
+//   - fps resampling with ffmpeg's fps-filter semantics (round=near: each
+//     input frame claims output slot round(t*fps); a frame whose successor
+//     claims the same slot is dropped; gaps are filled by duplicating the
+//     earlier frame; the final frame is emitted once at EOF)
+//   - optional background decode thread with a bounded frame ring so host
+//     decode overlaps TPU compute
+//   - GRAY8 -> yuv420p -> H.264 (libx264, fallback mpeg4) encoder
+//
+// C ABI only; Python binds via ctypes (no pybind11 dependency).
+
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+namespace {
+
+// silence libav chatter to fatal only, like the reference's `-loglevel 8`
+// (reference: src/PawsomeTracker.jl:155)
+struct LogSilencer {
+  LogSilencer() { av_log_set_level(AV_LOG_FATAL); }
+} g_log_silencer;
+
+thread_local std::string g_last_error;
+
+void set_error(const std::string &msg) { g_last_error = msg; }
+
+void set_averror(const std::string &ctx, int err) {
+  char buf[AV_ERROR_MAX_STRING_SIZE] = {0};
+  av_strerror(err, buf, sizeof(buf));
+  g_last_error = ctx + ": " + buf;
+}
+
+struct Decoder {
+  AVFormatContext *fmt = nullptr;
+  AVCodecContext *dec = nullptr;
+  SwsContext *sws = nullptr;
+  AVFrame *frame = nullptr;
+  AVPacket *pkt = nullptr;
+  int stream_idx = -1;
+  int width = 0, height = 0;
+  double start = 0, duration = 0, fps = 24, native_fps = 24;
+  double tb = 0;           // stream time base in seconds
+  AVRational tb_q = {0, 1};   // stream time base (exact)
+  AVRational out_tb = {0, 1}; // 1/fps (exact rational)
+  int64_t start_pts = 0;      // `start` in stream time-base ticks
+  bool demux_eof = false;
+
+  // fps resampler state
+  std::vector<uint8_t> pending, prev;
+  int pending_slot = 0;
+  bool has_pending = false, has_prev = false, flushed = false;
+  int emit_slot = 0;
+
+  // background prefetch
+  std::thread th;
+  std::mutex mu;
+  std::condition_variable cv_push, cv_pop;
+  std::deque<std::vector<uint8_t>> ring;
+  size_t ring_depth = 0;
+  std::atomic<bool> stop_thread{false};
+  bool thread_eof = false;
+
+  size_t frame_bytes() const { return (size_t)width * height; }
+
+  ~Decoder() {
+    if (th.joinable()) {
+      stop_thread = true;
+      cv_pop.notify_all();
+      cv_push.notify_all();
+      th.join();
+    }
+    if (sws) sws_freeContext(sws);
+    if (frame) av_frame_free(&frame);
+    if (pkt) av_packet_free(&pkt);
+    if (dec) avcodec_free_context(&dec);
+    if (fmt) avformat_close_input(&fmt);
+  }
+
+  // Output slot of a frame at `pts_shifted` stream ticks past `start`, using
+  // exact rational arithmetic like ffmpeg's fps filter (round=near: half away
+  // from zero).
+  int slot_of(int64_t pts_shifted) const {
+    return (int)av_rescale_q_rnd(
+        pts_shifted, tb_q, out_tb,
+        (AVRounding)(AV_ROUND_NEAR_INF | AV_ROUND_PASS_MINMAX));
+  }
+
+  // Next decoded gray frame into `out` with shifted time t' = t - start.
+  // Returns 1 ok, 0 eof, <0 error.
+  int next_input(uint8_t *out, double *tprime, int64_t *pts_shifted) {
+    while (true) {
+      int ret = avcodec_receive_frame(dec, frame);
+      if (ret == 0) {
+        int64_t pts = frame->best_effort_timestamp;
+        if (pts == AV_NOPTS_VALUE) pts = frame->pts;
+        double t = (pts == AV_NOPTS_VALUE) ? 0.0 : pts * tb;
+        double tp = t - start;
+        av_frame_make_writable(frame);
+        if (tp < -0.5 / native_fps) {
+          av_frame_unref(frame);
+          continue;  // pre-start: decode-and-discard (accurate -ss)
+        }
+        if (tp >= duration) {
+          av_frame_unref(frame);
+          return 0;
+        }
+        uint8_t *dst[1] = {out};
+        int dst_stride[1] = {width};
+        sws_scale(sws, frame->data, frame->linesize, 0, height, dst, dst_stride);
+        av_frame_unref(frame);
+        if (getenv("PAWSIO_DEBUG"))
+          fprintf(stderr, "[pawsio] pts=%lld tb=%.9f t=%.9f tp=%.9f\n", (long long)pts, tb, t, tp);
+        *tprime = tp;
+        *pts_shifted = (pts == AV_NOPTS_VALUE) ? 0 : pts - start_pts;
+        return 1;
+      }
+      if (ret == AVERROR_EOF) return 0;
+      if (ret != AVERROR(EAGAIN)) {
+        set_averror("receive_frame", ret);
+        return -1;
+      }
+      if (demux_eof) return 0;
+      // feed more packets
+      while (true) {
+        ret = av_read_frame(fmt, pkt);
+        if (ret < 0) {
+          demux_eof = true;
+          avcodec_send_packet(dec, nullptr);  // flush
+          break;
+        }
+        if (pkt->stream_index != stream_idx) {
+          av_packet_unref(pkt);
+          continue;
+        }
+        ret = avcodec_send_packet(dec, pkt);
+        av_packet_unref(pkt);
+        if (ret < 0 && ret != AVERROR(EAGAIN)) {
+          set_averror("send_packet", ret);
+          return -1;
+        }
+        break;
+      }
+    }
+  }
+
+  // One fps-resampled frame. Returns 1 ok, 0 eof, <0 error.
+  int read_resampled(uint8_t *dst) {
+    const size_t nb = frame_bytes();
+    std::vector<uint8_t> scratch(nb);
+    while (true) {
+      if (has_pending && emit_slot < pending_slot) {
+        // duplicate the earlier frame into the gap
+        const uint8_t *src = has_prev ? prev.data() : pending.data();
+        emit_slot++;
+        if ((emit_slot - 1) / fps >= duration) return 0;
+        std::memcpy(dst, src, nb);
+        return 1;
+      }
+      double tp = 0;
+      int64_t ptss = 0;
+      int ret = next_input(scratch.data(), &tp, &ptss);
+      if (ret < 0) return ret;
+      if (ret == 0) {
+        if (has_pending && !flushed) {
+          flushed = true;
+          emit_slot = std::max(emit_slot, pending_slot) + 1;
+          if ((emit_slot - 1) / fps >= duration) return 0;
+          std::memcpy(dst, pending.data(), nb);
+          return 1;
+        }
+        return 0;
+      }
+      int slot = slot_of(ptss);
+      if (!has_pending) {
+        pending = scratch;
+        pending_slot = std::max(slot, 0);
+        emit_slot = pending_slot;
+        has_pending = true;
+        has_prev = false;
+        continue;
+      }
+      if (slot <= pending_slot) {
+        // zero output slots for the pending frame: the newer one takes over
+        pending = scratch;
+        continue;
+      }
+      // pending frame covers [pending_slot, slot): emit it now, duplicates
+      // (if any) flow from the top of the loop via `prev`
+      prev = std::move(pending);
+      has_prev = true;
+      pending = scratch;
+      int old_slot = pending_slot;
+      pending_slot = slot;
+      if (emit_slot == old_slot) {
+        emit_slot++;
+        if ((emit_slot - 1) / fps >= duration) return 0;
+        std::memcpy(dst, prev.data(), nb);
+        return 1;
+      }
+    }
+  }
+
+  void prefetch_loop() {
+    std::vector<uint8_t> buf(frame_bytes());
+    while (!stop_thread) {
+      int ret = read_resampled(buf.data());
+      std::unique_lock<std::mutex> lk(mu);
+      if (ret != 1) {
+        thread_eof = true;
+        cv_pop.notify_all();
+        return;
+      }
+      cv_push.wait(lk, [&] { return ring.size() < ring_depth || stop_thread; });
+      if (stop_thread) return;
+      ring.push_back(buf);
+      cv_pop.notify_all();
+    }
+  }
+};
+
+struct Encoder {
+  AVFormatContext *fmt = nullptr;
+  AVCodecContext *enc = nullptr;
+  AVStream *stream = nullptr;
+  AVFrame *frame = nullptr;
+  AVPacket *pkt = nullptr;
+  int width = 0, height = 0;
+  int64_t next_pts = 0;
+  bool header_written = false;
+
+  ~Encoder() {
+    if (frame) av_frame_free(&frame);
+    if (pkt) av_packet_free(&pkt);
+    if (enc) avcodec_free_context(&enc);
+    if (fmt) {
+      if (fmt->pb && !(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
+      avformat_free_context(fmt);
+    }
+  }
+
+  int drain() {
+    while (true) {
+      int ret = avcodec_receive_packet(enc, pkt);
+      if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) return 0;
+      if (ret < 0) {
+        set_averror("receive_packet", ret);
+        return -1;
+      }
+      av_packet_rescale_ts(pkt, enc->time_base, stream->time_base);
+      pkt->stream_index = stream->index;
+      ret = av_interleaved_write_frame(fmt, pkt);
+      av_packet_unref(pkt);
+      if (ret < 0) {
+        set_averror("write_frame", ret);
+        return -1;
+      }
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+struct PawsInfo {
+  int32_t width;
+  int32_t height;
+  double fps;
+  int32_t sar_num;
+  int32_t sar_den;
+  int64_t nframes;
+};
+
+const char *pawsio_last_error() { return g_last_error.c_str(); }
+
+int pawsio_probe(const char *path, PawsInfo *info) {
+  AVFormatContext *fmt = nullptr;
+  int ret = avformat_open_input(&fmt, path, nullptr, nullptr);
+  if (ret < 0) {
+    set_averror("open_input", ret);
+    return -1;
+  }
+  ret = avformat_find_stream_info(fmt, nullptr);
+  if (ret < 0) {
+    set_averror("find_stream_info", ret);
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  int si = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (si < 0) {
+    set_error("no video stream");
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  AVStream *st = fmt->streams[si];
+  info->width = st->codecpar->width;
+  info->height = st->codecpar->height;
+  AVRational fr = av_guess_frame_rate(fmt, st, nullptr);
+  info->fps = fr.num > 0 && fr.den > 0 ? av_q2d(fr) : 24.0;
+  AVRational sar = av_guess_sample_aspect_ratio(fmt, st, nullptr);
+  if (sar.num <= 0 || sar.den <= 0) sar = {1, 1};
+  info->sar_num = sar.num;
+  info->sar_den = sar.den;
+  info->nframes = st->nb_frames;
+  avformat_close_input(&fmt);
+  return 0;
+}
+
+void *pawsio_open(const char *path, double start, double stop, double fps, PawsInfo *info) {
+  auto d = new Decoder();
+  d->start = start;
+  d->duration = stop - start;
+  d->fps = fps;
+  int ret = avformat_open_input(&d->fmt, path, nullptr, nullptr);
+  if (ret < 0) {
+    set_averror("open_input", ret);
+    delete d;
+    return nullptr;
+  }
+  if ((ret = avformat_find_stream_info(d->fmt, nullptr)) < 0) {
+    set_averror("find_stream_info", ret);
+    delete d;
+    return nullptr;
+  }
+  const AVCodec *codec = nullptr;
+  d->stream_idx = av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &codec, 0);
+  if (d->stream_idx < 0 || !codec) {
+    set_error("no decodable video stream");
+    delete d;
+    return nullptr;
+  }
+  AVStream *st = d->fmt->streams[d->stream_idx];
+  d->dec = avcodec_alloc_context3(codec);
+  avcodec_parameters_to_context(d->dec, st->codecpar);
+  d->dec->thread_count = 0;  // auto
+  if ((ret = avcodec_open2(d->dec, codec, nullptr)) < 0) {
+    set_averror("avcodec_open2", ret);
+    delete d;
+    return nullptr;
+  }
+  d->width = d->dec->width;
+  d->height = d->dec->height;
+  d->tb = av_q2d(st->time_base);
+  d->tb_q = st->time_base;
+  d->out_tb = av_inv_q(av_d2q(fps, 1001000));
+  d->start_pts = d->tb > 0 ? (int64_t)llrint(start / d->tb) : 0;
+  AVRational fr = av_guess_frame_rate(d->fmt, st, nullptr);
+  d->native_fps = fr.num > 0 && fr.den > 0 ? av_q2d(fr) : 24.0;
+  d->sws = sws_getContext(d->width, d->height, d->dec->pix_fmt, d->width, d->height,
+                          AV_PIX_FMT_GRAY8, SWS_BILINEAR, nullptr, nullptr, nullptr);
+  if (!d->sws) {
+    set_error("sws_getContext failed");
+    delete d;
+    return nullptr;
+  }
+  d->frame = av_frame_alloc();
+  d->pkt = av_packet_alloc();
+  if (start > 0) {
+    int64_t ts = (int64_t)(start / d->tb);
+    if (av_seek_frame(d->fmt, d->stream_idx, ts, AVSEEK_FLAG_BACKWARD) < 0) {
+      // fall back to decoding from the beginning (decode-and-discard)
+      av_seek_frame(d->fmt, d->stream_idx, 0, AVSEEK_FLAG_BACKWARD);
+    }
+    avcodec_flush_buffers(d->dec);
+  }
+  if (info) {
+    info->width = d->width;
+    info->height = d->height;
+    info->fps = d->native_fps;
+    AVRational sar = av_guess_sample_aspect_ratio(d->fmt, st, nullptr);
+    if (sar.num <= 0 || sar.den <= 0) sar = {1, 1};
+    info->sar_num = sar.num;
+    info->sar_den = sar.den;
+    info->nframes = st->nb_frames;
+  }
+  return d;
+}
+
+int pawsio_start_prefetch(void *h, int depth) {
+  auto d = static_cast<Decoder *>(h);
+  if (d->th.joinable()) return 0;
+  d->ring_depth = depth > 0 ? depth : 64;
+  d->th = std::thread([d] { d->prefetch_loop(); });
+  return 0;
+}
+
+// 1 = frame written, 0 = EOF, <0 = error
+int pawsio_read(void *h, uint8_t *dst) {
+  auto d = static_cast<Decoder *>(h);
+  if (!d->th.joinable()) return d->read_resampled(dst);
+  std::unique_lock<std::mutex> lk(d->mu);
+  d->cv_pop.wait(lk, [&] { return !d->ring.empty() || d->thread_eof || d->stop_thread; });
+  if (d->ring.empty()) return 0;
+  std::memcpy(dst, d->ring.front().data(), d->frame_bytes());
+  d->ring.pop_front();
+  d->cv_push.notify_all();
+  return 1;
+}
+
+int pawsio_read_batch(void *h, uint8_t *dst, int maxn) {
+  auto d = static_cast<Decoder *>(h);
+  size_t nb = d->frame_bytes();
+  int n = 0;
+  for (; n < maxn; n++) {
+    int ret = pawsio_read(h, dst + (size_t)n * nb);
+    if (ret < 0) return ret;
+    if (ret == 0) break;
+  }
+  return n;
+}
+
+void pawsio_close(void *h) { delete static_cast<Decoder *>(h); }
+
+// ---------------------------------------------------------------------------
+// Encoder
+
+void *pawsio_enc_open(const char *path, int w, int h, double fps) {
+  auto e = new Encoder();
+  e->width = w;
+  e->height = h;
+  int ret = avformat_alloc_output_context2(&e->fmt, nullptr, nullptr, path);
+  if (ret < 0 || !e->fmt) {
+    set_averror("alloc_output_context", ret);
+    delete e;
+    return nullptr;
+  }
+  const AVCodec *codec = avcodec_find_encoder_by_name("libx264");
+  if (!codec) codec = avcodec_find_encoder(AV_CODEC_ID_H264);
+  if (!codec) codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  if (!codec) {
+    set_error("no H.264/MPEG4 encoder available");
+    delete e;
+    return nullptr;
+  }
+  e->enc = avcodec_alloc_context3(codec);
+  e->enc->width = w;
+  e->enc->height = h;
+  e->enc->pix_fmt = AV_PIX_FMT_YUV420P;
+  AVRational fr = av_d2q(fps, 1 << 24);
+  e->enc->time_base = av_inv_q(fr);
+  e->enc->framerate = fr;
+  e->enc->gop_size = 12;
+  if (e->fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    e->enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (codec->id == AV_CODEC_ID_H264) {
+    av_opt_set(e->enc->priv_data, "preset", "veryfast", 0);
+    av_opt_set(e->enc->priv_data, "crf", "23", 0);
+  }
+  if ((ret = avcodec_open2(e->enc, codec, nullptr)) < 0) {
+    set_averror("enc avcodec_open2", ret);
+    delete e;
+    return nullptr;
+  }
+  e->stream = avformat_new_stream(e->fmt, nullptr);
+  avcodec_parameters_from_context(e->stream->codecpar, e->enc);
+  e->stream->time_base = e->enc->time_base;
+  if (!(e->fmt->oformat->flags & AVFMT_NOFILE)) {
+    if ((ret = avio_open(&e->fmt->pb, path, AVIO_FLAG_WRITE)) < 0) {
+      set_averror("avio_open", ret);
+      delete e;
+      return nullptr;
+    }
+  }
+  if ((ret = avformat_write_header(e->fmt, nullptr)) < 0) {
+    set_averror("write_header", ret);
+    delete e;
+    return nullptr;
+  }
+  e->header_written = true;
+  e->frame = av_frame_alloc();
+  e->frame->format = AV_PIX_FMT_YUV420P;
+  e->frame->width = w;
+  e->frame->height = h;
+  av_frame_get_buffer(e->frame, 0);
+  e->pkt = av_packet_alloc();
+  return e;
+}
+
+int pawsio_enc_write(void *h, const uint8_t *gray) {
+  auto e = static_cast<Encoder *>(h);
+  av_frame_make_writable(e->frame);
+  // GRAY8 -> yuv420p: copy luma, neutral chroma
+  for (int r = 0; r < e->height; r++)
+    std::memcpy(e->frame->data[0] + (size_t)r * e->frame->linesize[0],
+                gray + (size_t)r * e->width, e->width);
+  for (int r = 0; r < e->height / 2; r++) {
+    std::memset(e->frame->data[1] + (size_t)r * e->frame->linesize[1], 128, e->width / 2);
+    std::memset(e->frame->data[2] + (size_t)r * e->frame->linesize[2], 128, e->width / 2);
+  }
+  e->frame->pts = e->next_pts++;
+  int ret = avcodec_send_frame(e->enc, e->frame);
+  if (ret < 0) {
+    set_averror("send_frame", ret);
+    return -1;
+  }
+  return e->drain();
+}
+
+int pawsio_enc_close(void *h) {
+  auto e = static_cast<Encoder *>(h);
+  int rc = 0;
+  if (e->enc && e->header_written) {
+    avcodec_send_frame(e->enc, nullptr);
+    rc = e->drain();
+    av_write_trailer(e->fmt);
+  }
+  delete e;
+  return rc;
+}
+
+}  // extern "C"

@@ -1,0 +1,239 @@
+"""ctypes bindings for the native libav I/O layer (``io/native/pawsio.cpp``).
+
+``NativeFrameSource`` implements the same interface and semantics as
+:class:`.decode.OpenCVFrameSource` (same ffmpeg fps-filter resampling — the
+state machine is implemented twice, once per language, and cross-checked by
+tests) but decodes straight to GRAY8 with swscale like the reference's
+``openvideo(..., target_format=AV_PIX_FMT_GRAY8)`` (reference:
+src/PawsomeTracker.jl:157), and runs an in-process decode-ahead thread with a
+bounded frame ring.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import math
+import os
+import subprocess
+import threading
+from fractions import Fraction
+
+import numpy as np
+
+from .decode import VideoInfo
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_NATIVE_DIR = os.path.join(_HERE, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libpawsio.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_build_attempted = False
+
+
+class _PawsInfo(ctypes.Structure):
+    _fields_ = [
+        ("width", ctypes.c_int32),
+        ("height", ctypes.c_int32),
+        ("fps", ctypes.c_double),
+        ("sar_num", ctypes.c_int32),
+        ("sar_den", ctypes.c_int32),
+        ("nframes", ctypes.c_int64),
+    ]
+
+
+def _build() -> bool:
+    try:
+        r = subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "libpawsio.so"],
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        return r.returncode == 0 and os.path.exists(_SO_PATH)
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _build_attempted
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO_PATH):
+            if _build_attempted:
+                return None
+            _build_attempted = True
+            if not _build():
+                return None
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.pawsio_probe.argtypes = [ctypes.c_char_p, ctypes.POINTER(_PawsInfo)]
+        lib.pawsio_probe.restype = ctypes.c_int
+        lib.pawsio_open.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.POINTER(_PawsInfo),
+        ]
+        lib.pawsio_open.restype = ctypes.c_void_p
+        lib.pawsio_read.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
+        lib.pawsio_read.restype = ctypes.c_int
+        lib.pawsio_read_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+        ]
+        lib.pawsio_read_batch.restype = ctypes.c_int
+        lib.pawsio_start_prefetch.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.pawsio_start_prefetch.restype = ctypes.c_int
+        lib.pawsio_close.argtypes = [ctypes.c_void_p]
+        lib.pawsio_close.restype = None
+        lib.pawsio_last_error.argtypes = []
+        lib.pawsio_last_error.restype = ctypes.c_char_p
+        lib.pawsio_enc_open.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_double,
+        ]
+        lib.pawsio_enc_open.restype = ctypes.c_void_p
+        lib.pawsio_enc_write.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
+        lib.pawsio_enc_write.restype = ctypes.c_int
+        lib.pawsio_enc_close.argtypes = [ctypes.c_void_p]
+        lib.pawsio_enc_close.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _last_error(lib) -> str:
+    try:
+        return lib.pawsio_last_error().decode(errors="replace")
+    except Exception:
+        return "unknown native error"
+
+
+def native_probe(path: str) -> VideoInfo:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native pawsio library unavailable")
+    info = _PawsInfo()
+    if lib.pawsio_probe(str(path).encode(), ctypes.byref(info)) != 0:
+        raise IOError(f"could not open video: {path} ({_last_error(lib)})")
+    sar = float(Fraction(info.sar_num, info.sar_den)) if info.sar_den else 1.0
+    return VideoInfo(
+        width=info.width,
+        height=info.height,
+        fps=info.fps,
+        sar=sar,
+        frame_count=max(int(info.nframes), 0),
+    )
+
+
+class NativeFrameSource:
+    """Drop-in for OpenCVFrameSource backed by the C++ libav decoder."""
+
+    def __init__(
+        self,
+        path: str,
+        *,
+        start: float = 0.0,
+        stop: float = math.inf,
+        fps: float = 24.0,
+        prefetch: int = 64,
+    ):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native pawsio library unavailable")
+        self._lib = lib
+        self.path = str(path)
+        self.start = float(start)
+        self.stop = float(stop)
+        self.fps = float(fps)
+        info = _PawsInfo()
+        self._h = lib.pawsio_open(
+            self.path.encode(), self.start, self.stop, self.fps, ctypes.byref(info)
+        )
+        if not self._h:
+            raise IOError(f"could not open video: {self.path} ({_last_error(lib)})")
+        sar = float(Fraction(info.sar_num, info.sar_den)) if info.sar_den else 1.0
+        self.info = VideoInfo(
+            width=info.width,
+            height=info.height,
+            fps=info.fps,
+            sar=sar,
+            frame_count=max(int(info.nframes), 0),
+        )
+        if prefetch:
+            lib.pawsio_start_prefetch(self._h, int(prefetch))
+
+    def read(self) -> np.ndarray | None:
+        out = np.empty((self.info.height, self.info.width), np.uint8)
+        ret = self._lib.pawsio_read(self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if ret < 0:
+            raise IOError(f"decode error: {_last_error(self._lib)}")
+        return out if ret == 1 else None
+
+    def read_chunk(self, n: int) -> np.ndarray:
+        out = np.empty((n, self.info.height, self.info.width), np.uint8)
+        got = self._lib.pawsio_read_batch(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), int(n)
+        )
+        if got < 0:
+            raise IOError(f"decode error: {_last_error(self._lib)}")
+        return out[:got]
+
+    def close(self):
+        if self._h:
+            self._lib.pawsio_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeVideoWriter:
+    """GRAY8 -> H.264 (libx264) encoder for the diagnostic stream."""
+
+    def __init__(self, path: str, width: int, height: int, fps: float):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native pawsio library unavailable")
+        self._lib = lib
+        self.width = int(width)
+        self.height = int(height)
+        self._h = lib.pawsio_enc_open(str(path).encode(), self.width, self.height, float(fps))
+        if not self._h:
+            raise IOError(f"could not open encoder for {path} ({_last_error(lib)})")
+
+    def write(self, gray: np.ndarray):
+        gray = np.ascontiguousarray(gray, np.uint8)
+        assert gray.shape == (self.height, self.width)
+        if self._lib.pawsio_enc_write(
+            self._h, gray.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        ) != 0:
+            raise IOError(f"encode error: {_last_error(self._lib)}")
+
+    def release(self):
+        if self._h:
+            self._lib.pawsio_enc_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.release()
+        except Exception:
+            pass

@@ -1,0 +1,126 @@
+"""Native C++ libav I/O layer tests: parity with the cv2 backend, prefetch
+thread, encoder roundtrip, and the end-to-end track() path on the native
+backend."""
+
+import math
+
+import numpy as np
+import pytest
+
+from pawsometracker_tpu.io.decode import OpenCVFrameSource, open_source
+from pawsometracker_tpu.io import native_io
+
+import helpers
+
+pytestmark = pytest.mark.skipif(
+    not native_io.native_available(), reason="native pawsio library not built"
+)
+
+
+@pytest.fixture(scope="module")
+def counter_video(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nvid")
+    frames = []
+    for i in range(60):
+        f = np.full((64, 96), 128, np.uint8)
+        f[:16, :16] = (i * 4) % 256
+        frames.append(f)
+    return helpers.write_video(frames, str(d / "counter"), 24, codec="FFV1")
+
+
+def test_native_probe(counter_video):
+    info = native_io.native_probe(counter_video)
+    assert (info.width, info.height) == (96, 64)
+    assert info.fps == pytest.approx(24.0)
+    assert info.sar == 1.0
+    assert info.frame_count == 60
+
+
+def test_native_matches_cv2_identity(counter_video):
+    with native_io.NativeFrameSource(counter_video, fps=24) as ns:
+        a = ns.read_chunk(100)
+    with OpenCVFrameSource(counter_video, fps=24) as cs:
+        b = cs.read_chunk(100)
+    assert a.shape == b.shape == (60, 64, 96)
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("fps", [12, 48])
+def test_native_matches_cv2_resampled(counter_video, fps):
+    with native_io.NativeFrameSource(counter_video, fps=fps) as ns:
+        a = ns.read_chunk(200)
+    with OpenCVFrameSource(counter_video, fps=fps) as cs:
+        b = cs.read_chunk(200)
+    # both implement the same fps-filter state machine
+    assert abs(a.shape[0] - b.shape[0]) <= 1
+    m = min(a.shape[0], b.shape[0])
+    np.testing.assert_array_equal(a[:m], b[:m])
+
+
+def test_native_start_stop(counter_video):
+    with native_io.NativeFrameSource(counter_video, start=1.0, stop=1.5, fps=24) as ns:
+        a = ns.read_chunk(100)
+    with OpenCVFrameSource(counter_video, start=1.0, stop=1.5, fps=24) as cs:
+        b = cs.read_chunk(100)
+    assert a.shape[0] == b.shape[0] == 12
+    np.testing.assert_array_equal(a, b)
+
+
+def test_native_no_prefetch(counter_video):
+    src = native_io.NativeFrameSource(counter_video, fps=24, prefetch=0)
+    try:
+        assert src.read().shape == (64, 96)
+        assert src.read_chunk(10).shape == (10, 64, 96)
+    finally:
+        src.close()
+
+
+def test_native_bad_file(tmp_path):
+    with pytest.raises(IOError):
+        native_io.NativeFrameSource(str(tmp_path / "nope.mp4"))
+    with pytest.raises(IOError):
+        native_io.native_probe(str(tmp_path / "nope.mp4"))
+
+
+def test_open_source_prefers_native(counter_video):
+    src = open_source(counter_video, fps=24, backend="auto")
+    try:
+        assert isinstance(src, native_io.NativeFrameSource)
+    finally:
+        src.close()
+
+
+def test_native_encoder_roundtrip(tmp_path):
+    path = str(tmp_path / "enc.mp4")
+    w = native_io.NativeVideoWriter(path, 640, 360, 24)
+    for i in range(25):
+        f = np.full((360, 640), 64, np.uint8)
+        f[:, (i * 20) : (i * 20 + 30)] = 220
+        w.write(f)
+    w.release()
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    assert cap.isOpened()
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 25
+    ok, fr = cap.read()
+    cap.release()
+    assert ok and fr.shape[:2] == (360, 640)
+    g = cv2.cvtColor(fr, cv2.COLOR_BGR2GRAY).astype(int)
+    # frame 0 has its bright bar at columns 0..30; codec-tolerant checks
+    assert abs(int(np.median(g[:, 2:28])) - 220) < 40
+    assert abs(int(np.median(g[:, 100:])) - 64) < 12
+
+
+def test_track_native_backend(tmp_path):
+    """Full track() on the native decode path matches the cv2 path."""
+    from pawsometracker_tpu import IJ, track
+
+    rng = np.random.default_rng(11)
+    _, tra = helpers.build_trajectory(30, 24, (50, 50), rng)
+    f = helpers.trajectory2video(tra, str(tmp_path), 24, 100, 100, 10, True)
+    ts_n, ij_n = track(f, start_location=IJ(50, 50), target_width=10, backend="native")
+    ts_c, ij_c = track(f, start_location=IJ(50, 50), target_width=10, backend="opencv")
+    np.testing.assert_array_equal(ij_n, ij_c)
+    rmse = np.sqrt(np.mean(np.sum((ij_n - np.asarray(tra[: len(ij_n)])) ** 2, axis=1)))
+    assert rmse < 1.0
