@@ -1,0 +1,68 @@
+"""Fused Pallas tracker-kernel tests (interpret mode on CPU; the compiled
+path is exercised on real TPU hardware by bench.py and the TPU validation
+script)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pawsometracker_tpu.models.dog_tracker import make_spec, tracker_fns
+from pawsometracker_tpu.ops.pallas_tracker import (
+    banded_correlation_matrix,
+    pallas_scan_fn,
+)
+
+from test_tracker_core import draw_blob
+
+
+def test_banded_matrix_correlates(rng):
+    g = rng.random(5).astype(np.float32)
+    x = rng.random((12, 7)).astype(np.float32)
+    B = banded_correlation_matrix(g, 8)
+    got = B @ x
+    want = np.stack([(x[a : a + 5] * g[:, None]).sum(axis=0) for a in range(8)])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+@pytest.mark.parametrize("start", [(30, 20), (1, 1), (95, 95), (50, 3)])
+def test_interpret_scan_matches_jax(start):
+    h, w, T = 100, 100, 12
+    path = [(min(start[0] + t, h - 3), min(start[1] + t, w - 3)) for t in range(T)]
+    frames = np.stack([draw_blob(h, w, ij, 4) for ij in path])
+    spec = make_spec((h, w), 21, 8, True)
+    want = np.asarray(
+        tracker_fns(spec).scan(jnp.asarray(frames), jnp.array(start, np.int32), np.uint8(128))
+    )
+    fn = pallas_scan_fn(spec, interpret=True)
+    got = np.asarray(fn(jnp.asarray(frames), jnp.array(start, np.int32), np.uint8(128)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_interpret_batched_matches_jax():
+    h, w, T, B = 80, 90, 8, 3
+    paths = [[(20 + b * 5 + t, 30 + t) for t in range(T)] for b in range(B)]
+    frames = np.stack([np.stack([draw_blob(h, w, ij, 3) for ij in p]) for p in paths])
+    spec = make_spec((h, w), 15, 6, True)
+    pos0 = np.array([p[0] for p in paths], np.int32)
+    want = np.asarray(
+        tracker_fns(spec).scan_batch(
+            jnp.asarray(frames), jnp.asarray(pos0), jnp.full((B,), 128, np.uint8)
+        )
+    )
+    fn = pallas_scan_fn(spec, batched=True, interpret=True)
+    got = np.asarray(fn(jnp.asarray(frames), jnp.asarray(pos0), np.uint8(128)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_interpret_lighter_target():
+    h, w, T = 64, 64, 6
+    path = [(30, 20 + 2 * t) for t in range(T)]
+    frames = np.stack([draw_blob(h, w, ij, 4, dark=False) for ij in path])
+    spec = make_spec((h, w), 17, 8, False)
+    want = np.asarray(
+        tracker_fns(spec).scan(jnp.asarray(frames), jnp.array(path[0], np.int32), np.uint8(128))
+    )
+    fn = pallas_scan_fn(spec, interpret=True)
+    got = np.asarray(fn(jnp.asarray(frames), jnp.array(path[0], np.int32), np.uint8(128)))
+    np.testing.assert_array_equal(got, want)
