@@ -84,6 +84,29 @@ def _initial_position(frame0: np.ndarray, guess, auto: bool, spec, fill: int):
     return pos
 
 
+def _on_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _scan_fn_for(spec, engine: str):
+    """Pick the device scan implementation: the fused Pallas kernel on TPU
+    ('auto'/'pallas'), the XLA lax.scan path otherwise ('xla')."""
+    if engine == "pallas" or (engine == "auto" and _on_tpu()):
+        try:
+            from .ops.pallas_tracker import pallas_scan_fn
+
+            return pallas_scan_fn(spec)
+        except Exception:
+            if engine == "pallas":
+                raise
+    return tracker_fns(spec).scan
+
+
 def _track_one(
     file,
     start: float,
@@ -98,6 +121,7 @@ def _track_one(
     sar: float | None = None,
     backend: str = "auto",
     chunk_size: int = DEFAULT_CHUNK_SIZE,
+    engine: str = "auto",
 ):
     """Track one file (reference pipeline: src/PawsomeTracker.jl:148-174)."""
     import jax.numpy as jnp
@@ -125,7 +149,7 @@ def _track_one(
 
         fill = mode_u8_host(frame0)  # mode of FIRST frame, used for all frames
         spec = make_spec(frame_shape, window_size, target_width, darker_target)
-        fns = tracker_fns(spec)
+        scan = _scan_fn_for(spec, engine)
         guess = _resolve_guess(start_location, sar_val, frame_shape)
         pos = _initial_position(frame0, guess, start_location is None, spec, fill)
 
@@ -144,7 +168,7 @@ def _track_one(
                     chunk_in = np.concatenate([chunk, pad], axis=0)
                 else:
                     chunk_in = chunk
-                pos_out = fns.scan(jnp.asarray(chunk_in), pos, fill_dev)
+                pos_out = scan(jnp.asarray(chunk_in), pos, fill_dev)
                 pos = pos_out[k - 1]
                 valid = np.asarray(pos_out[:k])
                 positions.append(valid)
@@ -172,6 +196,7 @@ def track(
     sar: float | None = None,
     backend: str = "auto",
     chunk_size: int = DEFAULT_CHUNK_SIZE,
+    engine: str = "auto",
 ):
     """Track a blob-like target in a video ``file`` (or list of segment files).
 
@@ -209,6 +234,7 @@ def track(
             sar=sar,
             backend=backend,
             chunk_size=chunk_size,
+            engine=engine,
         )
 
     start = 0.0 if start is None else float(start)
@@ -227,6 +253,7 @@ def track(
             sar=sar,
             backend=backend,
             chunk_size=chunk_size,
+            engine=engine,
         )
 
 
@@ -244,6 +271,7 @@ def _track_many(
     sar,
     backend,
     chunk_size,
+    engine,
 ):
     """Segmented videos: chain each segment's start from the previous
     segment's final position (reference: src/PawsomeTracker.jl:181-214)."""
@@ -275,6 +303,7 @@ def _track_many(
                 sar=sar,
                 backend=backend,
                 chunk_size=chunk_size,
+                engine=engine,
             )
             tss.append(ts_i)
             ijs.append(ij_i)

@@ -1,0 +1,1 @@
+"""Host-side video I/O: decoders (native libav / OpenCV), prefetchers, encoders."""

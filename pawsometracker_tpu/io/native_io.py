@@ -107,6 +107,8 @@ def _load():
 
 
 def native_available() -> bool:
+    """True when libpawsio.so is present (building it on first call if the
+    toolchain allows)."""
     return _load() is not None
 
 
@@ -118,6 +120,8 @@ def _last_error(lib) -> str:
 
 
 def native_probe(path: str) -> VideoInfo:
+    """Probe stream geometry/SAR/frame count via libavformat (the native
+    analog of :func:`.decode.probe`)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native pawsio library unavailable")

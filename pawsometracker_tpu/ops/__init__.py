@@ -1,0 +1,1 @@
+"""Device-side ops: kernel construction, filtering primitives, Pallas kernels."""

@@ -1,0 +1,3 @@
+"""Utilities: profiling hooks and timers."""
+
+from .profiling import Timer, annotate, trace

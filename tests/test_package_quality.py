@@ -1,0 +1,87 @@
+"""Package-quality checks — the analog of the reference's Aqua.jl QA suite
+(reference: Project.toml test deps; SURVEY.md §4)."""
+
+import importlib
+import inspect
+import pkgutil
+import subprocess
+import sys
+
+import pytest
+
+import pawsometracker_tpu as pkg
+
+
+def all_submodules():
+    mods = []
+    for m in pkgutil.walk_packages(pkg.__path__, prefix="pawsometracker_tpu."):
+        if ".io.native." in m.name:
+            continue
+        mods.append(m.name)
+    return mods
+
+
+def test_version():
+    assert isinstance(pkg.__version__, str) and pkg.__version__.count(".") == 2
+
+
+def test_all_exports_exist():
+    for name in pkg.__all__:
+        assert hasattr(pkg, name), f"__all__ names missing attribute {name}"
+
+
+def test_sole_reference_export_present():
+    # the reference's single export is `track` (reference: src/PawsomeTracker.jl:26)
+    assert callable(pkg.track)
+
+
+@pytest.mark.parametrize("mod", all_submodules())
+def test_submodules_importable(mod):
+    importlib.import_module(mod)
+
+
+@pytest.mark.parametrize("mod", all_submodules())
+def test_public_functions_documented(mod):
+    m = importlib.import_module(mod)
+    assert m.__doc__, f"{mod} missing module docstring"
+    for name, obj in vars(m).items():
+        if name.startswith("_") or not (inspect.isfunction(obj) or inspect.isclass(obj)):
+            continue
+        if getattr(obj, "__module__", None) != mod:
+            continue  # re-export
+        assert obj.__doc__, f"{mod}.{name} missing docstring"
+
+
+def test_no_heavy_import_side_effects():
+    """Importing the package must not initialize JAX backends or open devices
+    (keeps CLI startup and multi-process use cheap)."""
+    code = (
+        "import sys\n"
+        "import pawsometracker_tpu\n"
+        "assert 'cv2' not in sys.modules, 'cv2 imported at package import'\n"
+        "import jax._src.xla_bridge as xb\n"
+        "assert not xb._backends, 'JAX backend initialized at package import'\n"
+        "print('clean')\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0 and "clean" in r.stdout, r.stdout + r.stderr
+
+
+def test_api_signature_stability():
+    sig = inspect.signature(pkg.track)
+    expected = {
+        "file",
+        "start",
+        "stop",
+        "target_width",
+        "start_location",
+        "window_size",
+        "darker_target",
+        "fps",
+        "diagnostic_file",
+        "sar",
+        "backend",
+        "chunk_size",
+        "engine",
+    }
+    assert expected <= set(sig.parameters), sig
