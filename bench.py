@@ -31,11 +31,19 @@ CHUNK = 64
 
 
 def synthesize_clip(path: str, n: int = N_FRAMES) -> list:
-    """Encode a 1080p clip with a dark target moving on a circle."""
+    """Encode a 1080p H.264 clip with a dark target moving on a circle
+    (falls back to cv2 mp4v if the native x264 encoder is unavailable)."""
     import cv2
 
-    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), FPS, (W, H), isColor=False)
-    assert vw.isOpened()
+    try:
+        from pawsometracker_tpu.io.native_io import NativeVideoWriter, native_available
+
+        vw = NativeVideoWriter(path, W, H, FPS) if native_available() else None
+    except Exception:
+        vw = None
+    if vw is None:
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), FPS, (W, H), isColor=False)
+        assert vw.isOpened()
     truth = []
     base = np.full((H, W), 128, np.uint8)
     for t in range(n):

@@ -170,10 +170,11 @@ def _track_one(
                     chunk_in = chunk
                 pos_out = scan(jnp.asarray(chunk_in), pos, fill_dev)
                 pos = pos_out[k - 1]
-                valid = np.asarray(pos_out[:k])
+                valid = np.asarray(pos_out[:k])  # blocks: device is done with chunk
                 positions.append(valid)
                 for i in range(k):
                     dia(chunk[i], valid[i])
+                prefetch.recycle(chunk)
                 last_frame += k
     finally:
         src.close()

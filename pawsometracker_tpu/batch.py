@@ -130,9 +130,10 @@ def track_batch(
         positions = [[np.asarray(pos[b])] for b in range(B)]
         counts = [1] * B
 
-        prefetchers = [
-            iter(ChunkPrefetcher(s, chunk_size, max_frames=n - 1)) for s, n in zip(sources, ns)
+        prefetcher_objs = [
+            ChunkPrefetcher(s, chunk_size, max_frames=n - 1) for s, n in zip(sources, ns)
         ]
+        prefetchers = [iter(p) for p in prefetcher_objs]
         active = [True] * B
         last_frames = [frames0[b] for b in range(B)]
 
@@ -151,10 +152,11 @@ def track_batch(
                         k = chunk.shape[0]
                         valid[b] = k
                         batch[b, :k] = chunk
-                        last_frames[b] = chunk[-1]
+                        last_frames[b] = np.array(chunk[-1])
                         if k < chunk_size:
                             batch[b, k:] = chunk[-1]
                             active[b] = False
+                        prefetcher_objs[b].recycle(chunk)
                 if valid[b] == 0:
                     batch[b] = last_frames[b]
             if valid.sum() == 0:

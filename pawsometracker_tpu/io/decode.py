@@ -200,17 +200,19 @@ class OpenCVFrameSource:
                     return None
                 return pframe
 
-    def read_chunk(self, n: int) -> np.ndarray:
-        """Up to ``n`` frames stacked ``[k, H, W] uint8`` (k=0 at EOF)."""
-        frames = []
+    def read_chunk(self, n: int, out: np.ndarray | None = None) -> np.ndarray:
+        """Up to ``n`` frames stacked ``[k, H, W] uint8`` (k=0 at EOF).
+        ``out`` is an optional reusable destination buffer."""
+        if out is None or out.shape[0] < n:
+            out = np.empty((n, self.info.height, self.info.width), np.uint8)
+        k = 0
         for _ in range(n):
             f = self.read()
             if f is None:
                 break
-            frames.append(f)
-        if not frames:
-            return np.empty((0, self.info.height, self.info.width), np.uint8)
-        return np.stack(frames)
+            out[k] = f
+            k += 1
+        return out[:k]
 
     def close(self):
         self.cap.release()
@@ -249,16 +251,31 @@ class ChunkPrefetcher:
         self.chunk_size = int(chunk_size)
         self.max_frames = max_frames
         self._q: queue.Queue = queue.Queue(maxsize=depth)
+        # recycled chunk buffers: the consumer returns them via recycle() once
+        # it is done, so steady state runs with ~depth+1 buffers and no fresh
+        # page-faulting allocations per chunk
+        self._free: queue.Queue = queue.Queue()
         self._err: BaseException | None = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
+
+    def _buffer(self):
+        try:
+            return self._free.get_nowait()
+        except queue.Empty:
+            return None
+
+    def recycle(self, chunk: np.ndarray):
+        """Return a consumed chunk's underlying buffer for reuse."""
+        base = chunk.base if chunk.base is not None else chunk
+        self._free.put(base)
 
     def _run(self):
         try:
             remaining = self.max_frames if self.max_frames is not None else math.inf
             while remaining > 0:
                 k = int(min(self.chunk_size, remaining))
-                chunk = self.source.read_chunk(k)
+                chunk = self.source.read_chunk(k, out=self._buffer())
                 if chunk.shape[0] == 0:
                     break
                 remaining -= chunk.shape[0]

@@ -70,19 +70,21 @@ struct Decoder {
   AVRational out_tb = {0, 1}; // 1/fps (exact rational)
   int64_t start_pts = 0;      // `start` in stream time-base ticks
   bool demux_eof = false;
+  bool force_sws = false;  // PAWSIO_EXACT_GRAY=1: always use swscale
 
-  // fps resampler state
-  std::vector<uint8_t> pending, prev;
+  // fps resampler state — fixed buffers, swapped (never reallocated) so the
+  // steady-state cost is one sws write + one memcpy per emitted frame
+  std::vector<uint8_t> pending, prev, scratch;
   int pending_slot = 0;
   bool has_pending = false, has_prev = false, flushed = false;
   int emit_slot = 0;
 
-  // background prefetch
+  // background prefetch: fixed ring of in-place slots (no per-frame allocs)
   std::thread th;
   std::mutex mu;
   std::condition_variable cv_push, cv_pop;
-  std::deque<std::vector<uint8_t>> ring;
-  size_t ring_depth = 0;
+  std::vector<uint8_t> ring_mem;
+  size_t ring_depth = 0, ring_head = 0, ring_count = 0;
   std::atomic<bool> stop_thread{false};
   bool thread_eof = false;
 
@@ -130,9 +132,23 @@ struct Decoder {
           av_frame_unref(frame);
           return 0;
         }
-        uint8_t *dst[1] = {out};
-        int dst_stride[1] = {width};
-        sws_scale(sws, frame->data, frame->linesize, 0, height, dst, dst_stride);
+        AVPixelFormat pf = (AVPixelFormat)frame->format;
+        if (!force_sws &&
+            (pf == AV_PIX_FMT_GRAY8 || pf == AV_PIX_FMT_YUV420P ||
+             pf == AV_PIX_FMT_YUVJ420P || pf == AV_PIX_FMT_NV12 ||
+             pf == AV_PIX_FMT_YUV422P || pf == AV_PIX_FMT_YUV444P)) {
+          // fast path: the luma plane IS the grayscale image (up to an affine
+          // range map for limited-range YUV, which the zero-sum DoG filter is
+          // invariant to — positions are unchanged vs the swscale path; set
+          // PAWSIO_EXACT_GRAY=1 to force swscale range expansion)
+          for (int r = 0; r < height; r++)
+            std::memcpy(out + (size_t)r * width,
+                        frame->data[0] + (size_t)r * frame->linesize[0], width);
+        } else {
+          uint8_t *dst[1] = {out};
+          int dst_stride[1] = {width};
+          sws_scale(sws, frame->data, frame->linesize, 0, height, dst, dst_stride);
+        }
         av_frame_unref(frame);
         if (getenv("PAWSIO_DEBUG"))
           fprintf(stderr, "[pawsio] pts=%lld tb=%.9f t=%.9f tp=%.9f\n", (long long)pts, tb, t, tp);
@@ -172,7 +188,11 @@ struct Decoder {
   // One fps-resampled frame. Returns 1 ok, 0 eof, <0 error.
   int read_resampled(uint8_t *dst) {
     const size_t nb = frame_bytes();
-    std::vector<uint8_t> scratch(nb);
+    if (scratch.size() != nb) {
+      scratch.resize(nb);
+      pending.resize(nb);
+      prev.resize(nb);
+    }
     while (true) {
       if (has_pending && emit_slot < pending_slot) {
         // duplicate the earlier frame into the gap
@@ -198,7 +218,7 @@ struct Decoder {
       }
       int slot = slot_of(ptss);
       if (!has_pending) {
-        pending = scratch;
+        std::swap(pending, scratch);
         pending_slot = std::max(slot, 0);
         emit_slot = pending_slot;
         has_pending = true;
@@ -207,14 +227,14 @@ struct Decoder {
       }
       if (slot <= pending_slot) {
         // zero output slots for the pending frame: the newer one takes over
-        pending = scratch;
+        std::swap(pending, scratch);
         continue;
       }
       // pending frame covers [pending_slot, slot): emit it now, duplicates
       // (if any) flow from the top of the loop via `prev`
-      prev = std::move(pending);
+      std::swap(prev, pending);
       has_prev = true;
-      pending = scratch;
+      std::swap(pending, scratch);
       int old_slot = pending_slot;
       pending_slot = slot;
       if (emit_slot == old_slot) {
@@ -227,18 +247,24 @@ struct Decoder {
   }
 
   void prefetch_loop() {
-    std::vector<uint8_t> buf(frame_bytes());
+    const size_t nb = frame_bytes();
     while (!stop_thread) {
-      int ret = read_resampled(buf.data());
+      size_t slot;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_push.wait(lk, [&] { return ring_count < ring_depth || stop_thread; });
+        if (stop_thread) return;
+        slot = (ring_head + ring_count) % ring_depth;
+      }
+      // decode the next resampled frame DIRECTLY into the free ring slot
+      int ret = read_resampled(ring_mem.data() + slot * nb);
       std::unique_lock<std::mutex> lk(mu);
       if (ret != 1) {
         thread_eof = true;
         cv_pop.notify_all();
         return;
       }
-      cv_push.wait(lk, [&] { return ring.size() < ring_depth || stop_thread; });
-      if (stop_thread) return;
-      ring.push_back(buf);
+      ring_count++;
       cv_pop.notify_all();
     }
   }
@@ -372,8 +398,9 @@ void *pawsio_open(const char *path, double start, double stop, double fps, PawsI
   d->start_pts = d->tb > 0 ? (int64_t)llrint(start / d->tb) : 0;
   AVRational fr = av_guess_frame_rate(d->fmt, st, nullptr);
   d->native_fps = fr.num > 0 && fr.den > 0 ? av_q2d(fr) : 24.0;
+  // same-size pixel-format conversion only: SWS_POINT avoids filter setup
   d->sws = sws_getContext(d->width, d->height, d->dec->pix_fmt, d->width, d->height,
-                          AV_PIX_FMT_GRAY8, SWS_BILINEAR, nullptr, nullptr, nullptr);
+                          AV_PIX_FMT_GRAY8, SWS_POINT, nullptr, nullptr, nullptr);
   if (!d->sws) {
     set_error("sws_getContext failed");
     delete d;
@@ -381,6 +408,8 @@ void *pawsio_open(const char *path, double start, double stop, double fps, PawsI
   }
   d->frame = av_frame_alloc();
   d->pkt = av_packet_alloc();
+  const char *eg = getenv("PAWSIO_EXACT_GRAY");
+  d->force_sws = eg && eg[0] == '1';
   if (start > 0) {
     int64_t ts = (int64_t)(start / d->tb);
     if (av_seek_frame(d->fmt, d->stream_idx, ts, AVSEEK_FLAG_BACKWARD) < 0) {
@@ -405,7 +434,8 @@ void *pawsio_open(const char *path, double start, double stop, double fps, PawsI
 int pawsio_start_prefetch(void *h, int depth) {
   auto d = static_cast<Decoder *>(h);
   if (d->th.joinable()) return 0;
-  d->ring_depth = depth > 0 ? depth : 64;
+  d->ring_depth = depth > 0 ? depth : 8;
+  d->ring_mem.resize(d->ring_depth * d->frame_bytes());
   d->th = std::thread([d] { d->prefetch_loop(); });
   return 0;
 }
@@ -414,11 +444,20 @@ int pawsio_start_prefetch(void *h, int depth) {
 int pawsio_read(void *h, uint8_t *dst) {
   auto d = static_cast<Decoder *>(h);
   if (!d->th.joinable()) return d->read_resampled(dst);
-  std::unique_lock<std::mutex> lk(d->mu);
-  d->cv_pop.wait(lk, [&] { return !d->ring.empty() || d->thread_eof || d->stop_thread; });
-  if (d->ring.empty()) return 0;
-  std::memcpy(dst, d->ring.front().data(), d->frame_bytes());
-  d->ring.pop_front();
+  const size_t nb = d->frame_bytes();
+  size_t slot;
+  {
+    std::unique_lock<std::mutex> lk(d->mu);
+    d->cv_pop.wait(lk, [&] { return d->ring_count > 0 || d->thread_eof || d->stop_thread; });
+    if (d->ring_count == 0) return 0;
+    slot = d->ring_head;
+  }
+  std::memcpy(dst, d->ring_mem.data() + slot * nb, nb);
+  {
+    std::unique_lock<std::mutex> lk(d->mu);
+    d->ring_head = (d->ring_head + 1) % d->ring_depth;
+    d->ring_count--;
+  }
   d->cv_push.notify_all();
   return 1;
 }

@@ -148,7 +148,7 @@ class NativeFrameSource:
         start: float = 0.0,
         stop: float = math.inf,
         fps: float = 24.0,
-        prefetch: int = 64,
+        prefetch: int = 8,
     ):
         lib = _load()
         if lib is None:
@@ -182,8 +182,11 @@ class NativeFrameSource:
             raise IOError(f"decode error: {_last_error(self._lib)}")
         return out if ret == 1 else None
 
-    def read_chunk(self, n: int) -> np.ndarray:
-        out = np.empty((n, self.info.height, self.info.width), np.uint8)
+    def read_chunk(self, n: int, out: np.ndarray | None = None) -> np.ndarray:
+        """Read up to ``n`` frames. ``out`` (a ``[n, H, W] uint8`` buffer) is
+        reused when given — avoids fresh page-faulting allocations per chunk."""
+        if out is None or out.shape[0] < n:
+            out = np.empty((n, self.info.height, self.info.width), np.uint8)
         got = self._lib.pawsio_read_batch(
             self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), int(n)
         )
