@@ -107,6 +107,34 @@ def _scan_fn_for(spec, engine: str):
     return tracker_fns(spec).scan
 
 
+#: frames per ROI mini-chunk (position can drift at most `radii` per frame,
+#: so K frames are covered by a crop of half-extent K*radii + L//2)
+DEFAULT_ROI_FRAMES = 8
+
+
+def _crop_with_fill(frame: np.ndarray, o, ch: int, cw: int, fill: int, out=None) -> np.ndarray:
+    """Crop ``frame`` at origin ``o`` (may be out of bounds) to ``(ch, cw)``,
+    filling out-of-frame cells with the mode fill value."""
+    H, W = frame.shape
+    if out is None:
+        out = np.empty((ch, cw), np.uint8)
+    out.fill(fill)
+    r0, c0 = max(0, o[0]), max(0, o[1])
+    r1, c1 = min(H, o[0] + ch), min(W, o[1] + cw)
+    if r1 > r0 and c1 > c0:
+        out[r0 - o[0] : r1 - o[0], c0 - o[1] : c1 - o[1]] = frame[r0:r1, c0:c1]
+    return out
+
+
+def _roi_geometry(spec, k_frames: int):
+    """(crop_h, crop_w, margin) for a K-frame ROI mini-scan."""
+    ri, rj = spec.radii
+    half = spec.kernel_len // 2
+    mi = k_frames * ri + half
+    mj = k_frames * rj + half
+    return 2 * mi + 1, 2 * mj + 1, (mi, mj)
+
+
 def _track_one(
     file,
     start: float,
@@ -122,6 +150,8 @@ def _track_one(
     backend: str = "auto",
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     engine: str = "auto",
+    stream: str = "auto",
+    roi_frames: int = DEFAULT_ROI_FRAMES,
 ):
     """Track one file (reference pipeline: src/PawsomeTracker.jl:148-174)."""
     import jax.numpy as jnp
@@ -149,7 +179,6 @@ def _track_one(
 
         fill = mode_u8_host(frame0)  # mode of FIRST frame, used for all frames
         spec = make_spec(frame_shape, window_size, target_width, darker_target)
-        scan = _scan_fn_for(spec, engine)
         guess = _resolve_guess(start_location, sar_val, frame_shape)
         pos = _initial_position(frame0, guess, start_location is None, spec, fill)
 
@@ -157,7 +186,44 @@ def _track_one(
         last_frame = 1
         fill_dev = np.uint8(fill)
 
-        if n > 1:
+        # ROI streaming: for large frames, transfer only a drift-bounded crop
+        # around the current position per mini-chunk instead of full frames —
+        # host->device bytes drop ~(frame/crop) while results stay identical
+        # (the crop provably contains every window the scan can visit).
+        ch, cw, margin = _roi_geometry(spec, roi_frames)
+        use_roi = stream == "roi" or (
+            stream == "auto" and ch * cw * 2 < frame_shape[0] * frame_shape[1]
+        )
+
+        if n > 1 and use_roi:
+            H, W = frame_shape
+            roi_spec = make_spec((ch, cw), window_size, target_width, darker_target)
+            scan_b = tracker_fns(roi_spec).scan_bounded
+            crops = np.empty((roi_frames, ch, cw), np.uint8)
+            pos_abs = np.asarray(pos)
+            prefetch = ChunkPrefetcher(src, roi_frames, max_frames=n - 1)
+            for chunk in prefetch:
+                k = chunk.shape[0]
+                o = (int(pos_abs[0]) - margin[0], int(pos_abs[1]) - margin[1])
+                for i in range(k):
+                    _crop_with_fill(chunk[i], o, ch, cw, fill, out=crops[i])
+                for i in range(k, roi_frames):
+                    crops[i] = crops[k - 1]
+                lo = np.maximum([-o[0], -o[1]], 0).astype(np.int32)
+                hi = np.minimum([ch - 1, cw - 1], [H - 1 - o[0], W - 1 - o[1]]).astype(np.int32)
+                pos_rel = jnp.asarray(np.asarray(pos_abs) - np.asarray(o), jnp.int32)
+                pos_out = np.asarray(
+                    scan_b(jnp.asarray(crops), pos_rel, fill_dev, jnp.asarray(lo), jnp.asarray(hi))
+                )
+                valid = pos_out[:k] + np.asarray(o)
+                positions.append(valid)
+                for i in range(k):
+                    dia(chunk[i], valid[i])
+                prefetch.recycle(chunk)
+                pos_abs = valid[-1]
+                last_frame += k
+        elif n > 1:
+            scan = _scan_fn_for(spec, engine)
             prefetch = ChunkPrefetcher(src, chunk_size, max_frames=n - 1)
             for chunk in prefetch:
                 k = chunk.shape[0]
@@ -198,6 +264,8 @@ def track(
     backend: str = "auto",
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     engine: str = "auto",
+    stream: str = "auto",
+    roi_frames: int = DEFAULT_ROI_FRAMES,
 ):
     """Track a blob-like target in a video ``file`` (or list of segment files).
 
@@ -236,6 +304,8 @@ def track(
             backend=backend,
             chunk_size=chunk_size,
             engine=engine,
+            stream=stream,
+            roi_frames=roi_frames,
         )
 
     start = 0.0 if start is None else float(start)
@@ -255,6 +325,8 @@ def track(
             backend=backend,
             chunk_size=chunk_size,
             engine=engine,
+            stream=stream,
+            roi_frames=roi_frames,
         )
 
 
@@ -273,6 +345,8 @@ def _track_many(
     backend,
     chunk_size,
     engine,
+    stream,
+    roi_frames,
 ):
     """Segmented videos: chain each segment's start from the previous
     segment's final position (reference: src/PawsomeTracker.jl:181-214)."""
@@ -305,6 +379,8 @@ def _track_many(
                 backend=backend,
                 chunk_size=chunk_size,
                 engine=engine,
+                stream=stream,
+                roi_frames=roi_frames,
             )
             tss.append(ts_i)
             ijs.append(ij_i)

@@ -119,6 +119,7 @@ class TrackerFns:
     scan: callable
     snap_batch: callable
     scan_batch: callable
+    scan_bounded: callable
     step_padded: callable
     pad_frame: callable
 
@@ -154,12 +155,35 @@ def _build(spec: TrackerSpec) -> TrackerFns:
         new = pos - radii_arr + idx
         return jnp.clip(new, 0, max_pos).astype(jnp.int32)
 
+    def _step_bounded(padded_u8, pos, lo, hi):
+        """Step with dynamic clamp bounds — used by the ROI streaming path,
+        where the scan runs in crop coordinates and the clamp must be to the
+        FRAME bounds mapped into the crop (not the crop edges)."""
+        patch = jax.lax.dynamic_slice(padded_u8, (pos[0], pos[1]), (ph, pw)).astype(jnp.float32)
+        resp = direction * (
+            separable_correlate_valid(patch, gc, gc) - separable_correlate_valid(patch, gs, gs)
+        )
+        idx = argmax_colmajor(resp)
+        new = pos - radii_arr + idx
+        return jnp.clip(new, lo, hi).astype(jnp.int32)
+
     def snap(frame_u8, guess, fill_u8):
         return step_padded(pad_frame(frame_u8, fill_u8), guess.astype(jnp.int32))
 
     def scan(frames_u8, pos0, fill_u8):
         def body(pos, frame):
             new = step_padded(pad_frame(frame, fill_u8), pos)
+            return new, new
+
+        _, positions = jax.lax.scan(body, pos0.astype(jnp.int32), frames_u8)
+        return positions
+
+    def scan_bounded(frames_u8, pos0, fill_u8, lo, hi):
+        lo = lo.astype(jnp.int32)
+        hi = hi.astype(jnp.int32)
+
+        def body(pos, frame):
+            new = _step_bounded(pad_frame(frame, fill_u8), pos, lo, hi)
             return new, new
 
         _, positions = jax.lax.scan(body, pos0.astype(jnp.int32), frames_u8)
@@ -175,6 +199,7 @@ def _build(spec: TrackerSpec) -> TrackerFns:
         scan=scan_j,
         snap_batch=snap_b,
         scan_batch=scan_b,
+        scan_bounded=jax.jit(scan_bounded),
         step_padded=step_padded,
         pad_frame=pad_frame,
     )
