@@ -20,10 +20,15 @@ Returns ``(ts, positions)``: ``ts`` float64 seconds, ``positions`` int
 
 from __future__ import annotations
 
+import logging
 import math
 from typing import NamedTuple, Sequence
 
 import numpy as np
+
+from .utils.profiling import Timer
+
+logger = logging.getLogger("pawsometracker_tpu")
 
 from .diagnose import diagnose
 from .io.decode import open_source, probe, ChunkPrefetcher
@@ -195,6 +200,7 @@ def _track_one(
             stream == "auto" and ch * cw * 2 < frame_shape[0] * frame_shape[1]
         )
 
+        timer = Timer()
         if n > 1 and use_roi:
             H, W = frame_shape
             roi_spec = make_spec((ch, cw), window_size, target_width, darker_target)
@@ -205,20 +211,25 @@ def _track_one(
             for chunk in prefetch:
                 k = chunk.shape[0]
                 o = (int(pos_abs[0]) - margin[0], int(pos_abs[1]) - margin[1])
-                for i in range(k):
-                    _crop_with_fill(chunk[i], o, ch, cw, fill, out=crops[i])
-                for i in range(k, roi_frames):
-                    crops[i] = crops[k - 1]
+                with timer.section("crop"):
+                    for i in range(k):
+                        _crop_with_fill(chunk[i], o, ch, cw, fill, out=crops[i])
+                    for i in range(k, roi_frames):
+                        crops[i] = crops[k - 1]
                 lo = np.maximum([-o[0], -o[1]], 0).astype(np.int32)
                 hi = np.minimum([ch - 1, cw - 1], [H - 1 - o[0], W - 1 - o[1]]).astype(np.int32)
                 pos_rel = jnp.asarray(np.asarray(pos_abs) - np.asarray(o), jnp.int32)
-                pos_out = np.asarray(
-                    scan_b(jnp.asarray(crops), pos_rel, fill_dev, jnp.asarray(lo), jnp.asarray(hi))
-                )
+                with timer.section("device"):
+                    pos_out = np.asarray(
+                        scan_b(
+                            jnp.asarray(crops), pos_rel, fill_dev, jnp.asarray(lo), jnp.asarray(hi)
+                        )
+                    )
                 valid = pos_out[:k] + np.asarray(o)
                 positions.append(valid)
-                for i in range(k):
-                    dia(chunk[i], valid[i])
+                with timer.section("diagnose"):
+                    for i in range(k):
+                        dia(chunk[i], valid[i])
                 prefetch.recycle(chunk)
                 pos_abs = valid[-1]
                 last_frame += k
@@ -234,14 +245,24 @@ def _track_one(
                     chunk_in = np.concatenate([chunk, pad], axis=0)
                 else:
                     chunk_in = chunk
-                pos_out = scan(jnp.asarray(chunk_in), pos, fill_dev)
-                pos = pos_out[k - 1]
-                valid = np.asarray(pos_out[:k])  # blocks: device is done with chunk
+                with timer.section("device"):
+                    pos_out = scan(jnp.asarray(chunk_in), pos, fill_dev)
+                    pos = pos_out[k - 1]
+                    valid = np.asarray(pos_out[:k])  # blocks: device done with chunk
                 positions.append(valid)
-                for i in range(k):
-                    dia(chunk[i], valid[i])
+                with timer.section("diagnose"):
+                    for i in range(k):
+                        dia(chunk[i], valid[i])
                 prefetch.recycle(chunk)
                 last_frame += k
+        if timer.totals:
+            logger.debug(
+                "track %s: %d frames, stream=%s, sections=%s",
+                file,
+                last_frame,
+                "roi" if use_roi else "full",
+                {k: round(v, 3) for k, v in timer.totals.items()},
+            )
     finally:
         src.close()
 
