@@ -1,17 +1,20 @@
 """Benchmark: tracked frames/sec/chip at 1080p (BASELINE.md headline metric).
 
 Runs on the real TPU. Pipeline measured end-to-end: host (native libav) decode
--> chunked uint8 transfer -> jitted device scan -> positions, on a synthetic
-1080p clip with a moving target. Also reports the device-only scan throughput
-(decode excluded) for both the pure-XLA path and the fused Pallas kernel, and
-a single-threaded CPU proxy of the reference's hot loop (windowed DoG FIR via
-scipy, mirroring src/PawsomeTracker.jl:55-62) as the baseline denominator.
+-> ROI crop streaming -> jitted device scan -> positions, on a synthetic 1080p
+H.264 clip with a moving target. Also reports decode-only, device-only (XLA
+and fused-Pallas) throughput, and a single-threaded CPU proxy of the
+reference's hot loop (windowed DoG FIR via scipy, mirroring
+src/PawsomeTracker.jl:55-62) as the baseline denominator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
+Each stage runs in its own subprocess with a timeout: the TPU tunnel in this
+environment can wedge for minutes, and the bench must always emit its one JSON
+line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 """
 
 import json
 import os
+import subprocess
 import sys
 import tempfile
 import time
@@ -20,7 +23,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_ca
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 H, W = 1080, 1920
 FPS = 24.0
@@ -30,11 +34,11 @@ WINDOW = 41
 CHUNK = 64
 
 
-def synthesize_clip(path: str, n: int = N_FRAMES) -> list:
-    """Encode a 1080p H.264 clip with a dark target moving on a circle
-    (falls back to cv2 mp4v if the native x264 encoder is unavailable)."""
+def synthesize_clip(d: str):
+    """Encode a 1080p H.264 clip with a dark target moving on a circle."""
     import cv2
 
+    path = os.path.join(d, "bench1080.mp4")
     try:
         from pawsometracker_tpu.io.native_io import NativeVideoWriter, native_available
 
@@ -46,76 +50,62 @@ def synthesize_clip(path: str, n: int = N_FRAMES) -> list:
         assert vw.isOpened()
     truth = []
     base = np.full((H, W), 128, np.uint8)
-    for t in range(n):
-        ang = 2 * np.pi * t / n
+    for t in range(N_FRAMES):
+        ang = 2 * np.pi * t / N_FRAMES
         ij = (int(540 + 300 * np.sin(ang)), int(960 + 600 * np.cos(ang)))
         truth.append(ij)
         f = base.copy()
         cv2.circle(f, (ij[1], ij[0]), 12, 30, -1)
         vw.write(f)
     vw.release()
-    return truth
+    np.save(os.path.join(d, "truth.npy"), np.asarray(truth))
+    return path
 
 
-def bench_end_to_end(path, truth, reps: int = 2):
-    """Best-of-reps end-to-end throughput (the shared TPU tunnel in this
-    environment has high run-to-run variance; best-of is the stable statistic)."""
+def _clip(d):
+    return os.path.join(d, "bench1080.mp4"), np.load(os.path.join(d, "truth.npy"))
+
+
+def stage_e2e(d):
+    """Best-of-2 end-to-end tracked fps (tunnel variance -> best-of)."""
     from pawsometracker_tpu import IJ, track
 
-    # warm-up: compile the scan for this spec + chunk shape on a short window
-    track(path, stop=2 * CHUNK / FPS, start_location=IJ(*truth[0]),
-          target_width=TARGET_WIDTH, window_size=WINDOW, chunk_size=CHUNK)
-    best = 0.0
-    rmse, n = None, 0
-    for _ in range(reps):
+    path, truth = _clip(d)
+    p0 = IJ(int(truth[0][0]), int(truth[0][1]))
+    kw = dict(start_location=p0, target_width=TARGET_WIDTH, window_size=WINDOW,
+              chunk_size=CHUNK)
+    track(path, stop=32 / FPS, **kw)  # warm-up / compile
+    best, rmse, n = 0.0, None, 0
+    for _ in range(2):
         t0 = time.perf_counter()
-        ts, ij = track(path, start_location=IJ(*truth[0]), target_width=TARGET_WIDTH,
-                       window_size=WINDOW, chunk_size=CHUNK)
+        ts, ij = track(path, **kw)
         dt = time.perf_counter() - t0
-        err = np.linalg.norm(np.asarray(ij) - np.asarray(truth[: len(ij)]), axis=1)
-        rmse = float(np.sqrt(np.mean(err**2)))
-        n = len(ij)
+        err = np.linalg.norm(np.asarray(ij) - truth[: len(ij)], axis=1)
+        rmse, n = float(np.sqrt(np.mean(err**2))), len(ij)
         best = max(best, n / dt)
-    return best, rmse, n
+    return {"e2e_fps": round(best, 1), "rmse_px": round(rmse, 3), "frames": n}
 
 
-def bench_device_scan(frames, pos0):
-    """Device-only scan throughput (frames already in host RAM, includes H2D)."""
+def _decode_all(d):
+    from pawsometracker_tpu.io.decode import open_source
+
+    path, truth = _clip(d)
+    t0 = time.perf_counter()
+    with open_source(path, fps=FPS) as src:
+        frames = src.read_chunk(N_FRAMES)
+    return frames, truth, N_FRAMES / (time.perf_counter() - t0)
+
+
+def stage_decode(d):
+    _, _, fps = _decode_all(d)
+    return {"decode_fps": round(fps, 1)}
+
+
+def _scan_bench(fn, frames, pos0):
     import jax.numpy as jnp
 
-    from pawsometracker_tpu.models.dog_tracker import make_spec, tracker_fns
-
-    spec = make_spec((H, W), WINDOW, TARGET_WIDTH, True)
-    fns = tracker_fns(spec)
-    fill = np.uint8(128)
     p = jnp.asarray(np.asarray(pos0, np.int32))
-    chunks = [frames[i : i + CHUNK] for i in range(0, len(frames), CHUNK)]
-    chunks = [c for c in chunks if c.shape[0] == CHUNK]
-    out = fns.scan(jnp.asarray(chunks[0]), p, fill)
-    out.block_until_ready()  # compile
-    best = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for c in chunks:
-            out = fns.scan(jnp.asarray(c), p, fill)
-        out.block_until_ready()
-        best = max(best, len(chunks) * CHUNK / (time.perf_counter() - t0))
-    return best
-
-
-def bench_pallas_scan(frames, pos0):
-    import jax
-    import jax.numpy as jnp
-
-    from pawsometracker_tpu.models.dog_tracker import make_spec
-    from pawsometracker_tpu.ops.pallas_tracker import pallas_scan_fn
-
-    if jax.default_backend() != "tpu":
-        return None
-    spec = make_spec((H, W), WINDOW, TARGET_WIDTH, True)
-    fn = pallas_scan_fn(spec)
     fill = np.uint8(128)
-    p = jnp.asarray(np.asarray(pos0, np.int32))
     chunks = [frames[i : i + CHUNK] for i in range(0, len(frames), CHUNK)]
     chunks = [c for c in chunks if c.shape[0] == CHUNK]
     out = fn(jnp.asarray(chunks[0]), p, fill)
@@ -130,20 +120,42 @@ def bench_pallas_scan(frames, pos0):
     return best
 
 
-def bench_cpu_reference_proxy(frames, pos0):
-    """Single-threaded CPU implementation of the reference hot loop
-    (windowed DoG FIR + argmax, reference: src/PawsomeTracker.jl:55-62)."""
+def stage_device(d):
+    from pawsometracker_tpu.models.dog_tracker import make_spec, tracker_fns
+
+    frames, truth, _ = _decode_all(d)
+    spec = make_spec((H, W), WINDOW, TARGET_WIDTH, True)
+    return {"device_scan_fps": round(_scan_bench(tracker_fns(spec).scan, frames, truth[0]), 1)}
+
+
+def stage_pallas(d):
+    import jax
+
+    from pawsometracker_tpu.models.dog_tracker import make_spec
+    from pawsometracker_tpu.ops.pallas_tracker import pallas_scan_fn
+
+    if jax.default_backend() != "tpu":
+        return {}
+    frames, truth, _ = _decode_all(d)
+    spec = make_spec((H, W), WINDOW, TARGET_WIDTH, True)
+    return {"pallas_scan_fps": round(_scan_bench(pallas_scan_fn(spec), frames, truth[0]), 1)}
+
+
+def stage_cpu(d):
+    """Single-threaded CPU proxy of the reference hot loop
+    (reference: src/PawsomeTracker.jl:55-62)."""
     import scipy.ndimage as ndi
 
     from pawsometracker_tpu.ops.dog_kernel import dog_kernel_2d, get_sigma
 
+    frames, truth, _ = _decode_all(d)
     k, L = dog_kernel_2d(get_sigma(TARGET_WIDTH), True)
     k = k.astype(np.float64)
     r = WINDOW // 2
     half = L // 2
-    pos = tuple(pos0)
-    t0 = time.perf_counter()
+    pos = tuple(int(v) for v in truth[0])
     n = min(len(frames), 96)
+    t0 = time.perf_counter()
     for f in frames[:n]:
         pad = np.pad(
             f.astype(np.float64),
@@ -157,46 +169,54 @@ def bench_cpu_reference_proxy(frames, pos0):
             min(max(pos[0] - r + idx[1], 0), H - 1),
             min(max(pos[1] - r + idx[0], 0), W - 1),
         )
-    dt = time.perf_counter() - t0
-    return n / dt
+    return {"cpu_reference_proxy_fps": round(n / (time.perf_counter() - t0), 1)}
+
+
+STAGES = {
+    "e2e": (stage_e2e, 1500),
+    "decode": (stage_decode, 300),
+    "device": (stage_device, 900),
+    "pallas": (stage_pallas, 900),
+    "cpu": (stage_cpu, 600),
+}
+
+
+def _run_stage_subprocess(name: str, d: str, timeout: int) -> dict:
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", name, "--dir", d],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+        for line in reversed(r.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+        return {f"{name}_error": (r.stderr or r.stdout)[-150:]}
+    except subprocess.TimeoutExpired:
+        return {f"{name}_error": f"timeout after {timeout}s (TPU tunnel wedged?)"}
+    except Exception as e:
+        return {f"{name}_error": str(e)[:150]}
 
 
 def main():
-    import jax
+    if "--stage" in sys.argv:
+        name = sys.argv[sys.argv.index("--stage") + 1]
+        d = sys.argv[sys.argv.index("--dir") + 1]
+        print(json.dumps(STAGES[name][0](d)))
+        return
 
-    detail = {"backend": jax.default_backend(), "resolution": f"{W}x{H}"}
-
+    detail = {"resolution": f"{W}x{H}", "clip_frames": N_FRAMES}
     with tempfile.TemporaryDirectory() as d:
-        path = os.path.join(d, "bench1080.mp4")
-        truth = synthesize_clip(path)
+        synthesize_clip(d)
+        for name, (_, timeout) in STAGES.items():
+            detail.update(_run_stage_subprocess(name, d, timeout))
 
-        fps_e2e, rmse, n = bench_end_to_end(path, truth)
-        detail["rmse_px"] = round(rmse, 3)
-        detail["frames"] = n
-
-        # pre-decode for device-only + CPU-proxy benches
-        from pawsometracker_tpu.io.decode import open_source
-
-        t0 = time.perf_counter()
-        with open_source(path, fps=FPS) as src:
-            frames = src.read_chunk(N_FRAMES)
-        detail["decode_fps"] = round(frames.shape[0] / (time.perf_counter() - t0), 1)
-
-        fps_device = bench_device_scan(frames, truth[0])
-        detail["device_scan_fps"] = round(fps_device, 1)
-        try:
-            fps_pallas = bench_pallas_scan(frames, truth[0])
-            if fps_pallas:
-                detail["pallas_scan_fps"] = round(fps_pallas, 1)
-        except Exception as e:  # keep the bench robust to kernel regressions
-            detail["pallas_error"] = str(e)[:120]
-
-        fps_cpu = bench_cpu_reference_proxy(frames, truth[0])
-        detail["cpu_reference_proxy_fps"] = round(fps_cpu, 1)
-
+    fps_e2e = detail.get("e2e_fps", 0.0)
+    fps_cpu = detail.get("cpu_reference_proxy_fps") or 1.0
     result = {
         "metric": "tracked frames/sec/chip, end-to-end 1080p (decode+track)",
-        "value": round(fps_e2e, 1),
+        "value": fps_e2e,
         "unit": "frames/sec",
         "vs_baseline": round(fps_e2e / fps_cpu, 2),
         "detail": detail,

@@ -14,6 +14,7 @@ model internals, and I/O layers for power users.
 
 from .api import DEFAULT_MAX_DURATION_SECONDS, IJ, track
 from .batch import track_batch
+from .checkpoint import load_checkpoint, track_resumable
 from .diagnose import Diagnose, Dont, diagnose
 from .parallel.mesh import ShardedBatchTracker, global_detect_batch, make_mesh
 from .models.dog_tracker import TrackerSpec, autodetect_spec, make_spec, tracker_fns
@@ -29,6 +30,8 @@ __version__ = "0.1.0"
 __all__ = [
     "track",
     "track_batch",
+    "track_resumable",
+    "load_checkpoint",
     "make_mesh",
     "ShardedBatchTracker",
     "global_detect_batch",

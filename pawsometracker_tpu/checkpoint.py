@@ -1,0 +1,122 @@
+"""Checkpoint / resume for long recordings.
+
+The reference has no checkpointing; its closest analog is segmented-video
+chaining, where the state handed across a boundary is a single position
+(reference: src/PawsomeTracker.jl:203-206). This module generalizes that to
+arbitrary time slices of ONE file: tracking proceeds in fixed-duration slices,
+after each slice the accumulated results and the resume point are persisted,
+and an interrupted run picks up exactly where it stopped.
+
+Slice boundaries are aligned to whole frames (slice duration is rounded to a
+multiple of ``1/fps``), so the union of slice samplings equals a single run's
+sampling and the resumed trajectory is identical to an uninterrupted one
+(each slice's first step is a snap from the previous slice's final position —
+the same operation as a regular per-frame step).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .api import DEFAULT_MAX_DURATION_SECONDS, IJ, track
+
+__all__ = ["track_resumable", "load_checkpoint"]
+
+
+def load_checkpoint(path: str):
+    """Load a checkpoint; returns None when absent."""
+    if not os.path.exists(path):
+        return None
+    with np.load(path, allow_pickle=False) as z:
+        return {
+            "ts": z["ts"],
+            "ij": z["ij"],
+            "next_time": float(z["next_time"]),
+            "done": bool(z["done"]),
+        }
+
+
+def _save(path: str, ts, ij, next_time: float, done: bool):
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:  # atomic: write-then-rename
+        np.savez(f, ts=ts, ij=ij, next_time=next_time, done=done)
+    os.replace(tmp, path)
+
+
+def track_resumable(
+    file,
+    *,
+    checkpoint_path: str,
+    start: float = 0.0,
+    stop: float | None = None,
+    fps: float = 24,
+    checkpoint_every: float = 60.0,
+    start_location=None,
+    _max_slices: int | None = None,
+    **track_kwargs,
+):
+    """Track ``file`` in checkpointed slices; resume from ``checkpoint_path``
+    if it exists. Returns ``(ts, positions)`` for the WHOLE tracked range.
+
+    ``_max_slices`` limits the number of slices processed in this call (used
+    by tests to simulate interruption); the checkpoint then holds the partial
+    result.
+    """
+    stop = DEFAULT_MAX_DURATION_SECONDS if stop is None else float(stop)
+    # align slice duration to whole frames so slice sampling == one-run sampling
+    frames_per_slice = max(1, int(round(checkpoint_every * fps)))
+    slice_dur = frames_per_slice / fps
+
+    state = load_checkpoint(checkpoint_path)
+    if state is not None and state["done"]:
+        return state["ts"], state["ij"]
+    if state is not None:
+        all_ts = [state["ts"]]
+        all_ij = [state["ij"]]
+        t0 = state["next_time"]
+        loc = IJ(int(state["ij"][-1][0]), int(state["ij"][-1][1]))
+    else:
+        all_ts, all_ij = [], []
+        t0 = float(start)
+        loc = start_location
+
+    slices = 0
+    done = False
+    while t0 < stop - 0.5 / fps:
+        if _max_slices is not None and slices >= _max_slices:
+            break
+        t1 = min(t0 + slice_dur, stop)
+        expected = int(np.round(fps * (t1 - t0)))
+        try:
+            ts_i, ij_i = track(
+                file, start=t0, stop=t1, fps=fps, start_location=loc, **track_kwargs
+            )
+        except EOFError:
+            done = True
+            break
+        all_ts.append(ts_i)
+        all_ij.append(ij_i)
+        loc = IJ(int(ij_i[-1][0]), int(ij_i[-1][1]))
+        t0 = t1
+        slices += 1
+        if len(ij_i) < expected:  # stream ended inside the slice
+            done = True
+        _save(
+            checkpoint_path,
+            np.concatenate(all_ts),
+            np.concatenate(all_ij),
+            t0,
+            done,
+        )
+        if done:
+            break
+    else:
+        done = True
+        if all_ij:
+            _save(checkpoint_path, np.concatenate(all_ts), np.concatenate(all_ij), t0, True)
+
+    if not all_ij:
+        raise EOFError(f"no frames tracked from {file}")
+    return np.concatenate(all_ts), np.concatenate(all_ij)

@@ -181,11 +181,20 @@ def _scan_fn_cached(
         (or ``[B, 2]``) -> positions int32 ``[T, 2]`` (or ``[B, T, 2]``)."""
         if batched:
             B, T = frames_u8.shape[0], frames_u8.shape[1]
-            padded = jnp.pad(
-                frames_u8,
-                ((0, 0), (0, 0), (pi, Hp - H - pi), (pj, Wp - W - pj)),
-                constant_values=fill_u8,
-            )
+            fills = jnp.asarray(fill_u8)
+            if fills.ndim == 0:
+                padded = jnp.pad(
+                    frames_u8,
+                    ((0, 0), (0, 0), (pi, Hp - H - pi), (pj, Wp - W - pj)),
+                    constant_values=fill_u8,
+                )
+            else:
+                # per-video mode fill (each video pads with ITS first frame's mode)
+                padded = jax.vmap(
+                    lambda f, fl: jnp.pad(
+                        f, ((0, 0), (pi, Hp - H - pi), (pj, Wp - W - pj)), constant_values=fl
+                    )
+                )(frames_u8, fills)
             grid = (B, T)
             out_shape = jax.ShapeDtypeStruct((B, T, LANES), jnp.int32)
             # index maps receive the scalar-prefetch ref as a trailing arg;

@@ -130,7 +130,7 @@ class ShardedBatchTracker:
     forms but with explicit shardings so pjit distributes videos across chips.
     """
 
-    def __init__(self, spec: TrackerSpec, mesh: Mesh | None = None):
+    def __init__(self, spec: TrackerSpec, mesh: Mesh | None = None, engine: str = "auto"):
         self.spec = spec
         self.mesh = mesh
         fns = tracker_fns(spec)
@@ -139,6 +139,16 @@ class ShardedBatchTracker:
             self.snap = fns.snap_batch
             self.snap_detect = det.snap_batch
             self.scan = fns.scan_batch
+            if engine == "pallas" or (engine == "auto" and jax.default_backend() == "tpu"):
+                # single-device batch: the fused kernel scans all videos in one
+                # launch (grid (B, T)); per-video fills supported
+                try:
+                    from ..ops.pallas_tracker import pallas_scan_fn
+
+                    self.scan = pallas_scan_fn(spec, batched=True)
+                except Exception:
+                    if engine == "pallas":
+                        raise
         else:
             frames_sh = NamedSharding(mesh, P("data", None, None))
             chunk_sh = NamedSharding(mesh, P("data", None, None, None))

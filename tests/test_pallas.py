@@ -55,6 +55,25 @@ def test_interpret_batched_matches_jax():
     np.testing.assert_array_equal(got, want)
 
 
+def test_interpret_batched_per_video_fills():
+    h, w, T, B = 64, 64, 5, 2
+    frames = np.stack(
+        [
+            np.stack([draw_blob(h, w, (20 + t, 20 + t), 3, bg=100) for t in range(T)]),
+            np.stack([draw_blob(h, w, (30 + t, 30 + t), 3, bg=200) for t in range(T)]),
+        ]
+    )
+    fills = np.array([100, 200], np.uint8)
+    spec = make_spec((h, w), 15, 6, True)
+    pos0 = np.array([[20, 20], [30, 30]], np.int32)
+    want = np.asarray(
+        tracker_fns(spec).scan_batch(jnp.asarray(frames), jnp.asarray(pos0), jnp.asarray(fills))
+    )
+    fn = pallas_scan_fn(spec, batched=True, interpret=True)
+    got = np.asarray(fn(jnp.asarray(frames), jnp.asarray(pos0), jnp.asarray(fills)))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_interpret_lighter_target():
     h, w, T = 64, 64, 6
     path = [(30, 20 + 2 * t) for t in range(T)]
