@@ -21,7 +21,7 @@ Returns ``(ts, positions)``: ``ts`` float64 seconds, ``positions`` int
 from __future__ import annotations
 
 import logging
-import math
+
 from typing import NamedTuple, Sequence
 
 import numpy as np
@@ -31,7 +31,7 @@ from .utils.profiling import Timer
 logger = logging.getLogger("pawsometracker_tpu")
 
 from .diagnose import diagnose
-from .io.decode import open_source, probe, ChunkPrefetcher
+from .io.decode import ChunkPrefetcher, open_source
 from .models.dog_tracker import (
     autodetect_spec,
     center_guess,

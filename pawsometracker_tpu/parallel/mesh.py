@@ -18,8 +18,8 @@ one core; throughput comes from batching.
 
 from __future__ import annotations
 
-import functools
-import math
+
+
 
 import jax
 import jax.numpy as jnp

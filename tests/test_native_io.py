@@ -2,7 +2,7 @@
 thread, encoder roundtrip, and the end-to-end track() path on the native
 backend."""
 
-import math
+
 
 import numpy as np
 import pytest

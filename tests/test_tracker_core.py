@@ -16,7 +16,7 @@ from pawsometracker_tpu.models.dog_tracker import (
     make_spec,
     tracker_fns,
 )
-from pawsometracker_tpu.ops.dog_kernel import dog_kernel_2d, get_sigma
+from pawsometracker_tpu.ops.dog_kernel import dog_kernel_2d
 from pawsometracker_tpu.ops.filters import (
     argmax_colmajor,
     correlate2d_valid,
