@@ -20,6 +20,7 @@ import tempfile
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import numpy as np
 
@@ -173,11 +174,11 @@ def stage_cpu(d):
 
 
 STAGES = {
-    "e2e": (stage_e2e, 1500),
-    "decode": (stage_decode, 300),
-    "device": (stage_device, 900),
-    "pallas": (stage_pallas, 900),
-    "cpu": (stage_cpu, 600),
+    "e2e": (stage_e2e, 1200),
+    "decode": (stage_decode, 240),
+    "device": (stage_device, 480),
+    "pallas": (stage_pallas, 480),
+    "cpu": (stage_cpu, 300),
 }
 
 

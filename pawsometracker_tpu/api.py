@@ -372,6 +372,10 @@ def _track_many(
     """Segmented videos: chain each segment's start from the previous
     segment's final position (reference: src/PawsomeTracker.jl:181-214)."""
     nfiles = len(files)
+    if start is not None and not isinstance(start, (list, tuple, np.ndarray)):
+        start = [start] * nfiles  # scalar broadcast (convenience over reference)
+    if stop is not None and not isinstance(stop, (list, tuple, np.ndarray)):
+        stop = [stop] * nfiles
     starts = [0.0] * nfiles if start is None else [float(s) for s in start]
     stops = [DEFAULT_MAX_DURATION_SECONDS] * nfiles if stop is None else [float(s) for s in stop]
     locs = [None] * nfiles if start_location is None else list(start_location)
