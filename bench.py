@@ -173,8 +173,32 @@ def stage_cpu(d):
     return {"cpu_reference_proxy_fps": round(n / (time.perf_counter() - t0), 1)}
 
 
+def stage_batch(d):
+    """Aggregate throughput across B=4 videos tracked concurrently on one chip
+    (the framework's scale-out axis; with a mesh this shards across chips)."""
+    from pawsometracker_tpu import IJ
+    from pawsometracker_tpu.batch import track_batch
+
+    path, truth = _clip(d)
+    B = 4
+    p0 = IJ(int(truth[0][0]), int(truth[0][1]))
+    kw = dict(start_location=p0, target_width=TARGET_WIDTH, window_size=WINDOW, chunk_size=16)
+    # warm-up on a short window
+    track_batch([path] * B, stop=32 / FPS, **kw)
+    t0 = time.perf_counter()
+    results = track_batch([path] * B, **kw)
+    dt = time.perf_counter() - t0
+    total = sum(len(ij) for _, ij in results)
+    err = np.linalg.norm(np.asarray(results[0][1]) - truth[: len(results[0][1])], axis=1)
+    return {
+        "batch4_aggregate_fps": round(total / dt, 1),
+        "batch4_rmse_px": round(float(np.sqrt(np.mean(err**2))), 3),
+    }
+
+
 STAGES = {
     "e2e": (stage_e2e, 1200),
+    "batch": (stage_batch, 1200),
     "decode": (stage_decode, 240),
     "device": (stage_device, 480),
     "pallas": (stage_pallas, 480),
