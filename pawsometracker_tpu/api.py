@@ -72,7 +72,7 @@ def _resolve_guess(start_location, sar: float, frame_shape) -> tuple[int, int]:
     raise TypeError(f"invalid start_location: {start_location!r}")
 
 
-def _initial_position(frame0: np.ndarray, guess, auto: bool, spec, fill: int):
+def _initial_position(frame0: np.ndarray, guess, auto: bool, spec, fill: int, subpixel: bool = False):
     """Snap onto the target in frame 1. Even with a user-provided location the
     tracker runs one step, so ``positions[0]`` is the *detected* position near
     the given location (reference: src/PawsomeTracker.jl:92-107)."""
@@ -81,12 +81,11 @@ def _initial_position(frame0: np.ndarray, guess, auto: bool, spec, fill: int):
     frame_dev = jnp.asarray(frame0)
     g = jnp.asarray(np.asarray(guess, np.int32))
     fill = np.uint8(fill)
-    if auto:
-        det = tracker_fns(autodetect_spec(spec))
-        pos = det.snap(frame_dev, g, fill)
-    else:
-        pos = tracker_fns(spec).snap(frame_dev, g, fill)
-    return pos
+    fns = tracker_fns(autodetect_spec(spec)) if auto else tracker_fns(spec)
+    if subpixel:
+        pos, off = fns.snap_sub(frame_dev, g, fill)
+        return pos, np.asarray(off)
+    return fns.snap(frame_dev, g, fill), np.zeros(2, np.float32)
 
 
 def _on_tpu() -> bool:
@@ -157,6 +156,7 @@ def _track_one(
     engine: str = "auto",
     stream: str = "auto",
     roi_frames: int = DEFAULT_ROI_FRAMES,
+    subpixel: bool = False,
 ):
     """Track one file (reference pipeline: src/PawsomeTracker.jl:148-174)."""
     import jax.numpy as jnp
@@ -185,9 +185,12 @@ def _track_one(
         fill = mode_u8_host(frame0)  # mode of FIRST frame, used for all frames
         spec = make_spec(frame_shape, window_size, target_width, darker_target)
         guess = _resolve_guess(start_location, sar_val, frame_shape)
-        pos = _initial_position(frame0, guess, start_location is None, spec, fill)
+        pos, off0 = _initial_position(
+            frame0, guess, start_location is None, spec, fill, subpixel
+        )
 
         positions = [np.asarray(pos)]
+        offsets = [off0.reshape(1, 2)]
         last_frame = 1
         fill_dev = np.uint8(fill)
 
@@ -204,7 +207,8 @@ def _track_one(
         if n > 1 and use_roi:
             H, W = frame_shape
             roi_spec = make_spec((ch, cw), window_size, target_width, darker_target)
-            scan_b = tracker_fns(roi_spec).scan_bounded
+            roi_fns = tracker_fns(roi_spec)
+            scan_b = roi_fns.scan_sub if subpixel else roi_fns.scan_bounded
             crops = np.empty((roi_frames, ch, cw), np.uint8)
             pos_abs = np.asarray(pos)
             prefetch = ChunkPrefetcher(src, roi_frames, max_frames=n - 1)
@@ -220,11 +224,14 @@ def _track_one(
                 hi = np.minimum([ch - 1, cw - 1], [H - 1 - o[0], W - 1 - o[1]]).astype(np.int32)
                 pos_rel = jnp.asarray(np.asarray(pos_abs) - np.asarray(o), jnp.int32)
                 with timer.section("device"):
-                    pos_out = np.asarray(
-                        scan_b(
-                            jnp.asarray(crops), pos_rel, fill_dev, jnp.asarray(lo), jnp.asarray(hi)
-                        )
+                    out = scan_b(
+                        jnp.asarray(crops), pos_rel, fill_dev, jnp.asarray(lo), jnp.asarray(hi)
                     )
+                    if subpixel:
+                        pos_out, offs = np.asarray(out[0]), np.asarray(out[1])
+                        offsets.append(offs[:k])
+                    else:
+                        pos_out = np.asarray(out)
                 valid = pos_out[:k] + np.asarray(o)
                 positions.append(valid)
                 with timer.section("diagnose"):
@@ -234,7 +241,13 @@ def _track_one(
                 pos_abs = valid[-1]
                 last_frame += k
         elif n > 1:
-            scan = _scan_fn_for(spec, engine)
+            if subpixel:
+                fns_full = tracker_fns(spec)
+                lo_s = jnp.zeros((2,), jnp.int32)
+                hi_s = jnp.asarray(np.array(frame_shape, np.int32) - 1)
+                scan = lambda c, p, f: fns_full.scan_sub(c, p, f, lo_s, hi_s)  # noqa: E731
+            else:
+                scan = _scan_fn_for(spec, engine)
             prefetch = ChunkPrefetcher(src, chunk_size, max_frames=n - 1)
             for chunk in prefetch:
                 k = chunk.shape[0]
@@ -246,7 +259,12 @@ def _track_one(
                 else:
                     chunk_in = chunk
                 with timer.section("device"):
-                    pos_out = scan(jnp.asarray(chunk_in), pos, fill_dev)
+                    out = scan(jnp.asarray(chunk_in), pos, fill_dev)
+                    if subpixel:
+                        pos_out, offs = out
+                        offsets.append(np.asarray(offs[:k]))
+                    else:
+                        pos_out = out
                     pos = pos_out[k - 1]
                     valid = np.asarray(pos_out[:k])  # blocks: device done with chunk
                 positions.append(valid)
@@ -267,6 +285,11 @@ def _track_one(
         src.close()
 
     ij = np.concatenate([p.reshape(-1, 2) for p in positions], axis=0)
+    if subpixel:
+        off_all = np.concatenate(offsets, axis=0)
+        sz = np.array(frame_shape) - 1
+        ij_f = np.clip(ij[:last_frame].astype(np.float64) + off_all[:last_frame], 0, sz)
+        return ts[:last_frame], ij_f
     return ts[:last_frame], ij[:last_frame]
 
 
@@ -287,6 +310,7 @@ def track(
     engine: str = "auto",
     stream: str = "auto",
     roi_frames: int = DEFAULT_ROI_FRAMES,
+    subpixel: bool = False,
 ):
     """Track a blob-like target in a video ``file`` (or list of segment files).
 
@@ -327,6 +351,7 @@ def track(
             engine=engine,
             stream=stream,
             roi_frames=roi_frames,
+            subpixel=subpixel,
         )
 
     start = 0.0 if start is None else float(start)
@@ -348,6 +373,7 @@ def track(
             engine=engine,
             stream=stream,
             roi_frames=roi_frames,
+            subpixel=subpixel,
         )
 
 
@@ -368,6 +394,7 @@ def _track_many(
     engine,
     stream,
     roi_frames,
+    subpixel,
 ):
     """Segmented videos: chain each segment's start from the previous
     segment's final position (reference: src/PawsomeTracker.jl:181-214)."""
@@ -406,10 +433,11 @@ def _track_many(
                 engine=engine,
                 stream=stream,
                 roi_frames=roi_frames,
+                subpixel=subpixel,
             )
             tss.append(ts_i)
             ijs.append(ij_i)
-            end_location = IJ(int(ij_i[-1][0]), int(ij_i[-1][1]))
+            end_location = IJ(int(np.round(ij_i[-1][0])), int(np.round(ij_i[-1][1])))
 
     # merged timestamps assume all segments share segment 1's step — the
     # reference's uniform-fps convention (src/PawsomeTracker.jl:209-211)

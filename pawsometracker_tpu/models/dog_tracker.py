@@ -120,6 +120,8 @@ class TrackerFns:
     snap_batch: callable
     scan_batch: callable
     scan_bounded: callable
+    scan_sub: callable
+    snap_sub: callable
     step_padded: callable
     pad_frame: callable
 
@@ -155,17 +157,47 @@ def _build(spec: TrackerSpec) -> TrackerFns:
         new = pos - radii_arr + idx
         return jnp.clip(new, 0, max_pos).astype(jnp.int32)
 
+    wh, ww = 2 * ri + 1, 2 * rj + 1
+
+    def _response(padded_u8, pos):
+        patch = jax.lax.dynamic_slice(padded_u8, (pos[0], pos[1]), (ph, pw)).astype(jnp.float32)
+        return direction * (
+            separable_correlate_valid(patch, gc, gc) - separable_correlate_valid(patch, gs, gs)
+        )
+
     def _step_bounded(padded_u8, pos, lo, hi):
         """Step with dynamic clamp bounds — used by the ROI streaming path,
         where the scan runs in crop coordinates and the clamp must be to the
         FRAME bounds mapped into the crop (not the crop edges)."""
-        patch = jax.lax.dynamic_slice(padded_u8, (pos[0], pos[1]), (ph, pw)).astype(jnp.float32)
-        resp = direction * (
-            separable_correlate_valid(patch, gc, gc) - separable_correlate_valid(patch, gs, gs)
-        )
+        resp = _response(padded_u8, pos)
         idx = argmax_colmajor(resp)
         new = pos - radii_arr + idx
         return jnp.clip(new, lo, hi).astype(jnp.int32)
+
+    def _parabolic_offset(resp, idx):
+        """Per-axis quadratic peak interpolation in [-0.5, 0.5]; 0 at window
+        edges or where the response is not locally concave. Sub-pixel output
+        refinement only — the integer recurrence is unchanged."""
+        i0, j0 = idx[0], idx[1]
+
+        def axis_off(i, n, minus, plus):
+            c = resp[i0, j0]
+            denom = minus - 2.0 * c + plus
+            interior = (i > 0) & (i < n - 1) & (denom < 0)
+            return jnp.where(interior, 0.5 * (minus - plus) / jnp.where(denom < 0, denom, -1.0), 0.0)
+
+        rm = resp[jnp.clip(i0 - 1, 0, wh - 1), j0]
+        rp = resp[jnp.clip(i0 + 1, 0, wh - 1), j0]
+        cm = resp[i0, jnp.clip(j0 - 1, 0, ww - 1)]
+        cp = resp[i0, jnp.clip(j0 + 1, 0, ww - 1)]
+        return jnp.stack([axis_off(i0, wh, rm, rp), axis_off(j0, ww, cm, cp)])
+
+    def _step_sub(padded_u8, pos, lo, hi):
+        resp = _response(padded_u8, pos)
+        idx = argmax_colmajor(resp)
+        off = _parabolic_offset(resp, idx)
+        new = jnp.clip(pos - radii_arr + idx, lo, hi).astype(jnp.int32)
+        return new, off.astype(jnp.float32)
 
     def snap(frame_u8, guess, fill_u8):
         return step_padded(pad_frame(frame_u8, fill_u8), guess.astype(jnp.int32))
@@ -189,6 +221,23 @@ def _build(spec: TrackerSpec) -> TrackerFns:
         _, positions = jax.lax.scan(body, pos0.astype(jnp.int32), frames_u8)
         return positions
 
+    def scan_sub(frames_u8, pos0, fill_u8, lo, hi):
+        """Bounded scan that also returns per-frame sub-pixel offsets."""
+        lo = lo.astype(jnp.int32)
+        hi = hi.astype(jnp.int32)
+
+        def body(pos, frame):
+            new, off = _step_sub(pad_frame(frame, fill_u8), pos, lo, hi)
+            return new, (new, off)
+
+        _, (positions, offs) = jax.lax.scan(body, pos0.astype(jnp.int32), frames_u8)
+        return positions, offs
+
+    def snap_sub(frame_u8, guess, fill_u8):
+        lo = jnp.zeros((2,), jnp.int32)
+        hi = jnp.asarray(max_pos)
+        return _step_sub(pad_frame(frame_u8, fill_u8), guess.astype(jnp.int32), lo, hi)
+
     snap_j = jax.jit(snap)
     scan_j = jax.jit(scan)
     snap_b = jax.jit(jax.vmap(snap))
@@ -200,6 +249,8 @@ def _build(spec: TrackerSpec) -> TrackerFns:
         snap_batch=snap_b,
         scan_batch=scan_b,
         scan_bounded=jax.jit(scan_bounded),
+        scan_sub=jax.jit(scan_sub),
+        snap_sub=jax.jit(snap_sub),
         step_padded=step_padded,
         pad_frame=pad_frame,
     )

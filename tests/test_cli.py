@@ -1,0 +1,74 @@
+"""CLI tests: ``python -m pawsometracker_tpu``."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import helpers
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(61)
+    _, tra = helpers.build_trajectory(25, 24, (50, 50), rng)
+    return helpers.trajectory2video(tra[:48], str(d), 24, 100, 100, 10, True), tra[:48]
+
+
+def run_cli(*args, timeout=180):
+    return subprocess.run(
+        [sys.executable, "-m", "pawsometracker_tpu", *args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd="/root/repo",
+        env={"PATH": "/usr/bin:/bin:/usr/local/bin", "JAX_PLATFORMS": "cpu",
+             "HOME": "/root", "PYTHONPATH": "/root/repo"},
+    )
+
+
+def test_cli_csv(clip):
+    f, tra = clip
+    r = run_cli(f, "--start-ij", "50", "50", "--target-width", "10")
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.strip().splitlines()
+    assert lines[0] == "t,row,col"
+    assert len(lines) == 49
+    t0, i0, j0 = lines[1].split(",")
+    assert float(t0) == 0.0
+    assert abs(int(i0) - tra[0][0]) <= 1 and abs(int(j0) - tra[0][1]) <= 1
+
+
+def test_cli_json(clip):
+    f, _ = clip
+    r = run_cli(f, "--start-ij", "50", "50", "--target-width", "10", "--format", "json")
+    assert r.returncode == 0, r.stderr
+    data = json.loads(r.stdout)
+    assert len(data["ts"]) == len(data["ij"]) == 48
+
+
+def test_cli_npz_out(clip, tmp_path):
+    f, _ = clip
+    out = str(tmp_path / "res.npz")
+    r = run_cli(f, "--start-ij", "50", "50", "--target-width", "10", "--out", out)
+    assert r.returncode == 0, r.stderr
+    with np.load(out) as z:
+        assert z["ij"].shape == (48, 2)
+
+
+def test_cli_errors(clip):
+    f, _ = clip
+    r = run_cli("/nonexistent.mp4")
+    assert r.returncode == 1
+    assert "error:" in r.stderr
+    r = run_cli(f, "--start-ij", "1", "1", "--start-xy", "2", "2")
+    assert r.returncode == 2
+
+
+def test_cli_help():
+    r = run_cli("--help")
+    assert r.returncode == 0
+    assert "--target-width" in r.stdout
