@@ -58,6 +58,8 @@ def track_batch(
     mesh=None,
     backend: str = "auto",
     chunk_size: int = DEFAULT_CHUNK_SIZE,
+    stream: str = "auto",
+    roi_frames: int = 8,
 ):
     """Track one target in each of ``files`` concurrently on the device.
 
@@ -130,16 +132,38 @@ def track_batch(
         positions = [[np.asarray(pos[b])] for b in range(B)]
         counts = [1] * B
 
+        # ROI streaming (mirrors api._track_one): ship only drift-bounded
+        # crops per video instead of full frames — the batch analog transfers
+        # B small crops per round, which is what makes multi-video batching
+        # actually faster than sequential tracking on transfer-limited links
+        from .api import _crop_with_fill, _roi_geometry
+
+        ch, cw, margin = _roi_geometry(spec, roi_frames)
+        use_roi = stream == "roi" or (
+            stream == "auto" and ch * cw * 2 < frame_shape[0] * frame_shape[1]
+        )
+        if use_roi:
+            chunk_size = roi_frames
+            roi_spec = make_spec((ch, cw), window_size, target_width, darker_target)
+            roi_engine = ShardedBatchTracker(roi_spec, mesh)
+            crops = np.empty((B, roi_frames, ch, cw), np.uint8)
+            pos_rel0 = np.tile(np.array(margin, np.int32), (B, 1))
+
         prefetcher_objs = [
             ChunkPrefetcher(s, chunk_size, max_frames=n - 1) for s, n in zip(sources, ns)
         ]
         prefetchers = [iter(p) for p in prefetcher_objs]
         active = [True] * B
         last_frames = [frames0[b] for b in range(B)]
-
-        while any(active):
+        pos_host = np.array(pos)  # writable host copy of the carried positions
+        if not use_roi:
             batch = np.empty((B, chunk_size) + frame_shape, np.uint8)
+
+        H, W = frame_shape
+        while any(active):
             valid = np.zeros(B, np.int64)
+            origins = np.zeros((B, 2), np.int64)
+            chunks = [None] * B
             for b in range(B):
                 if active[b]:
                     try:
@@ -151,31 +175,59 @@ def track_batch(
                     else:
                         k = chunk.shape[0]
                         valid[b] = k
-                        batch[b, :k] = chunk
-                        last_frames[b] = np.array(chunk[-1])
+                        chunks[b] = chunk
                         if k < chunk_size:
-                            batch[b, k:] = chunk[-1]
                             active[b] = False
-                        prefetcher_objs[b].recycle(chunk)
-                if valid[b] == 0:
-                    batch[b] = last_frames[b]
             if valid.sum() == 0:
                 break
-            pos_out = engine.scan(engine.shard_chunk(batch), pos, fills_dev)
-            pos_host = np.asarray(pos_out)
+
+            if use_roi:
+                for b in range(B):
+                    o = (int(pos_host[b, 0]) - margin[0], int(pos_host[b, 1]) - margin[1])
+                    origins[b] = o
+                    k = int(valid[b])
+                    if k > 0:
+                        for i in range(k):
+                            _crop_with_fill(chunks[b][i], o, ch, cw, int(fills[b]), out=crops[b, i])
+                        for i in range(k, chunk_size):
+                            crops[b, i] = crops[b, k - 1]
+                    else:
+                        crops[b] = fills[b]
+                lo = np.maximum(-origins, 0).astype(np.int32)
+                hi = np.minimum(
+                    [[ch - 1, cw - 1]] * B, np.array([[H - 1, W - 1]]) - origins
+                ).astype(np.int32)
+                out = roi_engine.scan_bounded(
+                    roi_engine.shard_chunk(crops),
+                    jnp.asarray(pos_rel0),
+                    fills_dev,
+                    roi_engine.shard_chunk(lo),
+                    roi_engine.shard_chunk(hi),
+                )
+                scan_host = np.asarray(out) + origins[:, None, :]
+            else:
+                for b in range(B):
+                    k = int(valid[b])
+                    if k > 0:
+                        batch[b, :k] = chunks[b]
+                        last_frames[b] = np.array(chunks[b][-1])
+                        if k < chunk_size:
+                            batch[b, k:] = chunks[b][-1]
+                    else:
+                        batch[b] = last_frames[b]
+                out = engine.scan(
+                    engine.shard_chunk(batch), engine.shard_chunk(pos_host.astype(np.int32)), fills_dev
+                )
+                scan_host = np.asarray(out)
+
             for b in range(B):
                 k = int(valid[b])
                 if k > 0:
-                    positions[b].append(pos_host[b, :k])
+                    positions[b].append(scan_host[b, :k])
                     counts[b] += k
-            # carry each video's position at its own last VALID frame
-            carry = np.stack(
-                [
-                    pos_host[b, int(valid[b]) - 1] if valid[b] > 0 else np.asarray(pos)[b]
-                    for b in range(B)
-                ]
-            ).astype(np.int32)
-            pos = engine.shard_chunk(carry)
+                    pos_host[b] = scan_host[b, k - 1]
+                if chunks[b] is not None:
+                    prefetcher_objs[b].recycle(chunks[b])
     finally:
         for s in sources:
             s.close()

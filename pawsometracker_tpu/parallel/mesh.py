@@ -139,6 +139,7 @@ class ShardedBatchTracker:
             self.snap = fns.snap_batch
             self.snap_detect = det.snap_batch
             self.scan = fns.scan_batch
+            self.scan_bounded = jax.jit(jax.vmap(_unwrap(fns.scan_bounded)))
             if engine == "pallas" or (engine == "auto" and jax.default_backend() == "tpu"):
                 # single-device batch: the fused kernel scans all videos in one
                 # launch (grid (B, T)); per-video fills supported
@@ -169,6 +170,11 @@ class ShardedBatchTracker:
             )
             self.scan = _jit_b(
                 jax.vmap(_unwrap(base.scan)), (chunk_sh, pos_sh, vec_sh), tpos_sh
+            )
+            self.scan_bounded = _jit_b(
+                jax.vmap(_unwrap(base.scan_bounded)),
+                (chunk_sh, pos_sh, vec_sh, pos_sh, pos_sh),
+                tpos_sh,
             )
 
     def shard_chunk(self, chunk: np.ndarray):

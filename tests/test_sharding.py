@@ -122,3 +122,14 @@ def test_track_batch_end_to_end(tmp_path, mesh8):
         assert len(ij) == len(tra)  # per-video truncation at its own EOF
         rmse = np.sqrt(np.mean(np.sum((np.asarray(ij) - np.asarray(tra)) ** 2, axis=1)))
         assert rmse < 1.0
+    # ROI streaming across the batch produces identical positions
+    results_roi = track_batch(
+        files, start_location=IJ(50, 50), target_width=10, mesh=mesh8, stream="roi", roi_frames=4
+    )
+    for (_, ij_f), (_, ij_r) in zip(results, results_roi):
+        np.testing.assert_array_equal(ij_r, ij_f)
+    # and per-video results match single-video track()
+    from pawsometracker_tpu import track
+
+    ts1, ij1 = track(files[0], start_location=IJ(50, 50), target_width=10)
+    np.testing.assert_array_equal(results[0][1], ij1)
