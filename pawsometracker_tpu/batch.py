@@ -60,6 +60,7 @@ def track_batch(
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     stream: str = "auto",
     roi_frames: int = 8,
+    diagnostic_files=None,
 ):
     """Track one target in each of ``files`` concurrently on the device.
 
@@ -70,9 +71,12 @@ def track_batch(
     the same kinds as :func:`.api.track` (None / IJ / (x, y)).
 
     ``mesh``: a ``jax.sharding.Mesh`` to shard the batch across chips (None =
-    single device). Returns a list of ``(ts, positions)`` per file.
+    single device). ``diagnostic_files``: optional per-file overlay video
+    paths (None entries disable). Returns a list of ``(ts, positions)``.
     """
     import jax.numpy as jnp
+
+    from .diagnose import Diagnose, Dont
 
     files = list(files)
     B = len(files)
@@ -131,6 +135,13 @@ def track_batch(
 
         positions = [[np.asarray(pos[b])] for b in range(B)]
         counts = [1] * B
+
+        dias = []
+        dia_paths = _broadcast(diagnostic_files, B, None) if diagnostic_files else [None] * B
+        for p, fr0 in zip(dia_paths, frames0):
+            d = Dont() if p is None else Diagnose(p, darker_target, fps)
+            d.update_ratio(fr0.shape)
+            dias.append(d)
 
         # ROI streaming (mirrors api._track_one): ship only drift-bounded
         # crops per video instead of full frames — the batch analog transfers
@@ -226,11 +237,15 @@ def track_batch(
                     positions[b].append(scan_host[b, :k])
                     counts[b] += k
                     pos_host[b] = scan_host[b, k - 1]
+                    for i in range(k):
+                        dias[b](chunks[b][i], scan_host[b, i])
                 if chunks[b] is not None:
                     prefetcher_objs[b].recycle(chunks[b])
     finally:
         for s in sources:
             s.close()
+        for d in locals().get("dias", []):
+            d.close()
 
     out = []
     for b in range(B):

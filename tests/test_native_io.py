@@ -124,3 +124,27 @@ def test_track_native_backend(tmp_path):
     np.testing.assert_array_equal(ij_n, ij_c)
     rmse = np.sqrt(np.mean(np.sum((ij_n - np.asarray(tra[: len(ij_n)])) ** 2, axis=1)))
     assert rmse < 1.0
+
+
+def test_track_h264_end_to_end(tmp_path):
+    """Realistic codec: synthesize with the native x264 encoder (yuv420p like
+    real recordings), track via the native decoder's Y-plane fast path."""
+    import cv2
+
+    from pawsometracker_tpu import IJ, track
+
+    h, w, T = 120, 160, 48
+    path = str(tmp_path / "clip264.mp4")
+    wtr = native_io.NativeVideoWriter(path, w, h, 24)
+    truth = []
+    for t in range(T):
+        ij = (40 + t // 2, 50 + t)
+        truth.append(ij)
+        f = np.full((h, w), 128, np.uint8)
+        cv2.circle(f, (ij[1], ij[0]), 5, 0, -1)
+        wtr.write(f)
+    wtr.release()
+    ts, ij = track(path, fps=24, start_location=IJ(40, 50), target_width=10)
+    assert len(ij) == T
+    err = np.linalg.norm(np.asarray(ij) - np.asarray(truth), axis=1)
+    assert np.sqrt(np.mean(err**2)) < 1.0

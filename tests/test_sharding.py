@@ -133,3 +133,30 @@ def test_track_batch_end_to_end(tmp_path, mesh8):
 
     ts1, ij1 = track(files[0], start_location=IJ(50, 50), target_width=10)
     np.testing.assert_array_equal(results[0][1], ij1)
+
+
+def test_track_batch_diagnostics(tmp_path):
+    import os
+
+    import helpers
+    from pawsometracker_tpu import IJ
+    from pawsometracker_tpu.batch import track_batch
+
+    rng = np.random.default_rng(81)
+    _, tra = helpers.build_trajectory(25, 24, (50, 50), rng)
+    f = helpers.trajectory2video(tra[:30], str(tmp_path), 24, 100, 100, 10, True)
+    d1 = str(tmp_path / "d1.mp4")
+    d2 = str(tmp_path / "d2.mp4")
+    track_batch(
+        [f, f], start_location=IJ(50, 50), target_width=10, chunk_size=8,
+        diagnostic_files=[d1, d2],
+    )
+    import cv2
+
+    for d in (d1, d2):
+        assert os.path.exists(d)
+        cap = cv2.VideoCapture(d)
+        assert cap.isOpened()
+        # frames 2..n (the initial snap frame only sets the ratio)
+        assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 29
+        cap.release()
