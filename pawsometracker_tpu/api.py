@@ -211,15 +211,39 @@ def _track_one(
             scan_b = roi_fns.scan_sub if subpixel else roi_fns.scan_bounded
             crops = np.empty((roi_frames, ch, cw), np.uint8)
             pos_abs = np.asarray(pos)
-            prefetch = ChunkPrefetcher(src, roi_frames, max_frames=n - 1)
-            for chunk in prefetch:
-                k = chunk.shape[0]
-                o = (int(pos_abs[0]) - margin[0], int(pos_abs[1]) - margin[1])
-                with timer.section("crop"):
-                    for i in range(k):
-                        _crop_with_fill(chunk[i], o, ch, cw, fill, out=crops[i])
-                    for i in range(k, roi_frames):
-                        crops[i] = crops[k - 1]
+            # when diagnostics are off and the native decoder is active, crops
+            # are cut in C++ straight from the decode ring: full frames never
+            # cross into Python
+            from .diagnose import Dont
+
+            native_roi = isinstance(dia, Dont) and hasattr(src, "read_roi_chunk")
+
+            def _roi_chunks():
+                if native_roi:
+                    remaining = n - 1
+                    while remaining > 0:
+                        o = (int(pos_abs[0]) - margin[0], int(pos_abs[1]) - margin[1])
+                        with timer.section("crop"):
+                            got = src.read_roi_chunk(
+                                min(roi_frames, remaining), o, ch, cw, fill, out=crops
+                            )
+                        if got.shape[0] == 0:
+                            return
+                        yield None, got.shape[0], o
+                        remaining -= got.shape[0]
+                else:
+                    prefetch = ChunkPrefetcher(src, roi_frames, max_frames=n - 1)
+                    for chunk in prefetch:
+                        o = (int(pos_abs[0]) - margin[0], int(pos_abs[1]) - margin[1])
+                        with timer.section("crop"):
+                            for i in range(chunk.shape[0]):
+                                _crop_with_fill(chunk[i], o, ch, cw, fill, out=crops[i])
+                        yield chunk, chunk.shape[0], o
+                        prefetch.recycle(chunk)
+
+            for chunk, k, o in _roi_chunks():
+                for i in range(k, roi_frames):
+                    crops[i] = crops[k - 1]
                 lo = np.maximum([-o[0], -o[1]], 0).astype(np.int32)
                 hi = np.minimum([ch - 1, cw - 1], [H - 1 - o[0], W - 1 - o[1]]).astype(np.int32)
                 pos_rel = jnp.asarray(np.asarray(pos_abs) - np.asarray(o), jnp.int32)
@@ -234,10 +258,10 @@ def _track_one(
                         pos_out = np.asarray(out)
                 valid = pos_out[:k] + np.asarray(o)
                 positions.append(valid)
-                with timer.section("diagnose"):
-                    for i in range(k):
-                        dia(chunk[i], valid[i])
-                prefetch.recycle(chunk)
+                if chunk is not None:
+                    with timer.section("diagnose"):
+                        for i in range(k):
+                            dia(chunk[i], valid[i])
                 pos_abs = valid[-1]
                 last_frame += k
         elif n > 1:

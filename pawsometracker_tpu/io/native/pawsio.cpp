@@ -74,7 +74,7 @@ struct Decoder {
 
   // fps resampler state — fixed buffers, swapped (never reallocated) so the
   // steady-state cost is one sws write + one memcpy per emitted frame
-  std::vector<uint8_t> pending, prev, scratch;
+  std::vector<uint8_t> pending, prev, scratch, roi_scratch;
   int pending_slot = 0;
   bool has_pending = false, has_prev = false, flushed = false;
   int emit_slot = 0;
@@ -460,6 +460,69 @@ int pawsio_read(void *h, uint8_t *dst) {
   }
   d->cv_push.notify_all();
   return 1;
+}
+
+// Crop (ch x cw) at origin (orr, occ) — possibly out of frame — from a full
+// frame, filling out-of-frame cells. Serves the ROI streaming path: the
+// consumer never copies the full frame out of the decode ring.
+static void crop_from(const uint8_t *frame, int H, int W, uint8_t *dst, int ch,
+                      int cw, int orr, int occ, uint8_t fill) {
+  for (int r = 0; r < ch; r++) {
+    int fr = orr + r;
+    uint8_t *row = dst + (size_t)r * cw;
+    if (fr < 0 || fr >= H) {
+      std::memset(row, fill, cw);
+      continue;
+    }
+    int c0 = occ < 0 ? -occ : 0;  // first valid dst col
+    if (c0 > cw) c0 = cw;
+    int c1 = occ + cw > W ? W - occ : cw;  // one past last valid dst col
+    if (c1 < c0) c1 = c0;
+    if (c0 > 0) std::memset(row, fill, c0);
+    if (c1 > c0) std::memcpy(row + c0, frame + (size_t)fr * W + occ + c0, c1 - c0);
+    if (c1 < cw) std::memset(row + c1, fill, cw - c1);
+  }
+}
+
+// Pops the next resampled frame and writes only its (ch x cw) crop at
+// (orr, occ) into dst. 1 = ok, 0 = EOF, <0 = error.
+int pawsio_read_roi(void *h, uint8_t *dst, int ch, int cw, int orr, int occ,
+                    uint8_t fill) {
+  auto d = static_cast<Decoder *>(h);
+  const int H = d->height, W = d->width;
+  if (!d->th.joinable()) {
+    if (d->roi_scratch.size() != d->frame_bytes()) d->roi_scratch.resize(d->frame_bytes());
+    int ret = d->read_resampled(d->roi_scratch.data());
+    if (ret != 1) return ret;
+    crop_from(d->roi_scratch.data(), H, W, dst, ch, cw, orr, occ, fill);
+    return 1;
+  }
+  size_t slot;
+  {
+    std::unique_lock<std::mutex> lk(d->mu);
+    d->cv_pop.wait(lk, [&] { return d->ring_count > 0 || d->thread_eof || d->stop_thread; });
+    if (d->ring_count == 0) return 0;
+    slot = d->ring_head;
+  }
+  crop_from(d->ring_mem.data() + slot * d->frame_bytes(), H, W, dst, ch, cw, orr, occ, fill);
+  {
+    std::unique_lock<std::mutex> lk(d->mu);
+    d->ring_head = (d->ring_head + 1) % d->ring_depth;
+    d->ring_count--;
+  }
+  d->cv_push.notify_all();
+  return 1;
+}
+
+int pawsio_read_roi_batch(void *h, uint8_t *dst, int maxn, int ch, int cw,
+                          int orr, int occ, uint8_t fill) {
+  int n = 0;
+  for (; n < maxn; n++) {
+    int ret = pawsio_read_roi(h, dst + (size_t)n * ch * cw, ch, cw, orr, occ, fill);
+    if (ret < 0) return ret;
+    if (ret == 0) break;
+  }
+  return n;
 }
 
 int pawsio_read_batch(void *h, uint8_t *dst, int maxn) {

@@ -87,6 +87,17 @@ def _load():
         lib.pawsio_read_batch.restype = ctypes.c_int
         lib.pawsio_start_prefetch.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.pawsio_start_prefetch.restype = ctypes.c_int
+        lib.pawsio_read_roi_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_uint8,
+        ]
+        lib.pawsio_read_roi_batch.restype = ctypes.c_int
         lib.pawsio_close.argtypes = [ctypes.c_void_p]
         lib.pawsio_close.restype = None
         lib.pawsio_last_error.argtypes = []
@@ -189,6 +200,29 @@ class NativeFrameSource:
             out = np.empty((n, self.info.height, self.info.width), np.uint8)
         got = self._lib.pawsio_read_batch(
             self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), int(n)
+        )
+        if got < 0:
+            raise IOError(f"decode error: {_last_error(self._lib)}")
+        return out[:got]
+
+    def read_roi_chunk(
+        self, n: int, origin, ch: int, cw: int, fill: int, out: np.ndarray | None = None
+    ) -> np.ndarray:
+        """Read up to ``n`` frames as ``(ch, cw)`` crops at ``origin`` (may be
+        out of frame; out-of-frame cells get ``fill``). The crop is taken in
+        C++ directly from the decode ring, so full frames never cross into
+        Python — the hot path of ROI streaming."""
+        if out is None or out.shape[0] < n:
+            out = np.empty((n, ch, cw), np.uint8)
+        got = self._lib.pawsio_read_roi_batch(
+            self._h,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            int(n),
+            int(ch),
+            int(cw),
+            int(origin[0]),
+            int(origin[1]),
+            int(fill) & 0xFF,
         )
         if got < 0:
             raise IOError(f"decode error: {_last_error(self._lib)}")

@@ -148,3 +148,29 @@ def test_track_h264_end_to_end(tmp_path):
     assert len(ij) == T
     err = np.linalg.norm(np.asarray(ij) - np.asarray(truth), axis=1)
     assert np.sqrt(np.mean(err**2)) < 1.0
+
+
+def test_native_roi_chunk_matches_python_crop(counter_video):
+    """C++ ring-side cropping must equal decode-then-numpy-crop."""
+    from pawsometracker_tpu.api import _crop_with_fill
+
+    with native_io.NativeFrameSource(counter_video, fps=24) as ns:
+        full = ns.read_chunk(10)
+    for origin in [(5, 10), (-3, -4), (50, 80), (60, 90)]:
+        with native_io.NativeFrameSource(counter_video, fps=24) as ns:
+            got = ns.read_roi_chunk(10, origin, 20, 24, fill=7)
+        want = np.stack([_crop_with_fill(f, origin, 20, 24, 7) for f in full])
+        np.testing.assert_array_equal(got, want, err_msg=f"origin={origin}")
+
+
+def test_track_native_roi_matches_full(tmp_path):
+    """track() with native C++ ROI cropping == full-frame streaming."""
+    from pawsometracker_tpu import IJ, track
+
+    rng = np.random.default_rng(91)
+    _, tra = helpers.build_trajectory(28, 24, (60, 60), rng)
+    f = helpers.trajectory2video(tra[:60], str(tmp_path), 24, 120, 120, 10, True)
+    kw = dict(fps=24, start_location=IJ(60, 60), target_width=10, backend="native")
+    _, ij_roi = track(f, stream="roi", roi_frames=4, **kw)
+    _, ij_full = track(f, stream="full", **kw)
+    np.testing.assert_array_equal(ij_roi, ij_full)
