@@ -15,6 +15,7 @@ model internals, and I/O layers for power users.
 from .api import DEFAULT_MAX_DURATION_SECONDS, IJ, track
 from .batch import track_batch
 from .checkpoint import load_checkpoint, track_resumable
+from .multi import track_multi
 from .diagnose import Diagnose, Dont, diagnose
 from .parallel.mesh import ShardedBatchTracker, global_detect_batch, make_mesh
 from .models.dog_tracker import TrackerSpec, autodetect_spec, make_spec, tracker_fns
@@ -31,6 +32,7 @@ __all__ = [
     "track",
     "track_batch",
     "track_resumable",
+    "track_multi",
     "load_checkpoint",
     "make_mesh",
     "ShardedBatchTracker",

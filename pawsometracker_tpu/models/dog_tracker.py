@@ -122,6 +122,8 @@ class TrackerFns:
     scan_bounded: callable
     scan_sub: callable
     snap_sub: callable
+    scan_multi: callable
+    snap_multi: callable
     step_padded: callable
     pad_frame: callable
 
@@ -238,6 +240,24 @@ def _build(spec: TrackerSpec) -> TrackerFns:
         hi = jnp.asarray(max_pos)
         return _step_sub(pad_frame(frame_u8, fill_u8), guess.astype(jnp.int32), lo, hi)
 
+    def scan_multi(frames_u8, pos0s, fill_u8):
+        """Track N independent targets through ONE frame stream: the frame is
+        padded once per step and the window step is vmapped over targets.
+        ``pos0s int32 [N, 2] -> positions int32 [T, N, 2]``. (Extension beyond
+        the reference, which tracks a single target.)"""
+
+        def body(poss, frame):
+            padded = pad_frame(frame, fill_u8)
+            new = jax.vmap(lambda p: step_padded(padded, p))(poss)
+            return new, new
+
+        _, positions = jax.lax.scan(body, pos0s.astype(jnp.int32), frames_u8)
+        return positions
+
+    def snap_multi(frame_u8, guesses, fill_u8):
+        padded = pad_frame(frame_u8, fill_u8)
+        return jax.vmap(lambda p: step_padded(padded, p.astype(jnp.int32)))(guesses)
+
     snap_j = jax.jit(snap)
     scan_j = jax.jit(scan)
     snap_b = jax.jit(jax.vmap(snap))
@@ -251,6 +271,8 @@ def _build(spec: TrackerSpec) -> TrackerFns:
         scan_bounded=jax.jit(scan_bounded),
         scan_sub=jax.jit(scan_sub),
         snap_sub=jax.jit(snap_sub),
+        scan_multi=jax.jit(scan_multi),
+        snap_multi=jax.jit(snap_multi),
         step_padded=step_padded,
         pad_frame=pad_frame,
     )

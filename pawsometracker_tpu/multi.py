@@ -1,0 +1,99 @@
+"""Multi-target tracking: N independent DoG trackers over ONE frame stream.
+
+Extension beyond the reference (which tracks a single target,
+src/PawsomeTracker.jl:32-62): the frame is decoded and padded once per step
+and the window step is vmapped over targets, so tracking N targets costs one
+decode plus N tiny window correlations. Targets share the tracker
+configuration (target_width, window_size, polarity).
+
+Limitation (inherent to the matched-filter design): the trackers carry no
+identity model — if two targets' search windows overlap on the same blob, both
+will lock onto it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .api import DEFAULT_MAX_DURATION_SECONDS, _resolve_guess
+from .io.decode import ChunkPrefetcher, open_source
+from .models.dog_tracker import make_spec, tracker_fns
+from .ops.dog_kernel import fix_window_size, guess_window_size
+from .ops.filters import mode_u8_host
+
+__all__ = ["track_multi"]
+
+
+def track_multi(
+    file,
+    start_locations,
+    *,
+    start: float = 0.0,
+    stop: float | None = None,
+    target_width: float = 25,
+    window_size=None,
+    darker_target: bool = True,
+    fps: float = 24,
+    sar: float | None = None,
+    backend: str = "auto",
+    chunk_size: int = 16,
+):
+    """Track ``len(start_locations)`` targets in one video.
+
+    Each entry of ``start_locations`` is an ``IJ`` or display ``(x, y)``
+    (auto-detect is not meaningful for multiple targets — locations are
+    required). Returns ``(ts, positions)`` with ``positions int [T, N, 2]``.
+    """
+    import jax.numpy as jnp
+
+    if not start_locations:
+        raise ValueError("start_locations must name at least one target")
+    stop = DEFAULT_MAX_DURATION_SECONDS if stop is None else float(stop)
+    if window_size is None:
+        window_size = guess_window_size(target_width)
+    window_size = fix_window_size(window_size)
+
+    t = stop - start
+    n = int(np.round(fps * t))
+    if n < 1:
+        raise ValueError(f"no frames to track in [{start}, {stop}] at fps={fps}")
+    ts = np.linspace(start, stop, n)
+
+    src = open_source(file, start=start, stop=stop, fps=fps, backend=backend)
+    try:
+        sar_val = float(sar) if sar is not None else src.info.sar
+        frame0 = src.read()
+        if frame0 is None:
+            raise EOFError(f"no frames decoded from {file}")
+        frame_shape = frame0.shape
+        fill = mode_u8_host(frame0)
+        spec = make_spec(frame_shape, window_size, target_width, darker_target)
+        fns = tracker_fns(spec)
+
+        guesses = np.array(
+            [_resolve_guess(loc, sar_val, frame_shape) for loc in start_locations], np.int32
+        )
+        fill_dev = np.uint8(fill)
+        pos = fns.snap_multi(jnp.asarray(frame0), jnp.asarray(guesses), fill_dev)
+
+        out = [np.asarray(pos)[None]]
+        last_frame = 1
+        if n > 1:
+            prefetch = ChunkPrefetcher(src, chunk_size, max_frames=n - 1)
+            for chunk in prefetch:
+                k = chunk.shape[0]
+                if k < chunk_size:
+                    pad = np.repeat(chunk[-1:], chunk_size - k, axis=0)
+                    chunk_in = np.concatenate([chunk, pad], axis=0)
+                else:
+                    chunk_in = chunk
+                pos_t = fns.scan_multi(jnp.asarray(chunk_in), pos, fill_dev)
+                pos = pos_t[k - 1]
+                out.append(np.asarray(pos_t[:k]))
+                prefetch.recycle(chunk)
+                last_frame += k
+    finally:
+        src.close()
+
+    positions = np.concatenate(out, axis=0)
+    return ts[:last_frame], positions[:last_frame]

@@ -1,0 +1,47 @@
+"""Multi-target tracking over one frame stream."""
+
+import cv2
+import numpy as np
+import pytest
+
+from pawsometracker_tpu import IJ, track
+from pawsometracker_tpu.multi import track_multi
+
+import helpers
+
+
+def make_two_target_video(tmp_path, T=60, h=120, w=160):
+    paths = [[(30 + t // 2, 30 + t) for t in range(T)], [(90 - t // 3, 130 - t) for t in range(T)]]
+    frames = []
+    for t in range(T):
+        f = np.full((h, w), 128, np.uint8)
+        for p in paths:
+            cv2.circle(f, (p[t][1], p[t][0]), 5, 0, -1)
+        frames.append(f)
+    return helpers.write_video(frames, str(tmp_path / "two"), 24), paths
+
+
+def test_track_multi_two_targets(tmp_path):
+    f, paths = make_two_target_video(tmp_path)
+    ts, pos = track_multi(
+        f, [IJ(*paths[0][0]), IJ(*paths[1][0])], fps=24, target_width=10, chunk_size=16
+    )
+    assert pos.shape == (60, 2, 2)
+    for k, p in enumerate(paths):
+        err = np.linalg.norm(pos[:, k, :] - np.asarray(p), axis=1)
+        assert np.sqrt(np.mean(err**2)) < 1.0, f"target {k}"
+
+
+def test_track_multi_matches_single(tmp_path):
+    """One-target track_multi must equal track() exactly."""
+    rng = np.random.default_rng(101)
+    _, tra = helpers.build_trajectory(25, 24, (50, 50), rng)
+    f = helpers.trajectory2video(tra[:48], str(tmp_path), 24, 100, 100, 10, True)
+    ts_m, pos_m = track_multi(f, [IJ(50, 50)], fps=24, target_width=10)
+    ts_s, pos_s = track(f, fps=24, start_location=IJ(50, 50), target_width=10, stream="full")
+    np.testing.assert_array_equal(pos_m[:, 0, :], pos_s)
+
+
+def test_track_multi_requires_locations(tmp_path):
+    with pytest.raises(ValueError):
+        track_multi("whatever.mp4", [])
