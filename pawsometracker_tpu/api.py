@@ -130,6 +130,21 @@ def _crop_with_fill(frame: np.ndarray, o, ch: int, cw: int, fill: int, out=None)
     return out
 
 
+def padded_chunks(prefetch: ChunkPrefetcher, chunk_size: int):
+    """Yield ``(chunk, chunk_in, k)`` where ``chunk_in`` is ``chunk`` padded to
+    the static scan length by repeating the last frame (padded steps are
+    discarded by the caller). Shared by the single-target and multi-target
+    full-frame streaming loops."""
+    for chunk in prefetch:
+        k = chunk.shape[0]
+        if k < chunk_size:
+            pad = np.repeat(chunk[-1:], chunk_size - k, axis=0)
+            chunk_in = np.concatenate([chunk, pad], axis=0)
+        else:
+            chunk_in = chunk
+        yield chunk, chunk_in, k
+
+
 def _roi_geometry(spec, k_frames: int):
     """(crop_h, crop_w, margin) for a K-frame ROI mini-scan."""
     ri, rj = spec.radii
@@ -273,15 +288,7 @@ def _track_one(
             else:
                 scan = _scan_fn_for(spec, engine)
             prefetch = ChunkPrefetcher(src, chunk_size, max_frames=n - 1)
-            for chunk in prefetch:
-                k = chunk.shape[0]
-                if k < chunk_size:
-                    # pad to the static scan length by repeating the last frame;
-                    # padded steps are discarded below
-                    pad = np.repeat(chunk[-1:], chunk_size - k, axis=0)
-                    chunk_in = np.concatenate([chunk, pad], axis=0)
-                else:
-                    chunk_in = chunk
+            for chunk, chunk_in, k in padded_chunks(prefetch, chunk_size):
                 with timer.section("device"):
                     out = scan(jnp.asarray(chunk_in), pos, fill_dev)
                     if subpixel:

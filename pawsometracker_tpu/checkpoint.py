@@ -84,6 +84,7 @@ def track_resumable(
 
     slices = 0
     done = False
+    dirty = False  # new results since the last persisted checkpoint
     while t0 < stop - 0.5 / fps:
         if _max_slices is not None and slices >= _max_slices:
             break
@@ -93,30 +94,29 @@ def track_resumable(
             ts_i, ij_i = track(
                 file, start=t0, stop=t1, fps=fps, start_location=loc, **track_kwargs
             )
-        except EOFError:
+        except EOFError:  # stream ended exactly at a slice boundary
             done = True
+            dirty = True
             break
         all_ts.append(ts_i)
         all_ij.append(ij_i)
-        loc = IJ(int(ij_i[-1][0]), int(ij_i[-1][1]))
+        loc = IJ(int(np.round(ij_i[-1][0])), int(np.round(ij_i[-1][1])))
         t0 = t1
         slices += 1
         if len(ij_i) < expected:  # stream ended inside the slice
             done = True
-        _save(
-            checkpoint_path,
-            np.concatenate(all_ts),
-            np.concatenate(all_ij),
-            t0,
-            done,
-        )
+        _save(checkpoint_path, np.concatenate(all_ts), np.concatenate(all_ij), t0, done)
+        dirty = False
         if done:
             break
     else:
         done = True
-        if all_ij:
-            _save(checkpoint_path, np.concatenate(all_ts), np.concatenate(all_ij), t0, True)
+        dirty = True
 
     if not all_ij:
         raise EOFError(f"no frames tracked from {file}")
-    return np.concatenate(all_ts), np.concatenate(all_ij)
+    ts_all = np.concatenate(all_ts)
+    ij_all = np.concatenate(all_ij)
+    if dirty:
+        _save(checkpoint_path, ts_all, ij_all, t0, done)
+    return ts_all, ij_all

@@ -48,6 +48,11 @@ def track_multi(
 
     if not start_locations:
         raise ValueError("start_locations must name at least one target")
+    if any(loc is None for loc in start_locations):
+        raise ValueError(
+            "every target needs an explicit start location (IJ or (x, y)); "
+            "auto-detect is single-target only — use track() for that"
+        )
     stop = DEFAULT_MAX_DURATION_SECONDS if stop is None else float(stop)
     if window_size is None:
         window_size = guess_window_size(target_width)
@@ -79,17 +84,13 @@ def track_multi(
         out = [np.asarray(pos)[None]]
         last_frame = 1
         if n > 1:
+            from .api import padded_chunks
+
             prefetch = ChunkPrefetcher(src, chunk_size, max_frames=n - 1)
-            for chunk in prefetch:
-                k = chunk.shape[0]
-                if k < chunk_size:
-                    pad = np.repeat(chunk[-1:], chunk_size - k, axis=0)
-                    chunk_in = np.concatenate([chunk, pad], axis=0)
-                else:
-                    chunk_in = chunk
+            for chunk, chunk_in, k in padded_chunks(prefetch, chunk_size):
                 pos_t = fns.scan_multi(jnp.asarray(chunk_in), pos, fill_dev)
                 pos = pos_t[k - 1]
-                out.append(np.asarray(pos_t[:k]))
+                out.append(np.asarray(pos_t[:k]))  # blocks: device done with chunk
                 prefetch.recycle(chunk)
                 last_frame += k
     finally:
