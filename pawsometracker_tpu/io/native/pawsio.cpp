@@ -542,7 +542,8 @@ void pawsio_close(void *h) { delete static_cast<Decoder *>(h); }
 // ---------------------------------------------------------------------------
 // Encoder
 
-void *pawsio_enc_open(const char *path, int w, int h, double fps) {
+void *pawsio_enc_open_sar(const char *path, int w, int h, double fps, int sar_num,
+                          int sar_den) {
   auto e = new Encoder();
   e->width = w;
   e->height = h;
@@ -568,6 +569,8 @@ void *pawsio_enc_open(const char *path, int w, int h, double fps) {
   e->enc->time_base = av_inv_q(fr);
   e->enc->framerate = fr;
   e->enc->gop_size = 12;
+  if (sar_num > 0 && sar_den > 0)
+    e->enc->sample_aspect_ratio = {sar_num, sar_den};  // anamorphic pixels
   if (e->fmt->oformat->flags & AVFMT_GLOBALHEADER)
     e->enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
   if (codec->id == AV_CODEC_ID_H264) {
@@ -582,6 +585,8 @@ void *pawsio_enc_open(const char *path, int w, int h, double fps) {
   e->stream = avformat_new_stream(e->fmt, nullptr);
   avcodec_parameters_from_context(e->stream->codecpar, e->enc);
   e->stream->time_base = e->enc->time_base;
+  if (sar_num > 0 && sar_den > 0)
+    e->stream->sample_aspect_ratio = {sar_num, sar_den};
   if (!(e->fmt->oformat->flags & AVFMT_NOFILE)) {
     if ((ret = avio_open(&e->fmt->pb, path, AVIO_FLAG_WRITE)) < 0) {
       set_averror("avio_open", ret);
@@ -602,6 +607,10 @@ void *pawsio_enc_open(const char *path, int w, int h, double fps) {
   av_frame_get_buffer(e->frame, 0);
   e->pkt = av_packet_alloc();
   return e;
+}
+
+void *pawsio_enc_open(const char *path, int w, int h, double fps) {
+  return pawsio_enc_open_sar(path, w, h, fps, 1, 1);
 }
 
 int pawsio_enc_write(void *h, const uint8_t *gray) {

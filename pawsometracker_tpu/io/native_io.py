@@ -109,6 +109,15 @@ def _load():
             ctypes.c_double,
         ]
         lib.pawsio_enc_open.restype = ctypes.c_void_p
+        lib.pawsio_enc_open_sar.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_double,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.pawsio_enc_open_sar.restype = ctypes.c_void_p
         lib.pawsio_enc_write.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
         lib.pawsio_enc_write.restype = ctypes.c_int
         lib.pawsio_enc_close.argtypes = [ctypes.c_void_p]
@@ -249,14 +258,16 @@ class NativeFrameSource:
 class NativeVideoWriter:
     """GRAY8 -> H.264 (libx264) encoder for the diagnostic stream."""
 
-    def __init__(self, path: str, width: int, height: int, fps: float):
+    def __init__(self, path: str, width: int, height: int, fps: float, sar=(1, 1)):
         lib = _load()
         if lib is None:
             raise RuntimeError("native pawsio library unavailable")
         self._lib = lib
         self.width = int(width)
         self.height = int(height)
-        self._h = lib.pawsio_enc_open(str(path).encode(), self.width, self.height, float(fps))
+        self._h = lib.pawsio_enc_open_sar(
+            str(path).encode(), self.width, self.height, float(fps), int(sar[0]), int(sar[1])
+        )
         if not self._h:
             raise IOError(f"could not open encoder for {path} ({_last_error(lib)})")
 

@@ -174,3 +174,36 @@ def test_track_native_roi_matches_full(tmp_path):
     _, ij_roi = track(f, stream="roi", roi_frames=4, **kw)
     _, ij_full = track(f, stream="full", **kw)
     np.testing.assert_array_equal(ij_roi, ij_full)
+
+
+def test_sar_flag_end_to_end(tmp_path):
+    """Full anamorphic pipeline with a REAL container SAR flag: encode with
+    SAR=2 via the native encoder, probe it, and track with display (x, y)
+    coordinates WITHOUT any sar override (the reference's aspect-ratio
+    semantics, src/PawsomeTracker.jl:79-84)."""
+    import cv2
+
+    from pawsometracker_tpu import IJ, track
+    from pawsometracker_tpu.io.decode import probe
+
+    h, w_disp, aspect = 100, 200, 2  # display 200 wide, stored 100 wide
+    w_raw = w_disp // aspect
+    rng = np.random.default_rng(111)
+    tra = helpers.build_trajectory(35, 24, (50, 100), rng)[1][:60]  # display coords
+    path = str(tmp_path / "ana.mp4")
+    wtr = native_io.NativeVideoWriter(path, w_raw, h, 24, sar=(aspect, 1))
+    for ij in tra:
+        f = np.full((h, w_disp), 128, np.uint8)
+        cv2.circle(f, (ij[1], ij[0]), 6, 0, -1)
+        wtr.write(cv2.resize(f, (w_raw, h), interpolation=cv2.INTER_AREA))
+    wtr.release()
+
+    # both probes see the SAR flag
+    assert native_io.native_probe(path).sar == pytest.approx(2.0)
+    assert probe(path).sar == pytest.approx(2.0)
+
+    # display (x, y) start; NO sar= override — probed from the container
+    ts, ij = track(path, fps=24, start_location=(tra[0][1], tra[0][0]), target_width=10)
+    scaled = np.stack([ij[:, 0], np.round(aspect * ij[:, 1])], axis=1)
+    err = np.linalg.norm(scaled - np.asarray(tra[: len(ij)]), axis=1)
+    assert np.sqrt(np.mean(err**2)) < 1.0
