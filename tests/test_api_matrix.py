@@ -163,3 +163,22 @@ def test_merged_timestamps_uniform_step(tmp_path):
     assert len(ts) == len(ij)
     steps = np.diff(ts)
     np.testing.assert_allclose(steps, steps[0])
+
+
+def test_diagnostic_shared_across_segments(tmp_path):
+    """Segmented tracking writes ONE shared diagnostic video
+    (reference: src/PawsomeTracker.jl:201 — a single diagnose context wraps
+    all segments; each segment contributes frames 2..n_i)."""
+    import cv2
+
+    rng = np.random.default_rng(121)
+    _, tra = helpers.build_trajectory(30, 24, (50, 50), rng)
+    files = helpers.trajectory2video(tra, str(tmp_path), 24, 100, 100, 10, True, nsegments=2)
+    dia = str(tmp_path / "shared.mp4")
+    ts, ij = track(files, fps=24, start_location=[IJ(50, 50), None], diagnostic_file=dia)
+    cap = cv2.VideoCapture(dia)
+    assert cap.isOpened()
+    nfr = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    # sum over segments of (len_i - 1)
+    assert nfr == len(ij) - 2
