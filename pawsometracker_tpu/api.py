@@ -223,7 +223,17 @@ def _track_one(
             H, W = frame_shape
             roi_spec = make_spec((ch, cw), window_size, target_width, darker_target)
             roi_fns = tracker_fns(roi_spec)
-            scan_b = roi_fns.scan_sub if subpixel else roi_fns.scan_bounded
+            if subpixel:
+                scan_b = roi_fns.scan_sub
+            elif engine == "pallas":
+                # fused bounded kernel (explicit opt-in: in tunnel-attached dev
+                # environments the ROI chunk is RTT-bound, so the XLA scan is
+                # the safer default; on PCIe hosts the fused kernel wins)
+                from .ops.pallas_tracker import pallas_scan_fn
+
+                scan_b = pallas_scan_fn(roi_spec, bounded=True)
+            else:
+                scan_b = roi_fns.scan_bounded
             crops = np.empty((roi_frames, ch, cw), np.uint8)
             pos_abs = np.asarray(pos)
             # when diagnostics are off and the native decoder is active, crops

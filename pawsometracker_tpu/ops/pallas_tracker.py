@@ -64,6 +64,7 @@ def _scan_fn_cached(
     darker_target: bool,
     batched: bool,
     interpret: bool,
+    bounded: bool = False,
 ):
     gc, gs, direction, L = dog_kernel_separable(sigma, darker_target)
     ri, rj = radii
@@ -105,6 +106,19 @@ def _scan_fn_cached(
         def _():
             pos_s[0] = pos0_ref[0] if not batched else pos0_ref[b, 0]
             pos_s[1] = pos0_ref[1] if not batched else pos0_ref[b, 1]
+
+        if bounded:
+            # dynamic clamp bounds ride the scalar-prefetch array
+            # (layout: [i, j, lo0, lo1, hi0, hi1])
+            if batched:
+                lo0, lo1 = pos0_ref[b, 2], pos0_ref[b, 3]
+                hi0, hi1 = pos0_ref[b, 4], pos0_ref[b, 5]
+            else:
+                lo0, lo1 = pos0_ref[2], pos0_ref[3]
+                hi0, hi1 = pos0_ref[4], pos0_ref[5]
+        else:
+            lo0 = lo1 = 0
+            hi0, hi1 = H - 1, W - 1
 
         i = pos_s[0]
         j = pos_s[1]
@@ -162,8 +176,8 @@ def _scan_fn_cached(
         k = jnp.min(jnp.where(resp == m, colmajor_idx, wh * ww))
         row = k % wh
         col = k // wh
-        ni = jnp.clip(i - ri + row, 0, H - 1)
-        nj = jnp.clip(j - rj + col, 0, W - 1)
+        ni = jnp.clip(i - ri + row, lo0, hi0)
+        nj = jnp.clip(j - rj + col, lo1, hi1)
         pos_s[0] = ni
         pos_s[1] = nj
         # one lane-padded row per step: lanes 0/1 carry (row, col)
@@ -176,9 +190,16 @@ def _scan_fn_cached(
 
     mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def run(frames_u8, pos0, fill_u8):
+    def run(frames_u8, pos0, fill_u8, lo=None, hi=None):
         """frames_u8 ``[T, H, W]`` (or ``[B, T, H, W]``), pos0 int32 ``[2]``
-        (or ``[B, 2]``) -> positions int32 ``[T, 2]`` (or ``[B, T, 2]``)."""
+        (or ``[B, 2]``) -> positions int32 ``[T, 2]`` (or ``[B, T, 2]``).
+        In bounded mode ``lo``/``hi`` give the dynamic clamp box (frame bounds
+        mapped into crop coordinates — see the ROI streaming path)."""
+        if bounded:
+            pos0 = jnp.concatenate(
+                [pos0.astype(jnp.int32), lo.astype(jnp.int32), hi.astype(jnp.int32)],
+                axis=-1,
+            )
         if batched:
             B, T = frames_u8.shape[0], frames_u8.shape[1]
             fills = jnp.asarray(fill_u8)
@@ -247,11 +268,12 @@ def _scan_fn_cached(
     return jax.jit(run)
 
 
-def pallas_scan_fn(spec, *, batched: bool = False, interpret: bool = False):
+def pallas_scan_fn(spec, *, batched: bool = False, interpret: bool = False, bounded: bool = False):
     """Jitted fused-scan entry for a :class:`~..models.dog_tracker.TrackerSpec`.
 
-    Signature matches ``TrackerFns.scan`` / ``scan_batch``:
-    ``fn(frames_u8, pos0, fill_u8) -> positions``.
+    Signature matches ``TrackerFns.scan`` / ``scan_batch`` (or
+    ``scan_bounded`` with ``bounded=True``, taking trailing ``lo, hi``):
+    ``fn(frames_u8, pos0, fill_u8[, lo, hi]) -> positions``.
     """
     return _scan_fn_cached(
         spec.frame_shape,
@@ -260,4 +282,5 @@ def pallas_scan_fn(spec, *, batched: bool = False, interpret: bool = False):
         spec.darker_target,
         batched,
         interpret,
+        bounded,
     )

@@ -85,3 +85,25 @@ def test_interpret_lighter_target():
     fn = pallas_scan_fn(spec, interpret=True)
     got = np.asarray(fn(jnp.asarray(frames), jnp.array(path[0], np.int32), np.uint8(128)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_interpret_bounded_matches_jax():
+    """Bounded (ROI) kernel variant: dynamic clamp box from scalar prefetch."""
+    ch, cw, T = 97, 97, 8
+    path = [(48 + t, 48 + t) for t in range(T)]
+    crops = np.stack([draw_blob(ch, cw, ij, 4) for ij in path])
+    spec = make_spec((ch, cw), 21, 8, True)
+    lo = np.array([5, 0], np.int32)
+    hi = np.array([90, 80], np.int32)
+    want = np.asarray(
+        tracker_fns(spec).scan_bounded(
+            jnp.asarray(crops), jnp.array(path[0], np.int32), np.uint8(128),
+            jnp.asarray(lo), jnp.asarray(hi),
+        )
+    )
+    fn = pallas_scan_fn(spec, bounded=True, interpret=True)
+    got = np.asarray(
+        fn(jnp.asarray(crops), jnp.array(path[0], np.int32), np.uint8(128),
+           jnp.asarray(lo), jnp.asarray(hi))
+    )
+    np.testing.assert_array_equal(got, want)
