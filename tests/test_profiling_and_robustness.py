@@ -72,3 +72,50 @@ def test_pathlib_path_accepted(tmp_path):
     f = helpers.trajectory2video(tra[:30], str(tmp_path), 24, 100, 100, 10, True)
     ts, ij = track(Path(f), fps=24, start_location=IJ(50, 50), target_width=10)
     assert len(ij) == 30
+
+
+def test_window_larger_than_frame(tmp_path):
+    """A search window larger than the frame degenerates gracefully to
+    whole-frame search (generous padding, clamped positions)."""
+    rng = np.random.default_rng(131)
+    _, tra = helpers.build_trajectory(20, 24, (30, 30), rng)
+    f = helpers.trajectory2video(tra[:24], str(tmp_path), 24, 60, 60, 8, True)
+    from pawsometracker_tpu import IJ, track
+
+    ts, ij = track(f, fps=24, start_location=IJ(30, 30), target_width=8, window_size=130)
+    assert len(ij) == 24
+    assert (ij >= 0).all() and (ij < 60).all()
+    err = np.linalg.norm(np.asarray(ij) - np.asarray(tra[:24]), axis=1)
+    assert np.sqrt(np.mean(err**2)) < 1.5
+
+
+def test_single_file_list(tmp_path):
+    """A one-element list takes the segmented path and matches the scalar call."""
+    rng = np.random.default_rng(132)
+    _, tra = helpers.build_trajectory(25, 24, (50, 50), rng)
+    f = helpers.trajectory2video(tra[:30], str(tmp_path), 24, 100, 100, 10, True)
+    ts_a, ij_a = track([f], fps=24, start_location=[IJ(50, 50)], target_width=10)
+    ts_b, ij_b = track(f, fps=24, start_location=IJ(50, 50), target_width=10)
+    np.testing.assert_array_equal(ij_a, ij_b)
+
+
+def test_native_encoder_odd_dims_rejected(tmp_path):
+    """libx264 4:2:0 requires even dimensions; the encoder fails cleanly."""
+    from pawsometracker_tpu.io import native_io
+
+    if not native_io.native_available():
+        pytest.skip("native lib unavailable")
+    with pytest.raises(IOError):
+        native_io.NativeVideoWriter(str(tmp_path / "odd.mp4"), 641, 361, 24)
+
+
+def test_one_frame_video(tmp_path):
+    """A single-frame video yields exactly the snap position."""
+    frame = np.full((80, 80), 128, np.uint8)
+    import cv2
+
+    cv2.circle(frame, (40, 30), 5, 0, -1)
+    f = helpers.write_video([frame], str(tmp_path / "one"), 24)
+    ts, ij = track(f, fps=24, start_location=IJ(30, 40), target_width=10)
+    assert len(ij) == 1
+    assert abs(ij[0][0] - 30) <= 1 and abs(ij[0][1] - 40) <= 1
