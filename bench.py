@@ -197,12 +197,12 @@ def stage_batch(d):
 
 
 STAGES = {
-    "e2e": (stage_e2e, 1200),
-    "batch": (stage_batch, 1200),
-    "decode": (stage_decode, 240),
-    "device": (stage_device, 480),
-    "pallas": (stage_pallas, 480),
-    "cpu": (stage_cpu, 300),
+    "e2e": (stage_e2e, 900),
+    "batch": (stage_batch, 600),
+    "decode": (stage_decode, 180),
+    "device": (stage_device, 300),
+    "pallas": (stage_pallas, 300),
+    "cpu": (stage_cpu, 240),
 }
 
 

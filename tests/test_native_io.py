@@ -207,3 +207,15 @@ def test_sar_flag_end_to_end(tmp_path):
     scaled = np.stack([ij[:, 0], np.round(aspect * ij[:, 1])], axis=1)
     err = np.linalg.norm(scaled - np.asarray(tra[: len(ij)]), axis=1)
     assert np.sqrt(np.mean(err**2)) < 1.0
+
+
+def test_fractional_fps_parity(counter_video):
+    """Non-integer tracking fps (e.g. 12.5): native and cv2 resamplers agree
+    (both use exact rational slot arithmetic like ffmpeg's fps filter)."""
+    with native_io.NativeFrameSource(counter_video, fps=12.5) as ns:
+        a = ns.read_chunk(200)
+    with OpenCVFrameSource(counter_video, fps=12.5) as cs:
+        b = cs.read_chunk(200)
+    assert abs(a.shape[0] - b.shape[0]) <= 1
+    m = min(a.shape[0], b.shape[0])
+    np.testing.assert_array_equal(a[:m], b[:m])
