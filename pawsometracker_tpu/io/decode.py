@@ -18,6 +18,11 @@ frame at shifted time ``t`` is assigned output slot ``round(t*fps)`` (half away
 from zero); when consecutive input frames map to slots ``n1 < n2`` the first
 frame is emitted for every slot in ``[n1, n2)`` (duplication); frames mapping
 to an already-filled slot are dropped; the final frame is emitted once at EOF.
+
+Known limitation: this OpenCV backend derives input timestamps from the frame
+counter and the container's nominal rate (constant-frame-rate assumption); the
+native backend uses real per-frame pts, so for variable-frame-rate content the
+native backend is authoritative.
 """
 
 from __future__ import annotations
