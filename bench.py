@@ -108,11 +108,13 @@ def _scan_bench(fn, frames, pos0):
     p = jnp.asarray(np.asarray(pos0, np.int32))
     fill = np.uint8(128)
     chunks = [frames[i : i + CHUNK] for i in range(0, len(frames), CHUNK)]
-    chunks = [c for c in chunks if c.shape[0] == CHUNK]
+    # cap the shipped bytes: the tunnel in this environment wedges on multi-GB
+    # transfer bursts; 3 chunks x 2 reps is enough for a stable best-of
+    chunks = [c for c in chunks if c.shape[0] == CHUNK][:3]
     out = fn(jnp.asarray(chunks[0]), p, fill)
     out.block_until_ready()
     best = 0.0
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         for c in chunks:
             out = fn(jnp.asarray(c), p, fill)
