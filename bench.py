@@ -166,7 +166,8 @@ def stage_cpu(d):
             constant_values=128.0,
         )
         patch = pad[pos[0] : pos[0] + 2 * r + L, pos[1] : pos[1] + 2 * r + L]
-        resp = -ndi.correlate(patch, k, mode="constant")[half:-half, half:-half]
+        # dog_kernel_2d already bakes in direction=-1 for darker targets
+        resp = ndi.correlate(patch, k, mode="constant")[half:-half, half:-half]
         idx = np.unravel_index(np.argmax(resp.T), resp.T.shape)
         pos = (
             min(max(pos[0] - r + idx[1], 0), H - 1),

@@ -185,6 +185,7 @@ def _track_one(
     ts = np.linspace(start, stop, n)
 
     src = open_source(file, start=start, stop=stop, fps=fps, backend=backend)
+    prefetchers: list[ChunkPrefetcher] = []  # joined in finally BEFORE src.close()
     try:
         if sar is None:
             sar_val = src.info.sar
@@ -258,6 +259,7 @@ def _track_one(
                         remaining -= got.shape[0]
                 else:
                     prefetch = ChunkPrefetcher(src, roi_frames, max_frames=n - 1)
+                    prefetchers.append(prefetch)
                     for chunk in prefetch:
                         o = (int(pos_abs[0]) - margin[0], int(pos_abs[1]) - margin[1])
                         with timer.section("crop"):
@@ -298,6 +300,7 @@ def _track_one(
             else:
                 scan = _scan_fn_for(spec, engine)
             prefetch = ChunkPrefetcher(src, chunk_size, max_frames=n - 1)
+            prefetchers.append(prefetch)
             for chunk, chunk_in, k in padded_chunks(prefetch, chunk_size):
                 with timer.section("device"):
                     out = scan(jnp.asarray(chunk_in), pos, fill_dev)
@@ -323,6 +326,8 @@ def _track_one(
                 {k: round(v, 3) for k, v in timer.totals.items()},
             )
     finally:
+        for p in prefetchers:
+            p.close()
         src.close()
 
     ij = np.concatenate([p.reshape(-1, 2) for p in positions], axis=0)

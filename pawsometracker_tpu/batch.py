@@ -242,6 +242,8 @@ def track_batch(
                 if chunks[b] is not None:
                     prefetcher_objs[b].recycle(chunks[b])
     finally:
+        for p in locals().get("prefetcher_objs", []):
+            p.close()  # join decode threads BEFORE destroying the sources
         for s in sources:
             s.close()
         for d in locals().get("dias", []):

@@ -11,7 +11,9 @@ Slice boundaries are aligned to whole frames (slice duration is rounded to a
 multiple of ``1/fps``), so the union of slice samplings equals a single run's
 sampling and the resumed trajectory is identical to an uninterrupted one
 (each slice's first step is a snap from the previous slice's final position —
-the same operation as a regular per-frame step).
+the same operation as a regular per-frame step). Timestamps are regenerated
+from the single-run ``linspace(start, stop, n)`` grid rather than concatenated
+per slice, so they too match an uninterrupted run exactly.
 """
 
 from __future__ import annotations
@@ -69,16 +71,28 @@ def track_resumable(
     frames_per_slice = max(1, int(round(checkpoint_every * fps)))
     slice_dur = frames_per_slice / fps
 
+    # the single-run timestamp grid: linspace(start, stop, n_total) — slice
+    # results are re-labeled on this grid so ts match an uninterrupted run
+    n_total = max(1, int(np.round(fps * (stop - start))))
+    step = (stop - start) / (n_total - 1) if n_total > 1 else 0.0
+
+    def _grid_ts(n: int) -> np.ndarray:
+        ts = float(start) + step * np.arange(n)
+        if n == n_total and n > 1:
+            ts[-1] = stop  # linspace pins the endpoint exactly
+        return ts
+
     state = load_checkpoint(checkpoint_path)
     if state is not None and state["done"]:
         return state["ts"], state["ij"]
     if state is not None:
-        all_ts = [state["ts"]]
         all_ij = [state["ij"]]
         t0 = state["next_time"]
-        loc = IJ(int(state["ij"][-1][0]), int(state["ij"][-1][1]))
+        # np.round, not truncation: with subpixel=True the stored positions are
+        # floats and the resume seed must match _track_many's chaining rounding
+        loc = IJ(int(np.round(state["ij"][-1][0])), int(np.round(state["ij"][-1][1])))
     else:
-        all_ts, all_ij = [], []
+        all_ij = []
         t0 = float(start)
         loc = start_location
 
@@ -91,21 +105,21 @@ def track_resumable(
         t1 = min(t0 + slice_dur, stop)
         expected = int(np.round(fps * (t1 - t0)))
         try:
-            ts_i, ij_i = track(
+            _, ij_i = track(
                 file, start=t0, stop=t1, fps=fps, start_location=loc, **track_kwargs
             )
         except EOFError:  # stream ended exactly at a slice boundary
             done = True
             dirty = True
             break
-        all_ts.append(ts_i)
         all_ij.append(ij_i)
         loc = IJ(int(np.round(ij_i[-1][0])), int(np.round(ij_i[-1][1])))
         t0 = t1
         slices += 1
         if len(ij_i) < expected:  # stream ended inside the slice
             done = True
-        _save(checkpoint_path, np.concatenate(all_ts), np.concatenate(all_ij), t0, done)
+        ij_acc = np.concatenate(all_ij)
+        _save(checkpoint_path, _grid_ts(len(ij_acc)), ij_acc, t0, done)
         dirty = False
         if done:
             break
@@ -115,8 +129,8 @@ def track_resumable(
 
     if not all_ij:
         raise EOFError(f"no frames tracked from {file}")
-    ts_all = np.concatenate(all_ts)
     ij_all = np.concatenate(all_ij)
+    ts_all = _grid_ts(len(ij_all))
     if dirty:
         _save(checkpoint_path, ts_all, ij_all, t0, done)
     return ts_all, ij_all

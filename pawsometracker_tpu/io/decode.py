@@ -261,6 +261,7 @@ class ChunkPrefetcher:
         # page-faulting allocations per chunk
         self._free: queue.Queue = queue.Queue()
         self._err: BaseException | None = None
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -278,17 +279,30 @@ class ChunkPrefetcher:
     def _run(self):
         try:
             remaining = self.max_frames if self.max_frames is not None else math.inf
-            while remaining > 0:
+            while remaining > 0 and not self._stop.is_set():
                 k = int(min(self.chunk_size, remaining))
                 chunk = self.source.read_chunk(k, out=self._buffer())
                 if chunk.shape[0] == 0:
                     break
                 remaining -= chunk.shape[0]
-                self._q.put(chunk)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(chunk, timeout=0.1)
+                        break
+                    except queue.Full:
+                        pass
         except BaseException as e:  # surface decode errors to the consumer
             self._err = e
         finally:
-            self._q.put(None)
+            while True:  # sentinel must land even if the queue is full
+                try:
+                    self._q.put_nowait(None)
+                    break
+                except queue.Full:
+                    try:
+                        self._q.get_nowait()
+                    except queue.Empty:
+                        pass
 
     def __iter__(self):
         while True:
@@ -300,9 +314,14 @@ class ChunkPrefetcher:
             yield item
 
     def close(self):
-        # drain so the producer thread can exit
+        """Stop and JOIN the producer thread. Must be called before closing
+        the underlying source: otherwise the thread may still be inside
+        ``source.read_chunk`` when the source (for the native backend, a C++
+        decoder) is destroyed — a use-after-free."""
+        self._stop.set()
         try:
-            while self._q.get_nowait() is not None:
-                pass
+            while True:
+                self._q.get_nowait()
         except queue.Empty:
             pass
+        self._thread.join(timeout=10.0)

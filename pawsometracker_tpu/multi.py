@@ -65,6 +65,7 @@ def track_multi(
     ts = np.linspace(start, stop, n)
 
     src = open_source(file, start=start, stop=stop, fps=fps, backend=backend)
+    prefetch = None  # joined in finally BEFORE src.close()
     try:
         sar_val = float(sar) if sar is not None else src.info.sar
         frame0 = src.read()
@@ -94,6 +95,8 @@ def track_multi(
                 prefetch.recycle(chunk)
                 last_frame += k
     finally:
+        if prefetch is not None:
+            prefetch.close()
         src.close()
 
     positions = np.concatenate(out, axis=0)

@@ -223,7 +223,7 @@ def _scan_fn_cached(
             out_spec = pl.BlockSpec(
                 (1, T, LANES), lambda b, t, *_: (b, 0, 0), memory_space=pltpu.VMEM
             )
-            frame_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+            frame_spec = pl.BlockSpec(memory_space=pl.ANY)
         else:
             T = frames_u8.shape[0]
             padded = jnp.pad(
@@ -232,7 +232,7 @@ def _scan_fn_cached(
             grid = (T,)
             out_shape = jax.ShapeDtypeStruct((T, LANES), jnp.int32)
             out_spec = pl.BlockSpec((T, LANES), lambda t, *_: (0, 0), memory_space=pltpu.VMEM)
-            frame_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+            frame_spec = pl.BlockSpec(memory_space=pl.ANY)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -26,6 +26,8 @@ def test_resumable_matches_single_run(tmp_path):
     ts_s, ij_s = track(f, fps=24, start_location=IJ(50, 50), target_width=10)
     assert len(ij_r) == len(ij_s)
     np.testing.assert_array_equal(ij_r, ij_s)
+    # timestamps come from the single-run linspace grid — exactly equal
+    np.testing.assert_array_equal(ts_r, ts_s)
     state = load_checkpoint(cp)
     assert state["done"]
 
@@ -49,6 +51,7 @@ def test_interrupt_and_resume(tmp_path):
     ts_s, ij_s = track(f, fps=24, start_location=IJ(50, 50), target_width=10)
     assert len(ij_r) == len(ij_s)
     np.testing.assert_array_equal(ij_r, ij_s)
+    np.testing.assert_array_equal(ts_r, ts_s)
     # RMSE vs ground truth still sub-pixel
     m = min(len(tra), len(ij_r))
     rmse = np.sqrt(np.mean(np.sum((np.asarray(ij_r[:m]) - np.asarray(tra[:m])) ** 2, axis=1)))

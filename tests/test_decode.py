@@ -114,6 +114,19 @@ def test_chunk_prefetcher(counter_video):
     assert ks == [20, 20, 5]
 
 
+def test_chunk_prefetcher_close_joins_thread(counter_video):
+    """close() must stop AND join the producer before the source is destroyed
+    (otherwise the thread can race a native decoder teardown)."""
+    path, fps = counter_video
+    src = OpenCVFrameSource(path, fps=fps)
+    pf = ChunkPrefetcher(src, chunk_size=4, max_frames=45)
+    it = iter(pf)
+    next(it)  # consume one chunk, leave the producer mid-stream
+    pf.close()
+    assert not pf._thread.is_alive()
+    src.close()
+
+
 def test_open_source_auto(counter_video):
     path, fps = counter_video
     src = open_source(path, fps=fps)
