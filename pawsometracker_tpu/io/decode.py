@@ -296,13 +296,15 @@ class ChunkPrefetcher:
         finally:
             while True:  # sentinel must land even if the queue is full
                 try:
-                    self._q.put_nowait(None)
+                    self._q.put(None, timeout=0.1)
                     break
                 except queue.Full:
-                    try:
-                        self._q.get_nowait()
-                    except queue.Empty:
-                        pass
+                    # evict only when closing — a live consumer will drain
+                    if self._stop.is_set():
+                        try:
+                            self._q.get_nowait()
+                        except queue.Empty:
+                            pass
 
     def __iter__(self):
         while True:
