@@ -1,9 +1,13 @@
 """Unit tests for DoG kernel construction (reference: src/PawsomeTracker.jl:30,39-52)."""
 
+import json
 import math
+import os
 
 import numpy as np
 import pytest
+
+FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
 
 from pawsometracker_tpu.ops.dog_kernel import (
     FWHM_TO_SIGMA,
@@ -80,6 +84,42 @@ def test_fix_window_size():
     assert fix_window_size([8, 6]) == (6, 8)
     with pytest.raises(ValueError):
         fix_window_size((1, 2, 3))
+
+
+@pytest.mark.parametrize("tw", [6, 10, 25])
+def test_dog_kernel_matches_golden_fixture(tw):
+    """Byte-exact pin against an INDEPENDENT 50-digit-precision derivation of
+    ImageFiltering.jl's Kernel.DoG (generator: fixtures/gen_dog_fixtures.py,
+    derivation: docs/dog_kernel_derivation.md). Fails on ANY drift in sigma
+    conversion, support, truncation, normalization, or sign."""
+    fix = np.load(os.path.join(FIXTURES, f"dog_tw{tw}_f64.npy"))
+    with open(os.path.join(FIXTURES, f"meta_tw{tw}.json")) as f:
+        meta = json.load(f)
+    k, length = dog_kernel_2d(get_sigma(tw), True)
+    assert length == meta["length"]
+    assert get_sigma(tw) == pytest.approx(meta["sigma"], rel=1e-14)
+    # the float32 kernel must be the exact rounding of the true real values
+    np.testing.assert_array_equal(k, fix.astype(np.float32))
+    # lighter-target kernel is the exact negation
+    k_light, _ = dog_kernel_2d(get_sigma(tw), False)
+    np.testing.assert_array_equal(k_light, -fix.astype(np.float32))
+
+
+def test_full_trace_matches_golden_fixture(tmp_path):
+    """End-to-end drift pin: the tracked trajectory on the standard seed-0
+    spiral clip must be IDENTICAL to the committed trace
+    (generator: fixtures/gen_trace_fixture.py). Catches any behavior change in
+    decode resampling, padding, window slice, argmax tie-break, or clamp."""
+    import helpers
+
+    from pawsometracker_tpu import IJ, track
+
+    golden = np.load(os.path.join(FIXTURES, "trace_spiral.npy"))
+    rng = np.random.default_rng(0)
+    _, tra = helpers.build_trajectory(0.8 * 50, 24, (50, 50), rng)
+    f = helpers.trajectory2video(tra, str(tmp_path), 24, 100, 100, 10, True)
+    ts, ij = track(f, fps=24, start_location=IJ(50, 50), target_width=10)
+    np.testing.assert_array_equal(np.asarray(ij, np.int32), golden)
 
 
 def test_default_gaussian_len_odd():
