@@ -40,6 +40,7 @@ from .models.dog_tracker import (
 )
 from .ops.dog_kernel import fix_window_size, guess_window_size
 from .ops.filters import mode_u8_host
+from .pipeline import roi_geometry, run_roi_pipeline
 
 #: 24 hours minus 1 millisecond (reference: src/PawsomeTracker.jl:19)
 DEFAULT_MAX_DURATION_SECONDS = 86399.999
@@ -112,22 +113,20 @@ def _scan_fn_for(spec, engine: str):
 
 
 #: frames per ROI mini-chunk (position can drift at most `radii` per frame,
-#: so K frames are covered by a crop of half-extent K*radii + L//2)
-DEFAULT_ROI_FRAMES = 8
+#: so K frames are covered by a crop of half-extent (depth+1)*K*radii + L//2);
+#: None = auto (8 synchronous, 4 pipelined — same crop size either way)
+DEFAULT_ROI_FRAMES = None
+
+#: chunks the host may run ahead of the device (see pipeline.run_roi_pipeline)
+DEFAULT_PIPELINE_DEPTH = 1
 
 
-def _crop_with_fill(frame: np.ndarray, o, ch: int, cw: int, fill: int, out=None) -> np.ndarray:
-    """Crop ``frame`` at origin ``o`` (may be out of bounds) to ``(ch, cw)``,
-    filling out-of-frame cells with the mode fill value."""
-    H, W = frame.shape
-    if out is None:
-        out = np.empty((ch, cw), np.uint8)
-    out.fill(fill)
-    r0, c0 = max(0, o[0]), max(0, o[1])
-    r1, c1 = min(H, o[0] + ch), min(W, o[1] + cw)
-    if r1 > r0 and c1 > c0:
-        out[r0 - o[0] : r1 - o[0], c0 - o[1] : c1 - o[1]] = frame[r0:r1, c0:c1]
-    return out
+def _resolve_roi_frames(roi_frames, pipeline_depth: int) -> int:
+    if roi_frames is not None:
+        return int(roi_frames)
+    # keep the crop half-extent (depth+1)*K*r constant across depths: the
+    # pipelined mode halves K so speculation costs no extra bytes per frame
+    return max(1, 8 // (int(pipeline_depth) + 1))
 
 
 def padded_chunks(prefetch: ChunkPrefetcher, chunk_size: int):
@@ -143,15 +142,6 @@ def padded_chunks(prefetch: ChunkPrefetcher, chunk_size: int):
         else:
             chunk_in = chunk
         yield chunk, chunk_in, k
-
-
-def _roi_geometry(spec, k_frames: int):
-    """(crop_h, crop_w, margin) for a K-frame ROI mini-scan."""
-    ri, rj = spec.radii
-    half = spec.kernel_len // 2
-    mi = k_frames * ri + half
-    mj = k_frames * rj + half
-    return 2 * mi + 1, 2 * mj + 1, (mi, mj)
 
 
 def _track_one(
@@ -170,7 +160,8 @@ def _track_one(
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     engine: str = "auto",
     stream: str = "auto",
-    roi_frames: int = DEFAULT_ROI_FRAMES,
+    roi_frames: int | None = DEFAULT_ROI_FRAMES,
+    pipeline_depth: int = DEFAULT_PIPELINE_DEPTH,
     subpixel: bool = False,
 ):
     """Track one file (reference pipeline: src/PawsomeTracker.jl:148-174)."""
@@ -213,84 +204,42 @@ def _track_one(
         # ROI streaming: for large frames, transfer only a drift-bounded crop
         # around the current position per mini-chunk instead of full frames —
         # host->device bytes drop ~(frame/crop) while results stay identical
-        # (the crop provably contains every window the scan can visit).
-        ch, cw, margin = _roi_geometry(spec, roi_frames)
+        # (the crop provably contains every window the scan can visit). With
+        # pipeline_depth >= 1 the crop speculates ahead of the device so no
+        # stage ever blocks on the per-chunk round trip (see pipeline.py).
+        pipeline_depth = max(0, int(pipeline_depth))
+        roi_frames = _resolve_roi_frames(roi_frames, pipeline_depth)
+        ch, cw, _ = roi_geometry(spec, roi_frames, pipeline_depth)
         use_roi = stream == "roi" or (
             stream == "auto" and ch * cw * 2 < frame_shape[0] * frame_shape[1]
         )
 
         timer = Timer()
         if n > 1 and use_roi:
-            H, W = frame_shape
-            roi_spec = make_spec((ch, cw), window_size, target_width, darker_target)
-            roi_fns = tracker_fns(roi_spec)
-            if subpixel:
-                scan_b = roi_fns.scan_sub
-            elif engine == "pallas":
-                # fused bounded kernel (explicit opt-in: in tunnel-attached dev
-                # environments the ROI chunk is RTT-bound, so the XLA scan is
-                # the safer default; on PCIe hosts the fused kernel wins)
-                from .ops.pallas_tracker import pallas_scan_fn
-
-                scan_b = pallas_scan_fn(roi_spec, bounded=True)
-            else:
-                scan_b = roi_fns.scan_bounded
-            crops = np.empty((roi_frames, ch, cw), np.uint8)
-            pos_abs = np.asarray(pos)
             # when diagnostics are off and the native decoder is active, crops
             # are cut in C++ straight from the decode ring: full frames never
             # cross into Python
             from .diagnose import Dont
 
             native_roi = isinstance(dia, Dont) and hasattr(src, "read_roi_chunk")
-
-            def _roi_chunks():
-                if native_roi:
-                    remaining = n - 1
-                    while remaining > 0:
-                        o = (int(pos_abs[0]) - margin[0], int(pos_abs[1]) - margin[1])
-                        with timer.section("crop"):
-                            got = src.read_roi_chunk(
-                                min(roi_frames, remaining), o, ch, cw, fill, out=crops
-                            )
-                        if got.shape[0] == 0:
-                            return
-                        yield None, got.shape[0], o
-                        remaining -= got.shape[0]
-                else:
-                    prefetch = ChunkPrefetcher(src, roi_frames, max_frames=n - 1)
-                    prefetchers.append(prefetch)
-                    for chunk in prefetch:
-                        o = (int(pos_abs[0]) - margin[0], int(pos_abs[1]) - margin[1])
-                        with timer.section("crop"):
-                            for i in range(chunk.shape[0]):
-                                _crop_with_fill(chunk[i], o, ch, cw, fill, out=crops[i])
-                        yield chunk, chunk.shape[0], o
-                        prefetch.recycle(chunk)
-
-            for chunk, k, o in _roi_chunks():
-                for i in range(k, roi_frames):
-                    crops[i] = crops[k - 1]
-                lo = np.maximum([-o[0], -o[1]], 0).astype(np.int32)
-                hi = np.minimum([ch - 1, cw - 1], [H - 1 - o[0], W - 1 - o[1]]).astype(np.int32)
-                pos_rel = jnp.asarray(np.asarray(pos_abs) - np.asarray(o), jnp.int32)
-                with timer.section("device"):
-                    out = scan_b(
-                        jnp.asarray(crops), pos_rel, fill_dev, jnp.asarray(lo), jnp.asarray(hi)
-                    )
-                    if subpixel:
-                        pos_out, offs = np.asarray(out[0]), np.asarray(out[1])
-                        offsets.append(offs[:k])
-                    else:
-                        pos_out = np.asarray(out)
-                valid = pos_out[:k] + np.asarray(o)
-                positions.append(valid)
-                if chunk is not None:
-                    with timer.section("diagnose"):
-                        for i in range(k):
-                            dia(chunk[i], valid[i])
-                pos_abs = valid[-1]
-                last_frame += k
+            pos_blocks, off_blocks, tracked = run_roi_pipeline(
+                src,
+                spec,
+                np.asarray(pos),
+                fill,
+                n - 1,
+                roi_frames=roi_frames,
+                depth=pipeline_depth,
+                engine=engine,
+                subpixel=subpixel,
+                dia=dia,
+                timer=timer,
+                native_roi=native_roi,
+                prefetchers=prefetchers,
+            )
+            positions.extend(pos_blocks)
+            offsets.extend(off_blocks)
+            last_frame += tracked
         elif n > 1:
             if subpixel:
                 fns_full = tracker_fns(spec)
@@ -355,7 +304,8 @@ def track(
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     engine: str = "auto",
     stream: str = "auto",
-    roi_frames: int = DEFAULT_ROI_FRAMES,
+    roi_frames: int | None = DEFAULT_ROI_FRAMES,
+    pipeline_depth: int = DEFAULT_PIPELINE_DEPTH,
     subpixel: bool = False,
 ):
     """Track a blob-like target in a video ``file`` (or list of segment files).
@@ -397,6 +347,7 @@ def track(
             engine=engine,
             stream=stream,
             roi_frames=roi_frames,
+            pipeline_depth=pipeline_depth,
             subpixel=subpixel,
         )
 
@@ -419,6 +370,7 @@ def track(
             engine=engine,
             stream=stream,
             roi_frames=roi_frames,
+            pipeline_depth=pipeline_depth,
             subpixel=subpixel,
         )
 
@@ -440,6 +392,7 @@ def _track_many(
     engine,
     stream,
     roi_frames,
+    pipeline_depth,
     subpixel,
 ):
     """Segmented videos: chain each segment's start from the previous
@@ -479,6 +432,7 @@ def _track_many(
                 engine=engine,
                 stream=stream,
                 roi_frames=roi_frames,
+                pipeline_depth=pipeline_depth,
                 subpixel=subpixel,
             )
             tss.append(ts_i)

@@ -59,7 +59,8 @@ def track_batch(
     backend: str = "auto",
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     stream: str = "auto",
-    roi_frames: int = 8,
+    roi_frames: int | None = None,
+    pipeline_depth: int = 1,
     diagnostic_files=None,
 ):
     """Track one target in each of ``files`` concurrently on the device.
@@ -144,12 +145,17 @@ def track_batch(
             dias.append(d)
 
         # ROI streaming (mirrors api._track_one): ship only drift-bounded
-        # crops per video instead of full frames — the batch analog transfers
-        # B small crops per round, which is what makes multi-video batching
-        # actually faster than sequential tracking on transfer-limited links
-        from .api import _crop_with_fill, _roi_geometry
+        # crops per video instead of full frames, speculatively PIPELINED
+        # (see pipeline.py): the host crops chunk c around positions at most
+        # depth*K frames stale (the margin covers the drift geometrically) and
+        # chunk scans chain their start positions on device, so the batch
+        # never blocks on a per-chunk host<->device round trip.
+        from .api import _resolve_roi_frames
+        from .pipeline import _crop_with_fill, make_chained_batch, roi_geometry
 
-        ch, cw, margin = _roi_geometry(spec, roi_frames)
+        pipeline_depth = max(0, int(pipeline_depth))
+        roi_frames = _resolve_roi_frames(roi_frames, pipeline_depth)
+        ch, cw, margin = roi_geometry(spec, roi_frames, pipeline_depth)
         use_roi = stream == "roi" or (
             stream == "auto" and ch * cw * 2 < frame_shape[0] * frame_shape[1]
         )
@@ -157,8 +163,7 @@ def track_batch(
             chunk_size = roi_frames
             roi_spec = make_spec((ch, cw), window_size, target_width, darker_target)
             roi_engine = ShardedBatchTracker(roi_spec, mesh)
-            crops = np.empty((B, roi_frames, ch, cw), np.uint8)
-            pos_rel0 = np.tile(np.array(margin, np.int32), (B, 1))
+            scan_chain = make_chained_batch(roi_engine.scan_bounded)
 
         prefetcher_objs = [
             ChunkPrefetcher(s, chunk_size, max_frames=n - 1) for s, n in zip(sources, ns)
@@ -166,14 +171,12 @@ def track_batch(
         prefetchers = [iter(p) for p in prefetcher_objs]
         active = [True] * B
         last_frames = [frames0[b] for b in range(B)]
-        pos_host = np.array(pos)  # writable host copy of the carried positions
-        if not use_roi:
-            batch = np.empty((B, chunk_size) + frame_shape, np.uint8)
-
+        pos_host = np.array(pos)  # newest DOWNLOADED positions per video
         H, W = frame_shape
-        while any(active):
+
+        def _gather():
+            """One chunk per active video; marks EOF videos inactive."""
             valid = np.zeros(B, np.int64)
-            origins = np.zeros((B, 2), np.int64)
             chunks = [None] * B
             for b in range(B):
                 if active[b]:
@@ -189,34 +192,87 @@ def track_batch(
                         chunks[b] = chunk
                         if k < chunk_size:
                             active[b] = False
-            if valid.sum() == 0:
-                break
+            return valid, chunks
 
-            if use_roi:
+        if use_roi:
+            from collections import deque
+
+            # rotating crop buffers: reused only after the chunk's result is
+            # drained, so in-flight transfers never read a mutated buffer
+            free_bufs = [
+                np.empty((B, chunk_size, ch, cw), np.uint8)
+                for _ in range(pipeline_depth + 2)
+            ]
+            pending: deque = deque()
+            prev_out = None
+            prev_origins = None
+
+            def drain_one():
+                out, origins_e, valid_e, chunks_e, buf = pending.popleft()
+                out_np = np.asarray(out)  # blocks
                 for b in range(B):
-                    o = (int(pos_host[b, 0]) - margin[0], int(pos_host[b, 1]) - margin[1])
-                    origins[b] = o
+                    k = int(valid_e[b])
+                    if k > 0:
+                        abs_b = out_np[b, :k].astype(np.int64) + origins_e[b]
+                        positions[b].append(abs_b)
+                        counts[b] += k
+                        pos_host[b] = abs_b[-1]
+                        for i in range(k):
+                            dias[b](chunks_e[b][i], abs_b[i])
+                    if chunks_e[b] is not None:
+                        prefetcher_objs[b].recycle(chunks_e[b])
+                free_bufs.append(buf)
+
+            while any(active):
+                while len(pending) > pipeline_depth:
+                    drain_one()
+                valid, chunks = _gather()
+                if valid.sum() == 0:
+                    break
+                origins = pos_host.astype(np.int64) - np.asarray(margin)
+                buf = free_bufs.pop()
+                for b in range(B):
                     k = int(valid[b])
                     if k > 0:
                         for i in range(k):
-                            _crop_with_fill(chunks[b][i], o, ch, cw, int(fills[b]), out=crops[b, i])
+                            _crop_with_fill(
+                                chunks[b][i], origins[b], ch, cw, int(fills[b]), out=buf[b, i]
+                            )
                         for i in range(k, chunk_size):
-                            crops[b, i] = crops[b, k - 1]
+                            buf[b, i] = buf[b, k - 1]
                     else:
-                        crops[b] = fills[b]
+                        buf[b] = fills[b]
                 lo = np.maximum(-origins, 0).astype(np.int32)
                 hi = np.minimum(
                     [[ch - 1, cw - 1]] * B, np.array([[H - 1, W - 1]]) - origins
                 ).astype(np.int32)
-                out = roi_engine.scan_bounded(
-                    roi_engine.shard_chunk(crops),
-                    jnp.asarray(pos_rel0),
-                    fills_dev,
-                    roi_engine.shard_chunk(lo),
-                    roi_engine.shard_chunk(hi),
-                )
-                scan_host = np.asarray(out) + origins[:, None, :]
-            else:
+                if prev_out is None:
+                    out = roi_engine.scan_bounded(
+                        roi_engine.shard_chunk(buf),
+                        jnp.asarray((pos_host - origins).astype(np.int32)),
+                        fills_dev,
+                        roi_engine.shard_chunk(lo),
+                        roi_engine.shard_chunk(hi),
+                    )
+                else:
+                    out = scan_chain(
+                        roi_engine.shard_chunk(buf),
+                        prev_out,
+                        jnp.asarray((prev_origins - origins).astype(np.int32)),
+                        fills_dev,
+                        roi_engine.shard_chunk(lo),
+                        roi_engine.shard_chunk(hi),
+                    )
+                prev_out, prev_origins = out, origins
+                pending.append((out, origins, valid, chunks, buf))
+            while pending:
+                drain_one()
+        else:
+            batch = np.empty((B, chunk_size) + frame_shape, np.uint8)
+            while any(active):
+                valid, chunks = _gather()
+                if valid.sum() == 0:
+                    break
                 for b in range(B):
                     k = int(valid[b])
                     if k > 0:
@@ -227,20 +283,21 @@ def track_batch(
                     else:
                         batch[b] = last_frames[b]
                 out = engine.scan(
-                    engine.shard_chunk(batch), engine.shard_chunk(pos_host.astype(np.int32)), fills_dev
+                    engine.shard_chunk(batch),
+                    engine.shard_chunk(pos_host.astype(np.int32)),
+                    fills_dev,
                 )
                 scan_host = np.asarray(out)
-
-            for b in range(B):
-                k = int(valid[b])
-                if k > 0:
-                    positions[b].append(scan_host[b, :k])
-                    counts[b] += k
-                    pos_host[b] = scan_host[b, k - 1]
-                    for i in range(k):
-                        dias[b](chunks[b][i], scan_host[b, i])
-                if chunks[b] is not None:
-                    prefetcher_objs[b].recycle(chunks[b])
+                for b in range(B):
+                    k = int(valid[b])
+                    if k > 0:
+                        positions[b].append(scan_host[b, :k])
+                        counts[b] += k
+                        pos_host[b] = scan_host[b, k - 1]
+                        for i in range(k):
+                            dias[b](chunks[b][i], scan_host[b, i])
+                    if chunks[b] is not None:
+                        prefetcher_objs[b].recycle(chunks[b])
     finally:
         for p in locals().get("prefetcher_objs", []):
             p.close()  # join decode threads BEFORE destroying the sources

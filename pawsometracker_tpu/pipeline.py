@@ -1,0 +1,232 @@
+"""Speculative / pipelined ROI streaming.
+
+Round-1 ROI streaming serialized each mini-chunk on a full host<->device round
+trip: the device scan waited for the chunk's crop upload, and the next crop
+waited for the scan's final position. This module removes both waits:
+
+- **Geometric speculation (no mispredicts).** The tracker's position moves at
+  most ``radii`` per frame (one window step, reference hot loop:
+  src/PawsomeTracker.jl:55-62), so a crop of half-extent
+  ``(depth+1)*K*radii + L//2`` centered on a position that is at most
+  ``depth*K`` frames stale PROVABLY contains every search window (+ kernel
+  apron) the next K-frame scan can visit. The host can therefore run ``depth``
+  chunks ahead of the device with bit-identical results and no validation /
+  redo logic.
+- **On-device position chaining.** Chunk ``c``'s scan consumes chunk
+  ``c-1``'s final position directly on the device:
+  ``pos0_rel(c) = out(c-1)[-1] + (origin(c-1) - origin(c))`` where the origin
+  delta is a host-known constant. Scans dispatch back-to-back; the host only
+  *downloads* positions ``depth`` chunks behind (for diagnostics, results, and
+  to center future crops).
+
+``depth=0`` reproduces the synchronous round-1 behavior exactly (same crops,
+same margins); ``depth>=1`` is the pipelined mode. Positions are bit-identical
+across depths — asserted by tests/test_roi_stream.py.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+
+from .io.decode import ChunkPrefetcher
+from .models.dog_tracker import make_spec, tracker_fns
+
+__all__ = ["roi_geometry", "make_chained", "run_roi_pipeline"]
+
+
+def roi_geometry(spec, k_frames: int, depth: int = 0):
+    """``(crop_h, crop_w, margin)`` for K-frame ROI mini-scans at pipeline
+    ``depth`` (the number of chunks the host may run ahead of the device)."""
+    ri, rj = spec.radii
+    half = spec.kernel_len // 2
+    mi = (depth + 1) * k_frames * ri + half
+    mj = (depth + 1) * k_frames * rj + half
+    return 2 * mi + 1, 2 * mj + 1, (mi, mj)
+
+
+def make_chained(scan_bounded):
+    """Wrap a bounded scan ``fn(frames, pos0, fill, lo, hi)`` so the start
+    position is computed ON DEVICE from the previous chunk's (lazy) final
+    position plus a host-known origin delta — the link that lets consecutive
+    chunk scans dispatch without a host round-trip."""
+    import jax
+    import jax.numpy as jnp
+
+    def chained(frames, prev_all, delta, fill, lo, hi):
+        # prev_all is the previous chunk's [K, 2] positions; only full chunks
+        # are ever followed by another chunk (short == EOF), so [-1] is valid
+        return scan_bounded(frames, (prev_all[-1] + delta).astype(jnp.int32), fill, lo, hi)
+
+    return jax.jit(chained)
+
+
+def make_chained_batch(scan_bounded_batch):
+    """Batched analog of :func:`make_chained`: ``prev_all`` is ``[B, K, 2]``,
+    ``delta`` is ``[B, 2]``."""
+    import jax
+    import jax.numpy as jnp
+
+    def chained(frames, prev_all, delta, fills, lo, hi):
+        return scan_bounded_batch(
+            frames, (prev_all[:, -1] + delta).astype(jnp.int32), fills, lo, hi
+        )
+
+    return jax.jit(chained)
+
+
+def _crop_with_fill(frame: np.ndarray, o, ch: int, cw: int, fill: int, out=None) -> np.ndarray:
+    """Crop ``frame`` at origin ``o`` (may be out of bounds) to ``(ch, cw)``,
+    filling out-of-frame cells with the mode fill value."""
+    H, W = frame.shape
+    if out is None:
+        out = np.empty((ch, cw), np.uint8)
+    out.fill(fill)
+    r0, c0 = max(0, o[0]), max(0, o[1])
+    r1, c1 = min(H, o[0] + ch), min(W, o[1] + cw)
+    if r1 > r0 and c1 > c0:
+        out[r0 - o[0] : r1 - o[0], c0 - o[1] : c1 - o[1]] = frame[r0:r1, c0:c1]
+    return out
+
+
+def run_roi_pipeline(
+    src,
+    spec,
+    pos0_abs: np.ndarray,
+    fill: int,
+    n_rest: int,
+    *,
+    roi_frames: int,
+    depth: int,
+    engine: str,
+    subpixel: bool,
+    dia,
+    timer,
+    native_roi: bool,
+    prefetchers: list,
+):
+    """Track ``n_rest`` frames of ``src`` by pipelined ROI streaming.
+
+    Returns ``(position_arrays, offset_arrays, frames_tracked)`` where each
+    array in ``position_arrays`` is an absolute int ``[k, 2]`` block.
+    ``prefetchers`` collects any ChunkPrefetcher created here so the caller's
+    ``finally`` can join its thread before closing ``src``.
+    """
+    import jax.numpy as jnp
+
+    H, W = spec.frame_shape
+    K = roi_frames
+    ch, cw, margin = roi_geometry(spec, K, depth)
+    roi_spec = make_spec((ch, cw), spec.window_size, spec.target_width, spec.darker_target)
+    base = tracker_fns(roi_spec)
+    if subpixel:
+        scan_first, scan_chain = base.scan_sub, make_chained(base.scan_sub)
+    elif engine == "pallas":
+        from .ops.pallas_tracker import pallas_scan_fn
+
+        pal = pallas_scan_fn(roi_spec, bounded=True)
+        scan_first, scan_chain = pal, make_chained(pal)
+    else:
+        scan_first, scan_chain = base.scan_bounded, make_chained(base.scan_bounded)
+
+    fill_dev = np.uint8(fill)
+    # rotating crop buffers: a buffer is reused only after its chunk's result
+    # is drained, so an in-flight device transfer never reads a mutated buffer
+    free_bufs = [np.empty((K, ch, cw), np.uint8) for _ in range(depth + 2)]
+
+    positions: list[np.ndarray] = []
+    offsets: list[np.ndarray] = []
+    tracked = 0
+    P_abs = np.asarray(pos0_abs, np.int64)  # newest DOWNLOADED position
+    prev_out = None  # device handle: previous chunk's positions [K, 2]
+    prev_origin = None
+    pending: deque = deque()  # (out, off, origin, k, frames_for_dia, buf)
+
+    def drain_one():
+        nonlocal P_abs, tracked
+        out, off, origin, k, frames, buf = pending.popleft()
+        with timer.section("drain"):
+            out_np = np.asarray(out)
+        valid = out_np[:k].astype(np.int64) + origin
+        positions.append(valid)
+        if off is not None:
+            offsets.append(np.asarray(off)[:k])
+        if frames is not None:
+            with timer.section("diagnose"):
+                for i in range(k):
+                    dia(frames[i], valid[i])
+            prefetch.recycle(frames)
+        P_abs = valid[-1]
+        tracked += k
+        free_bufs.append(buf)
+
+    def dispatch(buf, k, origin):
+        nonlocal prev_out, prev_origin
+        lo = np.maximum([-origin[0], -origin[1]], 0).astype(np.int32)
+        hi = np.minimum([ch - 1, cw - 1], [H - 1 - origin[0], W - 1 - origin[1]]).astype(
+            np.int32
+        )
+        with timer.section("device"):
+            if prev_out is None:
+                pos_rel = jnp.asarray((P_abs - origin).astype(np.int32))
+                out = scan_first(buf, pos_rel, fill_dev, jnp.asarray(lo), jnp.asarray(hi))
+            else:
+                delta = jnp.asarray((prev_origin - origin).astype(np.int32))
+                out = scan_chain(
+                    buf, prev_out, delta, fill_dev, jnp.asarray(lo), jnp.asarray(hi)
+                )
+        if subpixel:
+            out, off = out
+        else:
+            off = None
+        prev_out, prev_origin = out, origin
+        return out, off
+
+    from .diagnose import Dont
+
+    dia_off = isinstance(dia, Dont)
+
+    if native_roi:
+        remaining = n_rest
+        while remaining > 0:
+            while len(pending) > depth:
+                drain_one()
+            origin = np.array([P_abs[0] - margin[0], P_abs[1] - margin[1]], np.int64)
+            buf = free_bufs.pop()
+            with timer.section("crop"):
+                got = src.read_roi_chunk(
+                    min(K, remaining), (int(origin[0]), int(origin[1])), ch, cw, fill, out=buf
+                )
+            k = got.shape[0]
+            if k == 0:
+                free_bufs.append(buf)
+                break
+            for i in range(k, K):
+                buf[i] = buf[k - 1]
+            out, off = dispatch(buf, k, origin)
+            pending.append((out, off, origin, k, None, buf))
+            remaining -= k
+    else:
+        prefetch = ChunkPrefetcher(src, K, max_frames=n_rest)
+        prefetchers.append(prefetch)
+        for chunk in prefetch:
+            while len(pending) > depth:
+                drain_one()
+            origin = np.array([P_abs[0] - margin[0], P_abs[1] - margin[1]], np.int64)
+            buf = free_bufs.pop()
+            k = chunk.shape[0]
+            with timer.section("crop"):
+                for i in range(k):
+                    _crop_with_fill(chunk[i], origin, ch, cw, fill, out=buf[i])
+            for i in range(k, K):
+                buf[i] = buf[k - 1]
+            out, off = dispatch(buf, k, origin)
+            if dia_off:
+                prefetch.recycle(chunk)
+                chunk = None
+            pending.append((out, off, origin, k, chunk, buf))
+
+    while pending:
+        drain_one()
+    return positions, offsets, tracked

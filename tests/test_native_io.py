@@ -152,7 +152,7 @@ def test_track_h264_end_to_end(tmp_path):
 
 def test_native_roi_chunk_matches_python_crop(counter_video):
     """C++ ring-side cropping must equal decode-then-numpy-crop."""
-    from pawsometracker_tpu.api import _crop_with_fill
+    from pawsometracker_tpu.pipeline import _crop_with_fill
 
     with native_io.NativeFrameSource(counter_video, fps=24) as ns:
         full = ns.read_chunk(10)

@@ -1,23 +1,29 @@
 """ROI streaming scan: must produce IDENTICAL positions to full-frame
-streaming (the crop provably contains every window the scan can visit)."""
+streaming (the crop provably contains every window the scan can visit), at
+every pipeline depth (speculative margins cover the worst-case drift)."""
 
 import numpy as np
 import pytest
 
 from pawsometracker_tpu import IJ, track
-from pawsometracker_tpu.api import _crop_with_fill, _roi_geometry
 from pawsometracker_tpu.models.dog_tracker import make_spec
+from pawsometracker_tpu.pipeline import _crop_with_fill, roi_geometry
 
 import helpers
 
 
 def test_roi_geometry():
     spec = make_spec((1080, 1920), 41, 25, True)
-    ch, cw, (mi, mj) = _roi_geometry(spec, 8)
+    ch, cw, (mi, mj) = roi_geometry(spec, 8)
     ri = 20
     half = spec.kernel_len // 2
     assert mi == 8 * ri + half
     assert ch == 2 * mi + 1 and cw == 2 * mj + 1
+    # pipelined margin covers depth*K frames of staleness on top
+    ch1, cw1, (mi1, mj1) = roi_geometry(spec, 8, depth=1)
+    assert mi1 == 2 * 8 * ri + half
+    # halving K at depth 1 reproduces the synchronous crop size exactly
+    assert roi_geometry(spec, 4, depth=1)[:2] == roi_geometry(spec, 8, depth=0)[:2]
 
 
 def test_crop_with_fill():
@@ -32,18 +38,20 @@ def test_crop_with_fill():
 
 
 @pytest.mark.parametrize("start_ij", [(50, 50), (20, 80)])
-def test_roi_matches_full(tmp_path, start_ij):
+@pytest.mark.parametrize("depth", [0, 1, 2])
+def test_roi_matches_full(tmp_path, start_ij, depth):
     rng = np.random.default_rng(21)
     _, tra = helpers.build_trajectory(28, 24, start_ij, rng)
     f = helpers.trajectory2video(tra, str(tmp_path), 24, 100, 100, 10, True)
     kw = dict(fps=24, start_location=IJ(*start_ij), target_width=10)
     ts_f, ij_f = track(f, stream="full", **kw)
-    ts_r, ij_r = track(f, stream="roi", roi_frames=4, **kw)
+    ts_r, ij_r = track(f, stream="roi", roi_frames=4, pipeline_depth=depth, **kw)
     np.testing.assert_array_equal(ij_r, ij_f)
     np.testing.assert_allclose(ts_r, ts_f)
 
 
-def test_roi_near_edges(tmp_path):
+@pytest.mark.parametrize("depth", [0, 1, 3])
+def test_roi_near_edges(tmp_path, depth):
     """Target hugging frame edges: clamp semantics must match the full path."""
     import cv2
 
@@ -59,16 +67,64 @@ def test_roi_near_edges(tmp_path):
     f = helpers.write_video(frames, str(tmp_path / "edge"), 24)
     kw = dict(fps=24, start_location=IJ(30, 30), target_width=8)
     _, ij_f = track(f, stream="full", **kw)
-    _, ij_r = track(f, stream="roi", roi_frames=4, **kw)
+    _, ij_r = track(f, stream="roi", roi_frames=4, pipeline_depth=depth, **kw)
     np.testing.assert_array_equal(ij_r, ij_f)
     assert (ij_f >= 0).all()
+
+
+def test_roi_pipelined_subpixel_matches_sync(tmp_path):
+    rng = np.random.default_rng(22)
+    _, tra = helpers.build_trajectory(28, 24, (50, 50), rng)
+    f = helpers.trajectory2video(tra, str(tmp_path), 24, 100, 100, 10, True)
+    kw = dict(fps=24, start_location=IJ(50, 50), target_width=10, subpixel=True)
+    _, ij_s = track(f, stream="roi", roi_frames=4, pipeline_depth=0, **kw)
+    _, ij_p = track(f, stream="roi", roi_frames=4, pipeline_depth=2, **kw)
+    assert ij_s.dtype == np.float64
+    np.testing.assert_array_equal(ij_p, ij_s)
+
+
+def test_roi_pipelined_with_diagnostics(tmp_path):
+    """Diagnostic overlay frames are emitted with a lag in pipelined mode but
+    must cover the same frames in order (file exists, full trajectory)."""
+    rng = np.random.default_rng(23)
+    _, tra = helpers.build_trajectory(28, 24, (50, 50), rng)
+    f = helpers.trajectory2video(tra, str(tmp_path), 24, 100, 100, 10, True)
+    dia = str(tmp_path / "diag.mp4")
+    _, ij = track(
+        f, fps=24, start_location=IJ(50, 50), target_width=10,
+        stream="roi", roi_frames=4, pipeline_depth=2, diagnostic_file=dia,
+    )
+    import cv2
+
+    cap = cv2.VideoCapture(dia)
+    assert cap.isOpened()
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    # frames 2..n only (frame 1 sets the scale ratio; reference semantics)
+    assert n == len(ij) - 1
+
+
+def test_batch_roi_pipelined_matches_single(tmp_path):
+    from pawsometracker_tpu.batch import track_batch
+
+    rng = np.random.default_rng(24)
+    _, tra = helpers.build_trajectory(28, 24, (40, 60), rng)
+    f = helpers.trajectory2video(tra, str(tmp_path), 24, 100, 100, 10, True)
+    kw = dict(fps=24, start_location=IJ(40, 60), target_width=10)
+    _, ij_single = track(f, **kw)
+    for depth in (0, 2):
+        results = track_batch(
+            [f, f], stream="roi", roi_frames=4, pipeline_depth=depth, **kw
+        )
+        for ts_b, ij_b in results:
+            np.testing.assert_array_equal(ij_b, ij_single)
 
 
 def test_roi_auto_selection():
     # auto picks ROI only when the crop is much smaller than the frame
     spec_big = make_spec((1080, 1920), 41, 25, True)
-    ch, cw, _ = _roi_geometry(spec_big, 8)
+    ch, cw, _ = roi_geometry(spec_big, 8)
     assert ch * cw * 2 < 1080 * 1920
     spec_small = make_spec((100, 100), 21, 10, True)
-    ch2, cw2, _ = _roi_geometry(spec_small, 8)
+    ch2, cw2, _ = roi_geometry(spec_small, 8)
     assert not (ch2 * cw2 * 2 < 100 * 100)
