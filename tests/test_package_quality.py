@@ -67,6 +67,23 @@ def test_no_heavy_import_side_effects():
     assert r.returncode == 0 and "clean" in r.stdout, r.stdout + r.stderr
 
 
+def test_packaging_metadata():
+    """pyproject.toml exists, installs a `pawsometrack` console script, and
+    agrees with the package version (reference analog: Project.toml)."""
+    import os
+    import tomllib
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "pyproject.toml"), "rb") as f:
+        meta = tomllib.load(f)
+    assert meta["project"]["name"] == "pawsometracker-tpu"
+    assert meta["project"]["version"] == pkg.__version__
+    assert meta["project"]["scripts"]["pawsometrack"] == "pawsometracker_tpu.__main__:main"
+    # the lazily-built native sources ship with the wheel
+    native_data = meta["tool"]["setuptools"]["package-data"]["pawsometracker_tpu.io.native"]
+    assert "pawsio.cpp" in native_data and "Makefile" in native_data
+
+
 def test_api_signature_stability():
     sig = inspect.signature(pkg.track)
     expected = {
