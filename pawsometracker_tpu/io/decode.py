@@ -19,10 +19,14 @@ from zero); when consecutive input frames map to slots ``n1 < n2`` the first
 frame is emitted for every slot in ``[n1, n2)`` (duplication); frames mapping
 to an already-filled slot are dropped; the final frame is emitted once at EOF.
 
-Known limitation: this OpenCV backend derives input timestamps from the frame
-counter and the container's nominal rate (constant-frame-rate assumption); the
-native backend uses real per-frame pts, so for variable-frame-rate content the
-native backend is authoritative.
+Input timestamps: the OpenCV backend uses the frame counter and the
+container's nominal rate (exact rational arithmetic) while the stream looks
+constant-frame-rate, and switches permanently to the container's per-frame pts
+(``CAP_PROP_POS_MSEC``) the first time a frame's pts deviates from the counter
+by more than half an input interval (variable-frame-rate content). The native
+backend always uses real per-frame pts and is authoritative for VFR: OpenCV's
+own demux layer can duplicate/drop frames around irregular timestamps, so the
+fallback is best-effort there (tested to agree on resampling *structure*).
 """
 
 from __future__ import annotations
@@ -135,6 +139,7 @@ class OpenCVFrameSource:
         self._emit_slot = 0  # next output slot to produce
         self._flushed = False
         self._prev_gray: np.ndarray | None = None
+        self._pts_mode = False  # sticky: container pts proved non-CFR
 
     # -- raw decode ---------------------------------------------------------
     def _next_input(self):
@@ -145,8 +150,21 @@ class OpenCVFrameSource:
             ok, frame = self.cap.read()
             if not ok:
                 return None
-            t = Fraction(self._in_idx) / self._native_frac
+            t_count = Fraction(self._in_idx) / self._native_frac
             self._in_idx += 1
+            msec = float(self.cap.get(cv2.CAP_PROP_POS_MSEC) or 0.0)
+            if msec > 0:
+                t_pts = Fraction(round(msec * 1000), 1000000)
+                if not self._pts_mode and (
+                    abs(t_pts - t_count) * self._native_frac > Fraction(1, 2)
+                ):
+                    # PTS-true decode: the container pts disagrees with the
+                    # constant-frame-rate counter — VFR content; trust pts
+                    # from here on (sticky so the timeline stays consistent)
+                    self._pts_mode = True
+                t = t_pts if self._pts_mode else t_count
+            else:
+                t = t_count
             tp = t - self._start_frac
             if tp < Fraction(-1, 2) / self._native_frac:
                 continue  # still before start: decode-and-discard

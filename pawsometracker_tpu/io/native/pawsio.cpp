@@ -542,8 +542,11 @@ void pawsio_close(void *h) { delete static_cast<Decoder *>(h); }
 // ---------------------------------------------------------------------------
 // Encoder
 
-void *pawsio_enc_open_sar(const char *path, int w, int h, double fps, int sar_num,
-                          int sar_den) {
+// tb_den > 0 selects an explicit fine-grained time base {tb_num, tb_den} for
+// variable-frame-rate writing via pawsio_enc_write_pts; tb_den == 0 keeps the
+// constant-frame-rate 1/fps time base.
+static void *enc_open_impl(const char *path, int w, int h, double fps, int sar_num,
+                           int sar_den, int tb_num, int tb_den) {
   auto e = new Encoder();
   e->width = w;
   e->height = h;
@@ -566,8 +569,12 @@ void *pawsio_enc_open_sar(const char *path, int w, int h, double fps, int sar_nu
   e->enc->height = h;
   e->enc->pix_fmt = AV_PIX_FMT_YUV420P;
   AVRational fr = av_d2q(fps, 1 << 24);
-  e->enc->time_base = av_inv_q(fr);
-  e->enc->framerate = fr;
+  if (tb_den > 0) {
+    e->enc->time_base = {tb_num, tb_den};
+  } else {
+    e->enc->time_base = av_inv_q(fr);
+    e->enc->framerate = fr;
+  }
   e->enc->gop_size = 12;
   if (sar_num > 0 && sar_den > 0)
     e->enc->sample_aspect_ratio = {sar_num, sar_den};  // anamorphic pixels
@@ -576,6 +583,13 @@ void *pawsio_enc_open_sar(const char *path, int w, int h, double fps, int sar_nu
   if (codec->id == AV_CODEC_ID_H264) {
     av_opt_set(e->enc->priv_data, "preset", "veryfast", 0);
     av_opt_set(e->enc->priv_data, "crf", "23", 0);
+    // VFR mode (test-harness fixtures): no B-frames, so decode order ==
+    // display order — consumers that key frames off the container pts (e.g.
+    // OpenCV) stay consistent — and lossless so frame identity survives
+    if (tb_den > 0) {
+      av_opt_set(e->enc->priv_data, "bf", "0", 0);
+      av_opt_set(e->enc->priv_data, "crf", "0", 0);
+    }
   }
   if ((ret = avcodec_open2(e->enc, codec, nullptr)) < 0) {
     set_averror("enc avcodec_open2", ret);
@@ -609,12 +623,23 @@ void *pawsio_enc_open_sar(const char *path, int w, int h, double fps, int sar_nu
   return e;
 }
 
-void *pawsio_enc_open(const char *path, int w, int h, double fps) {
-  return pawsio_enc_open_sar(path, w, h, fps, 1, 1);
+void *pawsio_enc_open_sar(const char *path, int w, int h, double fps, int sar_num,
+                          int sar_den) {
+  return enc_open_impl(path, w, h, fps, sar_num, sar_den, 0, 0);
 }
 
-int pawsio_enc_write(void *h, const uint8_t *gray) {
-  auto e = static_cast<Encoder *>(h);
+void *pawsio_enc_open(const char *path, int w, int h, double fps) {
+  return enc_open_impl(path, w, h, fps, 1, 1, 0, 0);
+}
+
+// Variable-frame-rate encoder: frames carry explicit pts in {tb_num, tb_den}
+// ticks (use pawsio_enc_write_pts). Used by the test harness to synthesize
+// VFR fixtures that exercise PTS-true decode on both backends.
+void *pawsio_enc_open_vfr(const char *path, int w, int h, int tb_num, int tb_den) {
+  return enc_open_impl(path, w, h, 30.0, 1, 1, tb_num, tb_den);
+}
+
+static int enc_write_impl(Encoder *e, const uint8_t *gray, int64_t pts) {
   av_frame_make_writable(e->frame);
   // GRAY8 -> yuv420p: copy luma, neutral chroma
   for (int r = 0; r < e->height; r++)
@@ -624,13 +649,23 @@ int pawsio_enc_write(void *h, const uint8_t *gray) {
     std::memset(e->frame->data[1] + (size_t)r * e->frame->linesize[1], 128, e->width / 2);
     std::memset(e->frame->data[2] + (size_t)r * e->frame->linesize[2], 128, e->width / 2);
   }
-  e->frame->pts = e->next_pts++;
+  e->frame->pts = pts;
+  e->next_pts = pts + 1;
   int ret = avcodec_send_frame(e->enc, e->frame);
   if (ret < 0) {
     set_averror("send_frame", ret);
     return -1;
   }
   return e->drain();
+}
+
+int pawsio_enc_write(void *h, const uint8_t *gray) {
+  auto e = static_cast<Encoder *>(h);
+  return enc_write_impl(e, gray, e->next_pts);
+}
+
+int pawsio_enc_write_pts(void *h, const uint8_t *gray, int64_t pts) {
+  return enc_write_impl(static_cast<Encoder *>(h), gray, pts);
 }
 
 int pawsio_enc_close(void *h) {

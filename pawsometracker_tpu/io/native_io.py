@@ -120,6 +120,20 @@ def _load():
         lib.pawsio_enc_open_sar.restype = ctypes.c_void_p
         lib.pawsio_enc_write.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
         lib.pawsio_enc_write.restype = ctypes.c_int
+        lib.pawsio_enc_open_vfr.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.pawsio_enc_open_vfr.restype = ctypes.c_void_p
+        lib.pawsio_enc_write_pts.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+        ]
+        lib.pawsio_enc_write_pts.restype = ctypes.c_int
         lib.pawsio_enc_close.argtypes = [ctypes.c_void_p]
         lib.pawsio_enc_close.restype = ctypes.c_int
         _lib = lib
@@ -251,6 +265,48 @@ class NativeFrameSource:
     def __del__(self):
         try:
             self.close()
+        except Exception:
+            pass
+
+
+class NativeVFRWriter:
+    """GRAY8 -> H.264 encoder with EXPLICIT per-frame timestamps (variable
+    frame rate). Time base is 1/90000 s (the MPEG transport convention). Used
+    to synthesize VFR fixtures for PTS-true decode tests."""
+
+    TIMEBASE = 90000
+
+    def __init__(self, path: str, width: int, height: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native pawsio library unavailable")
+        self._lib = lib
+        self.width = int(width)
+        self.height = int(height)
+        self._h = lib.pawsio_enc_open_vfr(
+            str(path).encode(), self.width, self.height, 1, self.TIMEBASE
+        )
+        if not self._h:
+            raise IOError(f"could not open VFR encoder for {path} ({_last_error(lib)})")
+
+    def write(self, gray: np.ndarray, t_seconds: float):
+        """Append a frame displayed at ``t_seconds``."""
+        gray = np.ascontiguousarray(gray, np.uint8)
+        assert gray.shape == (self.height, self.width)
+        pts = int(round(float(t_seconds) * self.TIMEBASE))
+        if self._lib.pawsio_enc_write_pts(
+            self._h, gray.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), pts
+        ) != 0:
+            raise IOError(f"encode error: {_last_error(self._lib)}")
+
+    def release(self):
+        if self._h:
+            self._lib.pawsio_enc_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.release()
         except Exception:
             pass
 

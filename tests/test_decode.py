@@ -134,3 +134,81 @@ def test_open_source_auto(counter_video):
         assert src.read().shape == (64, 64)
     finally:
         src.close()
+
+
+# -- variable frame rate: PTS-true decode on BOTH backends -------------------
+
+
+@pytest.fixture(scope="module")
+def vfr_video(tmp_path_factory):
+    """VFR clip (needs the native encoder): a blob moving as a function of
+    TIME, 24fps for 2 s then 12fps for 2 s. A constant-frame-rate assumption
+    mis-times the second half by 2x."""
+    from pawsometracker_tpu.io.native_io import native_available
+
+    if not native_available():
+        pytest.skip("native encoder unavailable")
+    import cv2
+
+    from pawsometracker_tpu.io.native_io import NativeVFRWriter
+
+    d = tmp_path_factory.mktemp("vfr")
+    path = str(d / "vfr.mp4")
+    times = [k / 24 for k in range(48)] + [2.0 + k / 12 for k in range(24)]
+    w = NativeVFRWriter(path, 100, 100)
+    for t in times:
+        ij = (int(20 + 15 * t), int(20 + 15 * t))
+        f = np.full((100, 100), 128, np.uint8)
+        cv2.circle(f, (ij[1], ij[0]), 5, 0, -1)
+        w.write(f, t)
+    w.release()
+    return path
+
+
+def _blob_positions(src):
+    """Centroid of the dark blob per emitted frame."""
+    out = []
+    while True:
+        fr = src.read()
+        if fr is None:
+            break
+        ii, jj = np.nonzero(fr < 64)
+        out.append((ii.mean(), jj.mean()))
+    return np.asarray(out)
+
+
+def test_vfr_opencv_fallback_is_pts_true(vfr_video):
+    """The cv2 fallback must resample VFR content by real container pts, not
+    the frame counter: emitted positions track TIME. (decode.py pts mode)"""
+    with OpenCVFrameSource(vfr_video, fps=24) as src:
+        pos = _blob_positions(src)
+        assert src._pts_mode  # the VFR jump flipped it
+    # time-keyed ground truth: emitted slot s shows the blob at ~20 + 15*s/24
+    expect = 20 + 15 * np.arange(len(pos)) / 24
+    rmse = np.sqrt(np.mean((pos[:, 0] - expect) ** 2))
+    assert len(pos) >= 90  # ~4 s at 24 fps (dup-filled 12 fps section)
+    assert rmse < 1.5, rmse
+
+
+def test_vfr_backends_agree(vfr_video):
+    """Native (authoritative pts) and cv2 fallback must produce the same
+    resampling structure; content may differ on a frame or two where cv2's
+    demux mangles irregular timestamps."""
+    from pawsometracker_tpu.io.native_io import NativeFrameSource
+
+    pn = _blob_positions(NativeFrameSource(vfr_video, fps=24))
+    po = _blob_positions(OpenCVFrameSource(vfr_video, fps=24))
+    assert len(pn) == len(po)
+    diff = np.abs(pn - po).max(axis=1)
+    assert (diff > 2).sum() == 0
+    assert (diff > 0).mean() < 0.05  # <5% of frames may differ (by <=2 px)
+
+
+def test_cfr_still_uses_exact_counter(counter_video):
+    """CFR content must keep the exact-rational counter timeline (no pts-mode
+    switch): bit-exact fps-filter parity depends on it."""
+    path, fps = counter_video
+    with OpenCVFrameSource(path, fps=fps) as src:
+        while src.read() is not None:
+            pass
+        assert not src._pts_mode
