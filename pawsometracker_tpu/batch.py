@@ -49,6 +49,94 @@ def track_batch(
     *,
     start=None,
     stop=None,
+    target_width=25,
+    start_location=None,
+    window_size=None,
+    darker_target=True,
+    fps: float = 24,
+    sar: float | None = None,
+    mesh=None,
+    backend: str = "auto",
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    stream: str = "auto",
+    roi_frames: int | None = None,
+    pipeline_depth: int = 1,
+    diagnostic_files=None,
+):
+    """Track one target in each of ``files`` concurrently on the device.
+
+    Unlike ``track(list)`` (consecutive segments of ONE recording, reference:
+    src/PawsomeTracker.jl:176-214), every file here is an independent video.
+    Videos may have DIFFERENT resolutions, and ``target_width`` /
+    ``window_size`` / ``darker_target`` may be per-file lists: the batch is
+    bucketed by tracker configuration (one vmapped engine per bucket, shared
+    mesh) and results are returned in input order, each identical to a
+    per-video :func:`.api.track` call. ``start``/``stop``/``start_location``
+    may be scalars (broadcast) or per-file lists; ``start_location`` entries
+    follow the same kinds as :func:`.api.track` (None / IJ / (x, y)).
+
+    ``mesh``: a ``jax.sharding.Mesh`` to shard the batch across chips (None =
+    single device). ``diagnostic_files``: optional per-file overlay video
+    paths (None entries disable). Returns a list of ``(ts, positions)``.
+    """
+    files = list(files)
+    B = len(files)
+    if B == 0:
+        return []
+    tws = _broadcast(target_width, B, 25)
+    wss = _broadcast(window_size, B, None) if isinstance(window_size, (list,)) else [window_size] * B
+    darks = _broadcast(darker_target, B, True) if isinstance(darker_target, (list,)) else [darker_target] * B
+    starts_in = _broadcast(start, B, None)
+    stops_in = _broadcast(stop, B, None)
+    locs_in = (
+        [start_location] * B
+        if _is_single_location(start_location)
+        else _broadcast(start_location, B, None)
+    )
+    dias_in = _broadcast(diagnostic_files, B, None) if diagnostic_files else [None] * B
+
+    # bucket by tracker configuration (+ resolution, probed cheaply): one
+    # engine per bucket; all buckets share the mesh
+    from .io.decode import probe as _probe
+
+    keys = []
+    for f, tw, ws, dk in zip(files, tws, wss, darks):
+        info = _probe(f)
+        keys.append((info.frame_shape, float(tw), None if ws is None else tuple(np.atleast_1d(ws)), bool(dk)))
+    buckets: dict = {}
+    for i, k in enumerate(keys):
+        buckets.setdefault(k, []).append(i)
+
+    results: list = [None] * B
+    for k, idxs in buckets.items():
+        sub = _track_batch_uniform(
+            [files[i] for i in idxs],
+            start=[starts_in[i] for i in idxs],
+            stop=[stops_in[i] for i in idxs],
+            target_width=tws[idxs[0]],
+            start_location=[locs_in[i] for i in idxs],
+            window_size=wss[idxs[0]],
+            darker_target=darks[idxs[0]],
+            fps=fps,
+            sar=sar,
+            mesh=mesh,
+            backend=backend,
+            chunk_size=chunk_size,
+            stream=stream,
+            roi_frames=roi_frames,
+            pipeline_depth=pipeline_depth,
+            diagnostic_files=[dias_in[i] for i in idxs],
+        )
+        for i, r in zip(idxs, sub):
+            results[i] = r
+    return results
+
+
+def _track_batch_uniform(
+    files,
+    *,
+    start=None,
+    stop=None,
     target_width: float = 25,
     start_location=None,
     window_size=None,
@@ -63,18 +151,8 @@ def track_batch(
     pipeline_depth: int = 1,
     diagnostic_files=None,
 ):
-    """Track one target in each of ``files`` concurrently on the device.
-
-    Unlike ``track(list)`` (consecutive segments of ONE recording, reference:
-    src/PawsomeTracker.jl:176-214), every file here is an independent video;
-    all must share one resolution. ``start``/``stop``/``start_location`` may be
-    scalars (broadcast) or per-file lists; ``start_location`` entries follow
-    the same kinds as :func:`.api.track` (None / IJ / (x, y)).
-
-    ``mesh``: a ``jax.sharding.Mesh`` to shard the batch across chips (None =
-    single device). ``diagnostic_files``: optional per-file overlay video
-    paths (None entries disable). Returns a list of ``(ts, positions)``.
-    """
+    """One-bucket core of :func:`track_batch`: all videos share a resolution
+    and tracker configuration."""
     import jax.numpy as jnp
 
     from .diagnose import Diagnose, Dont

@@ -120,6 +120,32 @@ def test_batch_roi_pipelined_matches_single(tmp_path):
             np.testing.assert_array_equal(ij_b, ij_single)
 
 
+def test_batch_mixed_resolution_and_params(tmp_path):
+    """Videos of different resolutions and per-video target_width/window_size
+    in ONE track_batch call: results must equal per-video track()."""
+    from pawsometracker_tpu.batch import track_batch
+
+    rng = np.random.default_rng(25)
+    (tmp_path / "a").mkdir(exist_ok=True)
+    (tmp_path / "b").mkdir(exist_ok=True)
+    _, tra_a = helpers.build_trajectory(28, 24, (50, 50), rng)
+    fa = helpers.trajectory2video(tra_a, str(tmp_path / "a"), 24, 100, 100, 10, True)
+    _, tra_b = helpers.build_trajectory(40, 24, (70, 90), rng)
+    fb = helpers.trajectory2video(tra_b, str(tmp_path / "b"), 24, 160, 140, 14, True)
+
+    _, ij_a = track(fa, fps=24, start_location=IJ(50, 50), target_width=10)
+    _, ij_b = track(fb, fps=24, start_location=IJ(70, 90), target_width=14)
+
+    results = track_batch(
+        [fa, fb],
+        fps=24,
+        start_location=[IJ(50, 50), IJ(70, 90)],
+        target_width=[10, 14],
+    )
+    np.testing.assert_array_equal(results[0][1], ij_a)
+    np.testing.assert_array_equal(results[1][1], ij_b)
+
+
 def test_roi_auto_selection():
     # auto picks ROI only when the crop is much smaller than the frame
     spec_big = make_spec((1080, 1920), 41, 25, True)
