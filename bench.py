@@ -1,19 +1,29 @@
 """Benchmark: tracked frames/sec/chip at 1080p (BASELINE.md headline metric).
 
 Runs on the real TPU. Pipeline measured end-to-end: host (native libav) decode
--> ROI crop streaming -> jitted device scan -> positions, on a synthetic 1080p
-H.264 clip with a moving target. Also reports decode-only, device-only (XLA
-and fused-Pallas) throughput, and a single-threaded CPU proxy of the
-reference's hot loop (windowed DoG FIR via scipy, mirroring
-src/PawsomeTracker.jl:55-62) as the baseline denominator.
+-> speculative pipelined ROI streaming -> chained device scans -> positions,
+on a synthetic 1080p H.264 clip with a moving target.
 
-Each stage runs in its own subprocess with a timeout: the TPU tunnel in this
-environment can wedge for minutes, and the bench must always emit its one JSON
-line: {"metric", "value", "unit", "vs_baseline", "detail"}.
+Methodology (each stage in its own subprocess with a timeout — the TPU tunnel
+in this environment can wedge for minutes — and the bench always emits its one
+JSON line):
+
+- Every throughput stage reports the MEDIAN of N>=3 timed repetitions plus the
+  min/max spread (`*_spread`). The tunnel's run-to-run variance is ~15x, so a
+  wide spread marks a tunnel-degraded stage, not a code property.
+- `decode_fps` measures full-frame decode INTO PYTHON (the fallback path).
+  The e2e path crops ROIs in C++ straight from the decode ring and never
+  materializes full frames in Python, so `e2e_fps` can legitimately exceed
+  `decode_fps`.
+- Two CPU baselines of the reference hot loop (src/PawsomeTracker.jl:55-62):
+  `cpu_1t_fps` — single-threaded scipy FIR; `cpu_mt_fps` — torch conv2d using
+  every core on this host (the reference runs multithreaded FIR). On this
+  bench host nproc=1, so the two coincide; `vs_baseline` uses the MT number.
 """
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -33,6 +43,15 @@ N_FRAMES = 480  # 20 s clip
 TARGET_WIDTH = 25
 WINDOW = 41
 CHUNK = 64
+REPS = 3
+
+
+def _stats(samples, ndigits=1):
+    return {
+        "med": round(statistics.median(samples), ndigits),
+        "min": round(min(samples), ndigits),
+        "max": round(max(samples), ndigits),
+    }
 
 
 def synthesize_clip(d: str):
@@ -68,23 +87,23 @@ def _clip(d):
 
 
 def stage_e2e(d):
-    """Best-of-2 end-to-end tracked fps (tunnel variance -> best-of)."""
+    """End-to-end tracked fps, median of REPS full passes."""
     from pawsometracker_tpu import IJ, track
 
     path, truth = _clip(d)
     p0 = IJ(int(truth[0][0]), int(truth[0][1]))
-    kw = dict(start_location=p0, target_width=TARGET_WIDTH, window_size=WINDOW,
-              chunk_size=CHUNK)
+    kw = dict(start_location=p0, target_width=TARGET_WIDTH, window_size=WINDOW)
     track(path, stop=32 / FPS, **kw)  # warm-up / compile
-    best, rmse, n = 0.0, None, 0
-    for _ in range(2):
+    fpss, rmse, n = [], None, 0
+    for _ in range(REPS):
         t0 = time.perf_counter()
         ts, ij = track(path, **kw)
         dt = time.perf_counter() - t0
         err = np.linalg.norm(np.asarray(ij) - truth[: len(ij)], axis=1)
         rmse, n = float(np.sqrt(np.mean(err**2))), len(ij)
-        best = max(best, n / dt)
-    return {"e2e_fps": round(best, 1), "rmse_px": round(rmse, 3), "frames": n}
+        fpss.append(n / dt)
+    s = _stats(fpss)
+    return {"e2e_fps": s["med"], "e2e_spread": s, "rmse_px": round(rmse, 3), "frames": n}
 
 
 def _decode_all(d):
@@ -98,8 +117,13 @@ def _decode_all(d):
 
 
 def stage_decode(d):
-    _, _, fps = _decode_all(d)
-    return {"decode_fps": round(fps, 1)}
+    """Full frames decoded into Python (the e2e path instead crops in C++)."""
+    fpss = []
+    for _ in range(REPS):
+        _, _, fps = _decode_all(d)
+        fpss.append(fps)
+    s = _stats(fpss)
+    return {"decode_fps": s["med"], "decode_spread": s}
 
 
 def _scan_bench(fn, frames, pos0):
@@ -109,26 +133,28 @@ def _scan_bench(fn, frames, pos0):
     fill = np.uint8(128)
     chunks = [frames[i : i + CHUNK] for i in range(0, len(frames), CHUNK)]
     # cap the shipped bytes: the tunnel in this environment wedges on multi-GB
-    # transfer bursts; 3 chunks x 2 reps is enough for a stable best-of
+    # transfer bursts; 3 chunks x REPS is enough for a stable median
     chunks = [c for c in chunks if c.shape[0] == CHUNK][:3]
     out = fn(jnp.asarray(chunks[0]), p, fill)
     out.block_until_ready()
-    best = 0.0
-    for _ in range(2):
+    fpss = []
+    for _ in range(REPS):
         t0 = time.perf_counter()
         for c in chunks:
             out = fn(jnp.asarray(c), p, fill)
         out.block_until_ready()
-        best = max(best, len(chunks) * CHUNK / (time.perf_counter() - t0))
-    return best
+        fpss.append(len(chunks) * CHUNK / (time.perf_counter() - t0))
+    return _stats(fpss)
 
 
 def stage_device(d):
+    """XLA lax.scan over full 1080p frames, host->device transfer included."""
     from pawsometracker_tpu.models.dog_tracker import make_spec, tracker_fns
 
     frames, truth, _ = _decode_all(d)
     spec = make_spec((H, W), WINDOW, TARGET_WIDTH, True)
-    return {"device_scan_fps": round(_scan_bench(tracker_fns(spec).scan, frames, truth[0]), 1)}
+    s = _scan_bench(tracker_fns(spec).scan, frames, truth[0])
+    return {"device_scan_fps": s["med"], "device_scan_spread": s}
 
 
 def stage_pallas(d):
@@ -141,23 +167,18 @@ def stage_pallas(d):
         return {}
     frames, truth, _ = _decode_all(d)
     spec = make_spec((H, W), WINDOW, TARGET_WIDTH, True)
-    return {"pallas_scan_fps": round(_scan_bench(pallas_scan_fn(spec), frames, truth[0]), 1)}
+    s = _scan_bench(pallas_scan_fn(spec), frames, truth[0])
+    return {"pallas_scan_fps": s["med"], "pallas_scan_spread": s}
 
 
-def stage_cpu(d):
-    """Single-threaded CPU proxy of the reference hot loop
-    (reference: src/PawsomeTracker.jl:55-62)."""
-    import scipy.ndimage as ndi
-
+def _cpu_loop(frames, truth, n, correlate):
+    """The reference hot loop shape: pad, window, DoG FIR, colmajor argmax."""
     from pawsometracker_tpu.ops.dog_kernel import dog_kernel_2d, get_sigma
 
-    frames, truth, _ = _decode_all(d)
     k, L = dog_kernel_2d(get_sigma(TARGET_WIDTH), True)
-    k = k.astype(np.float64)
     r = WINDOW // 2
     half = L // 2
     pos = tuple(int(v) for v in truth[0])
-    n = min(len(frames), 96)
     t0 = time.perf_counter()
     for f in frames[:n]:
         pad = np.pad(
@@ -166,14 +187,49 @@ def stage_cpu(d):
             constant_values=128.0,
         )
         patch = pad[pos[0] : pos[0] + 2 * r + L, pos[1] : pos[1] + 2 * r + L]
-        # dog_kernel_2d already bakes in direction=-1 for darker targets
-        resp = ndi.correlate(patch, k, mode="constant")[half:-half, half:-half]
+        resp = correlate(patch, k.astype(np.float64))
         idx = np.unravel_index(np.argmax(resp.T), resp.T.shape)
         pos = (
             min(max(pos[0] - r + idx[1], 0), H - 1),
             min(max(pos[1] - r + idx[0], 0), W - 1),
         )
-    return {"cpu_reference_proxy_fps": round(n / (time.perf_counter() - t0), 1)}
+    return n / (time.perf_counter() - t0)
+
+
+def stage_cpu(d):
+    """Single-threaded CPU proxy of the reference hot loop (scipy FIR)."""
+    import scipy.ndimage as ndi
+
+    frames, truth, _ = _decode_all(d)
+    n = min(len(frames), 96)
+
+    def corr(patch, k):
+        half = k.shape[0] // 2
+        # dog_kernel_2d bakes in direction=-1 for darker targets
+        return ndi.correlate(patch, k, mode="constant")[half:-half, half:-half]
+
+    fpss = [_cpu_loop(frames, truth, n, corr) for _ in range(REPS)]
+    s = _stats(fpss)
+    return {"cpu_1t_fps": s["med"], "cpu_1t_spread": s}
+
+
+def stage_cpu_mt(d):
+    """Multithreaded CPU proxy (torch conv2d on every core) — the reference
+    runs multithreaded FIR, so this is the honest denominator."""
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    frames, truth, _ = _decode_all(d)
+    n = min(len(frames), 96)
+
+    def corr(patch, k):
+        pt = torch.from_numpy(patch)[None, None]
+        kt = torch.from_numpy(np.ascontiguousarray(k))[None, None]
+        return torch.nn.functional.conv2d(pt, kt)[0, 0].numpy()
+
+    fpss = [_cpu_loop(frames, truth, n, corr) for _ in range(REPS)]
+    s = _stats(fpss)
+    return {"cpu_mt_fps": s["med"], "cpu_mt_spread": s, "cpu_threads": os.cpu_count() or 1}
 
 
 def stage_batch(d):
@@ -185,27 +241,33 @@ def stage_batch(d):
     path, truth = _clip(d)
     B = 4
     p0 = IJ(int(truth[0][0]), int(truth[0][1]))
-    kw = dict(start_location=p0, target_width=TARGET_WIDTH, window_size=WINDOW, chunk_size=16)
-    # warm-up on a short window
-    track_batch([path] * B, stop=32 / FPS, **kw)
-    t0 = time.perf_counter()
-    results = track_batch([path] * B, **kw)
-    dt = time.perf_counter() - t0
-    total = sum(len(ij) for _, ij in results)
-    err = np.linalg.norm(np.asarray(results[0][1]) - truth[: len(results[0][1])], axis=1)
+    kw = dict(start_location=p0, target_width=TARGET_WIDTH, window_size=WINDOW)
+    track_batch([path] * B, stop=32 / FPS, **kw)  # warm-up
+    fpss, rmse = [], None
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        results = track_batch([path] * B, **kw)
+        dt = time.perf_counter() - t0
+        total = sum(len(ij) for _, ij in results)
+        err = np.linalg.norm(np.asarray(results[0][1]) - truth[: len(results[0][1])], axis=1)
+        rmse = float(np.sqrt(np.mean(err**2)))
+        fpss.append(total / dt)
+    s = _stats(fpss)
     return {
-        "batch4_aggregate_fps": round(total / dt, 1),
-        "batch4_rmse_px": round(float(np.sqrt(np.mean(err**2))), 3),
+        "batch4_aggregate_fps": s["med"],
+        "batch4_spread": s,
+        "batch4_rmse_px": round(rmse, 3),
     }
 
 
 STAGES = {
     "e2e": (stage_e2e, 900),
-    "batch": (stage_batch, 600),
-    "decode": (stage_decode, 180),
-    "device": (stage_device, 300),
-    "pallas": (stage_pallas, 300),
-    "cpu": (stage_cpu, 240),
+    "batch": (stage_batch, 900),
+    "decode": (stage_decode, 300),
+    "device": (stage_device, 420),
+    "pallas": (stage_pallas, 420),
+    "cpu": (stage_cpu, 420),
+    "cpu_mt": (stage_cpu_mt, 420),
 }
 
 
@@ -234,19 +296,31 @@ def main():
         print(json.dumps(STAGES[name][0](d)))
         return
 
-    detail = {"resolution": f"{W}x{H}", "clip_frames": N_FRAMES}
+    detail = {
+        "resolution": f"{W}x{H}",
+        "clip_frames": N_FRAMES,
+        "note": (
+            "medians of {} reps with min/max spread; decode_fps = full frames "
+            "into Python while e2e crops ROIs in C++ (e2e may exceed decode); "
+            "tunnel-attached TPU varies ~15x run-to-run — wide spreads mark "
+            "degraded phases".format(REPS)
+        ),
+    }
     with tempfile.TemporaryDirectory() as d:
         synthesize_clip(d)
         for name, (_, timeout) in STAGES.items():
             detail.update(_run_stage_subprocess(name, d, timeout))
 
     fps_e2e = detail.get("e2e_fps", 0.0)
-    fps_cpu = detail.get("cpu_reference_proxy_fps") or 1.0
+    fps_1t = detail.get("cpu_1t_fps") or 1.0
+    fps_mt = detail.get("cpu_mt_fps") or fps_1t
+    detail["vs_baseline_1t"] = round(fps_e2e / fps_1t, 2)
+    detail["vs_baseline_mt"] = round(fps_e2e / fps_mt, 2)
     result = {
         "metric": "tracked frames/sec/chip, end-to-end 1080p (decode+track)",
         "value": fps_e2e,
         "unit": "frames/sec",
-        "vs_baseline": round(fps_e2e / fps_cpu, 2),
+        "vs_baseline": detail["vs_baseline_mt"],
         "detail": detail,
     }
     print(json.dumps(result))
