@@ -72,3 +72,41 @@ def test_cli_help():
     r = run_cli("--help")
     assert r.returncode == 0
     assert "--target-width" in r.stdout
+
+
+# -- in-process invocations (same surface, traced by the coverage runner) ----
+
+
+def test_cli_main_inprocess(clip, tmp_path, capsys):
+    from pawsometracker_tpu.__main__ import main
+
+    f, tra = clip
+    assert main([f, "--start-ij", "50", "50", "--target-width", "10"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0] == "t,row,col" and len(lines) == 49
+
+    assert main([f, "--start-ij", "50", "50", "--target-width", "10", "--format", "json"]) == 0
+    data = json.loads(capsys.readouterr().out)
+    assert len(data["ts"]) == 48
+
+    out = str(tmp_path / "r.npz")
+    assert main([f, "--start-ij", "50", "50", "--target-width", "10", "--out", out]) == 0
+    with np.load(out) as z:
+        assert z["ij"].shape == (48, 2)
+
+    assert main(["/nonexistent.mp4"]) == 1
+    assert main([f, "--start-ij", "1", "1", "--start-xy", "2", "2"]) == 2
+    capsys.readouterr()
+
+
+def test_cli_main_checkpoint_inprocess(clip, tmp_path, capsys):
+    from pawsometracker_tpu.__main__ import main
+
+    f, _ = clip
+    cp = str(tmp_path / "cp.npz")
+    assert main([f, "--start-ij", "50", "50", "--target-width", "10", "--checkpoint", cp]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 49
+    # multiple files with --checkpoint is an error
+    assert main([f, f, "--checkpoint", cp]) == 2
+    capsys.readouterr()
