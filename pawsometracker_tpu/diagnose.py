@@ -5,8 +5,12 @@ a fixed 640x360 grayscale video with the clip label, a marker at the tracked
 position, and a trail through the last 100 positions. Null-object (`Dont`) when
 disabled; a context manager guarantees encoder finalization on error.
 
-Rendering uses OpenCV on the host (text via Hershey fonts instead of the
-reference's bundled FreeType face — same role, reference: src/diagnose.jl:34).
+The label is rasterized with a BUNDLED TrueType face (assets/DejaVuSans.ttf,
+free license alongside) via PIL/FreeType — the analog of the reference's
+bundled ``TeXGyreHerosMakie-Regular.otf`` rendered through FreeTypeAbstraction
+(reference: src/PawsomeTracker.jl:21-24, src/diagnose.jl:34): size 20 at
+(20, 20), left/top aligned. The glyph bitmap is rendered ONCE per writer and
+alpha-blended per frame. Falls back to OpenCV Hershey text when PIL is absent.
 """
 
 from __future__ import annotations
@@ -32,6 +36,37 @@ _FOURCC_BY_EXT = {
     ".mkv": "mp4v",
     ".ts": "mp4v",
 }
+
+
+#: bundled FreeType face (reference: src/PawsomeTracker.jl:21-24)
+FONT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets", "DejaVuSans.ttf")
+#: label raster parameters (reference: src/diagnose.jl:34 — renderstring! at
+#: pixelsize 20, position (20, 20), halign=:hleft, valign=:vtop)
+LABEL_SIZE = 20
+LABEL_POS = (20, 20)  # (row, col) of the label's top-left corner
+
+
+def _render_label(label: str):
+    """Rasterize ``label`` once to an 8-bit alpha bitmap with the bundled
+    TrueType face; None when PIL/FreeType is unavailable (Hershey fallback)."""
+    try:
+        from PIL import Image, ImageDraw, ImageFont
+    except Exception:
+        return None
+    try:
+        font = ImageFont.truetype(FONT_PATH, LABEL_SIZE)
+    except Exception:
+        return None
+    img = Image.new("L", (DIAGNOSTIC_VIDEO_SIZE[1], LABEL_SIZE * 2), 0)
+    d = ImageDraw.Draw(img)
+    d.text((0, 0), label, fill=255, font=font)
+    a = np.asarray(img, np.uint8)
+    rows = np.nonzero(a.any(axis=1))[0]
+    cols = np.nonzero(a.any(axis=0))[0]
+    if len(rows) == 0:
+        return np.zeros((1, 1), np.float32)
+    # keep the face's own top-side bearing (valign=:vtop anchors the em box)
+    return a[: rows[-1] + 1, : cols[-1] + 1].astype(np.float32) / 255.0
 
 
 def _open_writer(file: str, fps: float):
@@ -70,6 +105,7 @@ class Diagnose:
         self.ratio: tuple[float, float] | None = None
         self._writer = _open_writer(self.file, fps)
         self._buffer = np.empty(DIAGNOSTIC_VIDEO_SIZE, np.uint8)
+        self._label_alpha = _render_label(self.label)  # None -> Hershey fallback
 
     def update_ratio(self, frame_shape):
         """Set the full-frame -> diagnostic-buffer scale from frame 1
@@ -92,7 +128,15 @@ class Diagnose:
         self.trace.append(ij)
         cv2.resize(img, (DIAGNOSTIC_VIDEO_SIZE[1], DIAGNOSTIC_VIDEO_SIZE[0]), dst=self._buffer)
         buf = self._buffer
-        cv2.putText(buf, self.label, (20, 30), cv2.FONT_HERSHEY_SIMPLEX, 0.6, self.color, 1, cv2.LINE_AA)
+        if self._label_alpha is not None:
+            a = self._label_alpha
+            r0, c0 = LABEL_POS
+            h, w = a.shape
+            region = buf[r0 : r0 + h, c0 : c0 + w]
+            ar = a[: region.shape[0], : region.shape[1]]
+            region[:] = (region * (1.0 - ar) + self.color * ar).astype(np.uint8)
+        else:
+            cv2.putText(buf, self.label, (20, 30), cv2.FONT_HERSHEY_SIMPLEX, 0.6, self.color, 1, cv2.LINE_AA)
         cv2.circle(buf, (ij[1], ij[0]), 2, self.color, -1)
         if len(self.trace) > 1:
             pts = np.array([(j, i) for i, j in self.trace], np.int32).reshape(-1, 1, 2)

@@ -103,6 +103,39 @@ def test_diagnostic_file(tmp_path):
     assert nfr == 240
 
 
+def test_diagnostic_label_truetype(tmp_path):
+    """The label renders with the BUNDLED TrueType face (reference bundles
+    TeXGyreHerosMakie, src/PawsomeTracker.jl:21-24) at size 20, (20,20),
+    left/top aligned — visible as overlay-color glyph pixels in that region."""
+    from pawsometracker_tpu.diagnose import (
+        FONT_PATH,
+        LABEL_POS,
+        LABEL_SIZE,
+        _render_label,
+    )
+
+    assert os.path.exists(FONT_PATH)  # font ships with the package
+    alpha = _render_label("diag")
+    assert alpha is not None and alpha.max() == 1.0
+    assert alpha.shape[0] <= 2 * LABEL_SIZE
+
+    dia = str(tmp_path / "diag.mp4")
+    helpers.compare(tmp_path, start_location=IJ(50, 50), diagnostic_file=dia)
+    import cv2
+
+    cap = cv2.VideoCapture(dia)
+    ok, frame = cap.read()
+    cap.release()
+    assert ok
+    g = frame[..., 0] if frame.ndim == 3 else frame
+    r0, c0 = LABEL_POS
+    region = g[r0 : r0 + alpha.shape[0], c0 : c0 + alpha.shape[1]].astype(float)
+    # glyph cores (alpha ~ 1) must be near the overlay color (white: darker target)
+    assert region[alpha > 0.9].mean() > 200
+    # and the region isn't uniformly white — glyph structure survives encoding
+    assert region[alpha < 0.1].mean() < 200
+
+
 def test_no_diagnostic_file(tmp_path):
     helpers.compare(tmp_path, start_location=IJ(50, 50), diagnostic_file=None)
     assert not os.path.exists(str(tmp_path / "diag.mp4"))
