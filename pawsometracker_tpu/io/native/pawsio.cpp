@@ -384,7 +384,11 @@ void *pawsio_open(const char *path, double start, double stop, double fps, PawsI
   AVStream *st = d->fmt->streams[d->stream_idx];
   d->dec = avcodec_alloc_context3(codec);
   avcodec_parameters_to_context(d->dec, st->codecpar);
-  d->dec->thread_count = 0;  // auto
+  // frame+slice threading (libav parallel decode). thread_count=0 lets libav
+  // size the pool to the host's cores; PAWSIO_THREADS overrides.
+  const char *thr = getenv("PAWSIO_THREADS");
+  d->dec->thread_count = thr ? atoi(thr) : 0;
+  d->dec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
   if ((ret = avcodec_open2(d->dec, codec, nullptr)) < 0) {
     set_averror("avcodec_open2", ret);
     delete d;

@@ -62,6 +62,124 @@ def make_chained(scan_bounded):
     return jax.jit(chained)
 
 
+def _engine_cache_path() -> str:
+    import os
+
+    d = os.environ.get("PAWSOMETRACKER_CACHE", os.path.expanduser("~/.cache/pawsometracker_tpu"))
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, "engine_cache.json")
+
+
+def _load_engine_cache() -> dict:
+    import json
+    import os
+
+    p = _engine_cache_path()
+    if os.path.exists(p):
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except Exception:
+            return {}
+    return {}
+
+
+def _save_engine_cache(cache: dict) -> None:
+    import json
+    import os
+
+    p = _engine_cache_path()
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cache, f, indent=1)
+    os.replace(tmp, p)
+
+
+def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128):
+    """Measured choice between the fused Pallas bounded kernel and the XLA
+    bounded scan for this environment + geometry (VERDICT: the production
+    engine is chosen by measurement, not by flag). The decision is persisted
+    per (device kind, jax version, geometry) so each environment measures
+    once; the measurement also ASSERTS the two engines produce identical
+    positions — a hardware parity pin for the compiled Pallas kernel.
+
+    Returns ``("pallas"|"xla", info_dict)``.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from .models.dog_tracker import tracker_fns
+
+    if jax.default_backend() != "tpu":
+        return "xla", {"reason": "non-tpu backend"}
+    key = "|".join(
+        map(
+            str,
+            (
+                jax.devices()[0].device_kind,
+                jax.__version__,
+                roi_spec.frame_shape,
+                roi_spec.radii,
+                round(roi_spec.sigma, 6),
+                roi_spec.darker_target,
+                k_frames,
+            ),
+        )
+    )
+    cache = _load_engine_cache()
+    if key in cache:
+        return cache[key]["engine"], cache[key]
+
+    from .ops.pallas_tracker import pallas_scan_fn
+
+    base = tracker_fns(roi_spec).scan_bounded
+    ch, cw = roi_spec.frame_shape
+    crops = np.full((k_frames, ch, cw), fill, np.uint8)
+    crops[:, ch // 2 - 2 : ch // 2 + 2, cw // 2 - 2 : cw // 2 + 2] = 0
+    pos = jnp.asarray(np.array([ch // 2, cw // 2], np.int32))
+    lo = np.zeros(2, np.int32)
+    hi = np.array([ch - 1, cw - 1], np.int32)
+    f = np.uint8(fill)
+
+    def run(fn, reps=3):
+        out = fn(crops, pos, f, lo, hi)
+        jax.block_until_ready(out)  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(crops, pos, f, lo, hi)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        return np.asarray(out), best
+
+    try:
+        pal = pallas_scan_fn(roi_spec, bounded=True)
+        out_p, t_p = run(pal)
+        out_x, t_x = run(base)
+        if not np.array_equal(out_p, out_x):
+            raise AssertionError(
+                f"pallas/xla position mismatch on hardware: {out_p} vs {out_x}"
+            )
+        info = {
+            "engine": "pallas" if t_p < t_x else "xla",
+            "pallas_ms": round(t_p * 1e3, 3),
+            "xla_ms": round(t_x * 1e3, 3),
+            "parity": True,
+        }
+    except AssertionError:
+        raise
+    except Exception as e:  # pallas unavailable/failed to compile: use XLA
+        info = {"engine": "xla", "reason": f"pallas failed: {e}"[:200]}
+    cache[key] = info
+    try:
+        _save_engine_cache(cache)
+    except Exception:
+        pass
+    return info["engine"], info
+
+
 def make_chained_batch(scan_bounded_batch):
     """Batched analog of :func:`make_chained`: ``prev_all`` is ``[B, K, 2]``,
     ``delta`` is ``[B, 2]``."""
@@ -120,6 +238,10 @@ def run_roi_pipeline(
     ch, cw, margin = roi_geometry(spec, K, depth)
     roi_spec = make_spec((ch, cw), spec.window_size, spec.target_width, spec.darker_target)
     base = tracker_fns(roi_spec)
+    if engine == "auto" and not subpixel:
+        # measured per-environment choice, persisted; also a hardware parity
+        # pin (the measurement asserts pallas == xla positions on this chip)
+        engine, _ = pick_bounded_engine(roi_spec, K, fill)
     if subpixel:
         scan_first, scan_chain = base.scan_sub, make_chained(base.scan_sub)
     elif engine == "pallas":
