@@ -318,8 +318,13 @@ def track(
     ``diagnostic_file=None``.
 
     Extensions over the reference: ``sar`` overrides the probed sample aspect
-    ratio; ``backend`` picks the decode engine; ``chunk_size`` tunes the
-    host->device streaming granularity.
+    ratio; ``backend`` picks the decode engine (``auto``/``native``/``opencv``);
+    ``engine`` picks the device scan (``auto`` = measured pallas/xla choice on
+    TPU); ``stream`` forces full-frame or ROI streaming (``auto`` = by crop
+    size); ``roi_frames`` and ``pipeline_depth`` tune the speculative ROI
+    pipeline (see :mod:`.pipeline`; depth 0 = synchronous); ``chunk_size``
+    tunes full-frame streaming granularity; ``subpixel`` adds parabolic peak
+    refinement to the returned (float) positions.
 
     For a list of ``file``s the per-file ``start``/``stop``/``start_location``
     may be lists of the same length; a ``None`` start_location in segment k>0

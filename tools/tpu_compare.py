@@ -1,0 +1,98 @@
+"""Resilient TPU configuration comparison for the ROI pipeline.
+
+Each configuration runs in its own subprocess with a timeout and up to
+``RETRIES`` attempts (the tunnel-attached TPU in the dev environment wedges on
+remote RPCs for minutes at a time); results append to a JSON file so partial
+progress survives. Usage:
+
+    python tools/tpu_compare.py /tmp/out.json [clip_dir]
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CONFIGS = [
+    ("depth0_k8", {"pipeline_depth": 0, "roi_frames": 8}),
+    ("depth1_k4", {"pipeline_depth": 1, "roi_frames": 4}),
+    ("depth2_k4", {"pipeline_depth": 2, "roi_frames": 4}),
+    ("depth1_k8", {"pipeline_depth": 1, "roi_frames": 8}),
+]
+TIMEOUT = 600
+RETRIES = 3
+
+
+def run_config(clip_dir: str, label: str) -> dict:
+    import numpy as np
+
+    from pawsometracker_tpu import IJ, track
+
+    extra = dict(CONFIGS[[c[0] for c in CONFIGS].index(label)][1])
+    path = os.path.join(clip_dir, "bench1080.mp4")
+    truth = np.load(os.path.join(clip_dir, "truth.npy"))
+    p0 = IJ(int(truth[0][0]), int(truth[0][1]))
+    kw = dict(start_location=p0, target_width=25, window_size=41, engine="xla")
+    t0 = time.perf_counter()
+    track(path, stop=32 / 24.0, **kw, **extra)
+    warm = time.perf_counter() - t0
+    fpss = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ts, ij = track(path, **kw, **extra)
+        fpss.append(len(ij) / (time.perf_counter() - t0))
+    err = np.linalg.norm(np.asarray(ij) - truth[: len(ij)], axis=1)
+    return {
+        "label": label,
+        "warmup_s": round(warm, 1),
+        "fps": sorted(round(f, 1) for f in fpss),
+        "rmse": round(float(np.sqrt(np.mean(err**2))), 3),
+    }
+
+
+def main():
+    if "--config" in sys.argv:
+        i = sys.argv.index("--config")
+        print(json.dumps(run_config(sys.argv[i + 2], sys.argv[i + 1])))
+        return
+
+    out_path = sys.argv[1]
+    clip_dir = sys.argv[2] if len(sys.argv) > 2 else None
+    tmp = None
+    if clip_dir is None:
+        import bench
+
+        tmp = tempfile.mkdtemp()
+        clip_dir = tmp
+        bench.synthesize_clip(clip_dir)
+    results = {}
+    for label, _ in CONFIGS:
+        for attempt in range(RETRIES):
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--config", label, clip_dir],
+                    capture_output=True,
+                    text=True,
+                    timeout=TIMEOUT,
+                )
+                line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+                if line:
+                    results[label] = json.loads(line[-1])
+                    break
+                results[label] = {"error": (r.stderr or r.stdout)[-200:]}
+            except subprocess.TimeoutExpired:
+                results[label] = {"error": f"timeout {TIMEOUT}s (attempt {attempt + 1})"}
+            with open(out_path, "w") as f:
+                json.dump(results, f, indent=1)
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(label, json.dumps(results[label]), flush=True)
+
+
+if __name__ == "__main__":
+    main()
