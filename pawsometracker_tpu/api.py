@@ -112,20 +112,22 @@ def _scan_fn_for(spec, engine: str):
     return tracker_fns(spec).scan
 
 
-#: frames per ROI mini-chunk (position can drift at most `radii` per frame,
-#: so K frames are covered by a crop of half-extent (depth+1)*K*radii + L//2);
-#: None = auto (8 synchronous, 4 pipelined — same crop size either way)
+#: frames per ROI mini-chunk; None = auto (8, except contain-mode pipelining
+#: where K shrinks to keep the crop size constant — see _resolve_roi_frames)
 DEFAULT_ROI_FRAMES = None
 
 #: chunks the host may run ahead of the device (see pipeline.run_roi_pipeline)
 DEFAULT_PIPELINE_DEPTH = 1
 
 
-def _resolve_roi_frames(roi_frames, pipeline_depth: int) -> int:
+def _resolve_roi_frames(roi_frames, pipeline_depth: int, speculate: str = "predict") -> int:
     if roi_frames is not None:
         return int(roi_frames)
-    # keep the crop half-extent (depth+1)*K*r constant across depths: the
-    # pipelined mode halves K so speculation costs no extra bytes per frame
+    if speculate == "predict" or pipeline_depth == 0:
+        # predict-mode crops don't grow with depth (slack is small)
+        return 8
+    # contain mode: keep the crop half-extent (depth+1)*K*r constant across
+    # depths by shrinking K, so speculation costs no extra bytes per frame
     return max(1, 8 // (int(pipeline_depth) + 1))
 
 
@@ -162,6 +164,7 @@ def _track_one(
     stream: str = "auto",
     roi_frames: int | None = DEFAULT_ROI_FRAMES,
     pipeline_depth: int = DEFAULT_PIPELINE_DEPTH,
+    speculate: str = "predict",
     subpixel: bool = False,
 ):
     """Track one file (reference pipeline: src/PawsomeTracker.jl:148-174)."""
@@ -208,8 +211,9 @@ def _track_one(
         # pipeline_depth >= 1 the crop speculates ahead of the device so no
         # stage ever blocks on the per-chunk round trip (see pipeline.py).
         pipeline_depth = max(0, int(pipeline_depth))
-        roi_frames = _resolve_roi_frames(roi_frames, pipeline_depth)
-        ch, cw, _ = roi_geometry(spec, roi_frames, pipeline_depth)
+        roi_frames = _resolve_roi_frames(roi_frames, pipeline_depth, speculate)
+        mode = speculate if pipeline_depth > 0 else "contain"
+        ch, cw, _ = roi_geometry(spec, roi_frames, pipeline_depth, mode)
         use_roi = stream == "roi" or (
             stream == "auto" and ch * cw * 2 < frame_shape[0] * frame_shape[1]
         )
@@ -236,6 +240,7 @@ def _track_one(
                 timer=timer,
                 native_roi=native_roi,
                 prefetchers=prefetchers,
+                speculate=speculate,
             )
             positions.extend(pos_blocks)
             offsets.extend(off_blocks)
@@ -306,6 +311,7 @@ def track(
     stream: str = "auto",
     roi_frames: int | None = DEFAULT_ROI_FRAMES,
     pipeline_depth: int = DEFAULT_PIPELINE_DEPTH,
+    speculate: str = "predict",
     subpixel: bool = False,
 ):
     """Track a blob-like target in a video ``file`` (or list of segment files).
@@ -353,6 +359,7 @@ def track(
             stream=stream,
             roi_frames=roi_frames,
             pipeline_depth=pipeline_depth,
+            speculate=speculate,
             subpixel=subpixel,
         )
 
@@ -376,6 +383,7 @@ def track(
             stream=stream,
             roi_frames=roi_frames,
             pipeline_depth=pipeline_depth,
+            speculate=speculate,
             subpixel=subpixel,
         )
 
@@ -398,6 +406,7 @@ def _track_many(
     stream,
     roi_frames,
     pipeline_depth,
+    speculate,
     subpixel,
 ):
     """Segmented videos: chain each segment's start from the previous
@@ -438,6 +447,7 @@ def _track_many(
                 stream=stream,
                 roi_frames=roi_frames,
                 pipeline_depth=pipeline_depth,
+                speculate=speculate,
                 subpixel=subpixel,
             )
             tss.append(ts_i)

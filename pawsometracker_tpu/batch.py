@@ -232,8 +232,8 @@ def _track_batch_uniform(
         from .pipeline import _crop_with_fill, make_chained_batch, roi_geometry
 
         pipeline_depth = max(0, int(pipeline_depth))
-        roi_frames = _resolve_roi_frames(roi_frames, pipeline_depth)
-        ch, cw, margin = roi_geometry(spec, roi_frames, pipeline_depth)
+        roi_frames = _resolve_roi_frames(roi_frames, pipeline_depth, "contain")
+        ch, cw, margin = roi_geometry(spec, roi_frames, pipeline_depth, "contain")
         use_roi = stream == "roi" or (
             stream == "auto" and ch * cw * 2 < frame_shape[0] * frame_shape[1]
         )

@@ -2,26 +2,38 @@
 
 Round-1 ROI streaming serialized each mini-chunk on a full host<->device round
 trip: the device scan waited for the chunk's crop upload, and the next crop
-waited for the scan's final position. This module removes both waits:
+waited for the scan's final position. This module removes both waits with two
+complementary mechanisms (always bit-identical results — tests enforce it):
 
-- **Geometric speculation (no mispredicts).** The tracker's position moves at
-  most ``radii`` per frame (one window step, reference hot loop:
-  src/PawsomeTracker.jl:55-62), so a crop of half-extent
-  ``(depth+1)*K*radii + L//2`` centered on a position that is at most
-  ``depth*K`` frames stale PROVABLY contains every search window (+ kernel
-  apron) the next K-frame scan can visit. The host can therefore run ``depth``
-  chunks ahead of the device with bit-identical results and no validation /
-  redo logic.
-- **On-device position chaining.** Chunk ``c``'s scan consumes chunk
-  ``c-1``'s final position directly on the device:
+- **On-device position chaining** (both modes). Chunk ``c``'s scan consumes
+  chunk ``c-1``'s final position directly on the device:
   ``pos0_rel(c) = out(c-1)[-1] + (origin(c-1) - origin(c))`` where the origin
   delta is a host-known constant. Scans dispatch back-to-back; the host only
-  *downloads* positions ``depth`` chunks behind (for diagnostics, results, and
-  to center future crops).
+  *downloads* positions ``depth`` chunks behind (for results, diagnostics, and
+  to aim future crops), and those downloads are issued early with
+  ``copy_to_host_async`` so the lagged reads rarely block.
 
-``depth=0`` reproduces the synchronous round-1 behavior exactly (same crops,
-same margins); ``depth>=1`` is the pipelined mode. Positions are bit-identical
-across depths — asserted by tests/test_roi_stream.py.
+- **Speculative crop origins**, two strategies:
+
+  * ``speculate="predict"`` (default): the crop for chunk ``c`` is centered on
+    a velocity-extrapolated position (the newest downloaded position plus its
+    per-frame velocity times the staleness), with the SYNCHRONOUS margin
+    ``K*radii + L//2`` plus a small slack. Bytes/frame stay at round-1 levels.
+    At drain time the result is VALIDATED: every window the scan read must
+    have been inside the crop (or beyond the true frame edge, where both the
+    crop scan and a full-frame scan read the same mode-fill). On a mispredict
+    the chunk and everything chained after it is replayed synchronously from
+    retained frames with exact origins — rare for physical motion, and
+    correctness never depends on the prediction.
+  * ``speculate="contain"``: margins enlarged to ``(depth+1)*K*radii + L//2``
+    so a position up to ``depth*K`` frames stale PROVABLY contains every
+    window the scan can visit (the tracker moves at most ``radii`` per frame,
+    reference hot loop: src/PawsomeTracker.jl:55-62). No validation or replay
+    machinery, and the native decoder can crop in C++ (full frames never
+    enter Python) — but crops grow quadratically with the staleness horizon.
+
+``depth=0`` with ``contain`` reproduces the synchronous round-1 behavior
+exactly (same crops, same margins).
 """
 
 from __future__ import annotations
@@ -33,16 +45,31 @@ import numpy as np
 from .io.decode import ChunkPrefetcher
 from .models.dog_tracker import make_spec, tracker_fns
 
-__all__ = ["roi_geometry", "make_chained", "run_roi_pipeline"]
+__all__ = ["roi_geometry", "make_chained", "make_chained_batch", "run_roi_pipeline",
+           "pick_bounded_engine"]
+
+#: mispredict replays since import (observability: tests + debugging)
+replay_count = 0
 
 
-def roi_geometry(spec, k_frames: int, depth: int = 0):
+def _predict_slack(k_frames: int, depth: int, r: int) -> int:
+    """Per-axis slack (px) added to the synchronous margin in predict mode:
+    covers velocity-extrapolation error over the ``depth*K``-frame staleness
+    horizon. Small relative to the worst-case drift bound ``depth*K*r``."""
+    return max(4, (depth * k_frames * r) // 8)
+
+
+def roi_geometry(spec, k_frames: int, depth: int = 0, mode: str = "contain"):
     """``(crop_h, crop_w, margin)`` for K-frame ROI mini-scans at pipeline
-    ``depth`` (the number of chunks the host may run ahead of the device)."""
+    ``depth`` (chunks the host may run ahead of the device)."""
     ri, rj = spec.radii
     half = spec.kernel_len // 2
-    mi = (depth + 1) * k_frames * ri + half
-    mj = (depth + 1) * k_frames * rj + half
+    if mode == "predict":
+        mi = k_frames * ri + half + _predict_slack(k_frames, depth, ri)
+        mj = k_frames * rj + half + _predict_slack(k_frames, depth, rj)
+    else:
+        mi = (depth + 1) * k_frames * ri + half
+        mj = (depth + 1) * k_frames * rj + half
     return 2 * mi + 1, 2 * mj + 1, (mi, mj)
 
 
@@ -58,6 +85,20 @@ def make_chained(scan_bounded):
         # prev_all is the previous chunk's [K, 2] positions; only full chunks
         # are ever followed by another chunk (short == EOF), so [-1] is valid
         return scan_bounded(frames, (prev_all[-1] + delta).astype(jnp.int32), fill, lo, hi)
+
+    return jax.jit(chained)
+
+
+def make_chained_batch(scan_bounded_batch):
+    """Batched analog of :func:`make_chained`: ``prev_all`` is ``[B, K, 2]``,
+    ``delta`` is ``[B, 2]``."""
+    import jax
+    import jax.numpy as jnp
+
+    def chained(frames, prev_all, delta, fills, lo, hi):
+        return scan_bounded_batch(
+            frames, (prev_all[:, -1] + delta).astype(jnp.int32), fills, lo, hi
+        )
 
     return jax.jit(chained)
 
@@ -109,8 +150,6 @@ def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128):
 
     import jax
     import jax.numpy as jnp
-
-    from .models.dog_tracker import tracker_fns
 
     if jax.default_backend() != "tpu":
         return "xla", {"reason": "non-tpu backend"}
@@ -180,20 +219,6 @@ def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128):
     return info["engine"], info
 
 
-def make_chained_batch(scan_bounded_batch):
-    """Batched analog of :func:`make_chained`: ``prev_all`` is ``[B, K, 2]``,
-    ``delta`` is ``[B, 2]``."""
-    import jax
-    import jax.numpy as jnp
-
-    def chained(frames, prev_all, delta, fills, lo, hi):
-        return scan_bounded_batch(
-            frames, (prev_all[:, -1] + delta).astype(jnp.int32), fills, lo, hi
-        )
-
-    return jax.jit(chained)
-
-
 def _crop_with_fill(frame: np.ndarray, o, ch: int, cw: int, fill: int, out=None) -> np.ndarray:
     """Crop ``frame`` at origin ``o`` (may be out of bounds) to ``(ch, cw)``,
     filling out-of-frame cells with the mode fill value."""
@@ -206,6 +231,15 @@ def _crop_with_fill(frame: np.ndarray, o, ch: int, cw: int, fill: int, out=None)
     if r1 > r0 and c1 > c0:
         out[r0 - o[0] : r1 - o[0], c0 - o[1] : c1 - o[1]] = frame[r0:r1, c0:c1]
     return out
+
+
+def _to_host_async(*arrays):
+    """Start device->host transfers early so the lagged drain doesn't block."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except Exception:
+            pass
 
 
 def run_roi_pipeline(
@@ -223,6 +257,7 @@ def run_roi_pipeline(
     timer,
     native_roi: bool,
     prefetchers: list,
+    speculate: str = "predict",
 ):
     """Track ``n_rest`` frames of ``src`` by pipelined ROI streaming.
 
@@ -235,7 +270,8 @@ def run_roi_pipeline(
 
     H, W = spec.frame_shape
     K = roi_frames
-    ch, cw, margin = roi_geometry(spec, K, depth)
+    mode = speculate if depth > 0 else "contain"
+    ch, cw, margin = roi_geometry(spec, K, depth, mode)
     roi_spec = make_spec((ch, cw), spec.window_size, spec.target_width, spec.darker_target)
     base = tracker_fns(roi_spec)
     if engine == "auto" and not subpixel:
@@ -253,6 +289,7 @@ def run_roi_pipeline(
         scan_first, scan_chain = base.scan_bounded, make_chained(base.scan_bounded)
 
     fill_dev = np.uint8(fill)
+    rh = np.array(spec.radii) + spec.kernel_len // 2  # window + apron half-extent
     # rotating crop buffers: a buffer is reused only after its chunk's result
     # is drained, so an in-flight device transfer never reads a mutated buffer
     free_bufs = [np.empty((K, ch, cw), np.uint8) for _ in range(depth + 2)]
@@ -261,15 +298,49 @@ def run_roi_pipeline(
     offsets: list[np.ndarray] = []
     tracked = 0
     P_abs = np.asarray(pos0_abs, np.int64)  # newest DOWNLOADED position
+    vel = np.zeros(2)  # px/frame, from the last accepted chunk (predict mode)
     prev_out = None  # device handle: previous chunk's positions [K, 2]
     prev_origin = None
     pending: deque = deque()  # (out, off, origin, k, frames_for_dia, buf)
 
-    def drain_one():
-        nonlocal P_abs, tracked
-        out, off, origin, k, frames, buf = pending.popleft()
-        with timer.section("drain"):
-            out_np = np.asarray(out)
+    def bounds_for(origin):
+        lo = np.maximum([-origin[0], -origin[1]], 0).astype(np.int32)
+        hi = np.minimum([ch - 1, cw - 1], [H - 1 - origin[0], W - 1 - origin[1]]).astype(
+            np.int32
+        )
+        return lo, hi
+
+    def dispatch(buf, k, origin):
+        nonlocal prev_out, prev_origin
+        lo, hi = bounds_for(origin)
+        with timer.section("device"):
+            if prev_out is None:
+                pos_rel = jnp.asarray((P_abs - origin).astype(np.int32))
+                out = scan_first(buf, pos_rel, fill_dev, lo, hi)
+            else:
+                delta = (prev_origin - origin).astype(np.int32)
+                out = scan_chain(buf, prev_out, delta, fill_dev, lo, hi)
+        if subpixel:
+            out, off = out
+            _to_host_async(out, off)
+        else:
+            off = None
+            _to_host_async(out)
+        prev_out, prev_origin = out, origin
+        return out, off
+
+    def contained(seq_abs, origin):
+        """True iff every window the scan read around ``seq_abs`` positions
+        lies inside the crop (reads past the TRUE frame edge hit the same
+        mode-fill in both the crop scan and a full-frame scan)."""
+        lo_ok = np.maximum(seq_abs - rh, 0) >= origin
+        hi_ok = np.minimum(seq_abs + rh, np.array([H - 1, W - 1])) <= origin + np.array(
+            [ch - 1, cw - 1]
+        )
+        return bool(lo_ok.all() and hi_ok.all())
+
+    def accept(out_np, off, origin, k, frames, buf):
+        nonlocal P_abs, tracked, vel
         valid = out_np[:k].astype(np.int64) + origin
         positions.append(valid)
         if off is not None:
@@ -278,38 +349,62 @@ def run_roi_pipeline(
             with timer.section("diagnose"):
                 for i in range(k):
                     dia(frames[i], valid[i])
-            prefetch.recycle(frames)
+            recycle(frames)
+        if k > 1:
+            vel = (valid[-1] - valid[0]) / (k - 1)
         P_abs = valid[-1]
         tracked += k
-        free_bufs.append(buf)
+        if buf is not None:
+            free_bufs.append(buf)
 
-    def dispatch(buf, k, origin):
+    def replay(entries):
+        """Mispredict: every entry (oldest first) is re-cropped from retained
+        frames at its EXACT origin and re-run synchronously. The exact origin
+        plus the predict margin (>= K*r + L//2) restores the synchronous
+        containment guarantee, so a replayed chunk is always valid."""
         nonlocal prev_out, prev_origin
-        lo = np.maximum([-origin[0], -origin[1]], 0).astype(np.int32)
-        hi = np.minimum([ch - 1, cw - 1], [H - 1 - origin[0], W - 1 - origin[1]]).astype(
-            np.int32
-        )
-        with timer.section("device"):
-            if prev_out is None:
-                pos_rel = jnp.asarray((P_abs - origin).astype(np.int32))
-                out = scan_first(buf, pos_rel, fill_dev, jnp.asarray(lo), jnp.asarray(hi))
-            else:
-                delta = jnp.asarray((prev_origin - origin).astype(np.int32))
-                out = scan_chain(
-                    buf, prev_out, delta, fill_dev, jnp.asarray(lo), jnp.asarray(hi)
-                )
-        if subpixel:
-            out, off = out
-        else:
-            off = None
-        prev_out, prev_origin = out, origin
-        return out, off
+        global replay_count
+        replay_count += 1
+        prev_out = None  # the device chain past this point is invalid
+        prev_origin = None
+        for _, off_ignored, _, k, frames, buf in entries:
+            origin = np.array([P_abs[0] - margin[0], P_abs[1] - margin[1]], np.int64)
+            rbuf = np.empty((K, ch, cw), np.uint8)
+            with timer.section("crop"):
+                for i in range(k):
+                    _crop_with_fill(frames[i], origin, ch, cw, fill, out=rbuf[i])
+                for i in range(k, K):
+                    rbuf[i] = rbuf[k - 1]
+            out, off = dispatch(rbuf, k, origin)
+            with timer.section("drain"):
+                out_np = np.asarray(out)
+            accept(out_np, off, origin, k, frames, buf)
 
-    from .diagnose import Dont
+    def drain_one():
+        out, off, origin, k, frames, buf = pending.popleft()
+        with timer.section("drain"):
+            out_np = np.asarray(out)
+        if mode == "predict":
+            seq = np.concatenate(
+                [P_abs[None], out_np[:k].astype(np.int64) + origin], axis=0
+            )
+            if not contained(seq, origin):
+                replay([(out, off, origin, k, frames, buf)] + list(pending))
+                pending.clear()
+                return
+        accept(out_np, off, origin, k, frames, buf)
 
-    dia_off = isinstance(dia, Dont)
+    # frame delivery: in contain mode the native decoder crops in C++ (full
+    # frames never enter Python; requires diagnostics off). predict mode
+    # retains raw frames for possible replay, so it always reads full chunks.
+    use_native_roi = native_roi and mode == "contain"
 
-    if native_roi:
+    def recycle(frames):
+        if not use_native_roi and frames is not None and roi_prefetch is not None:
+            roi_prefetch.recycle(frames)
+
+    roi_prefetch = None
+    if use_native_roi:
         remaining = n_rest
         while remaining > 0:
             while len(pending) > depth:
@@ -330,22 +425,33 @@ def run_roi_pipeline(
             pending.append((out, off, origin, k, None, buf))
             remaining -= k
     else:
-        prefetch = ChunkPrefetcher(src, K, max_frames=n_rest)
-        prefetchers.append(prefetch)
-        for chunk in prefetch:
+        from .diagnose import Dont
+
+        keep_for_dia = not isinstance(dia, Dont)
+        roi_prefetch = ChunkPrefetcher(src, K, max_frames=n_rest)
+        prefetchers.append(roi_prefetch)
+        for chunk in roi_prefetch:
             while len(pending) > depth:
                 drain_one()
-            origin = np.array([P_abs[0] - margin[0], P_abs[1] - margin[1]], np.int64)
-            buf = free_bufs.pop()
             k = chunk.shape[0]
+            if mode == "predict":
+                # extrapolate to the chunk's incoming position: P_abs is
+                # sum(pending ks) frames stale relative to it
+                stale = sum(e[3] for e in pending)
+                pred = P_abs + vel * stale
+                origin = np.round(pred).astype(np.int64) - np.asarray(margin)
+            else:
+                origin = np.array([P_abs[0] - margin[0], P_abs[1] - margin[1]], np.int64)
+            buf = free_bufs.pop()
             with timer.section("crop"):
                 for i in range(k):
                     _crop_with_fill(chunk[i], origin, ch, cw, fill, out=buf[i])
             for i in range(k, K):
                 buf[i] = buf[k - 1]
             out, off = dispatch(buf, k, origin)
-            if dia_off:
-                prefetch.recycle(chunk)
+            retain = mode == "predict" or keep_for_dia
+            if not retain:
+                roi_prefetch.recycle(chunk)
                 chunk = None
             pending.append((out, off, origin, k, chunk, buf))
 

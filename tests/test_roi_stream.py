@@ -39,15 +39,51 @@ def test_crop_with_fill():
 
 @pytest.mark.parametrize("start_ij", [(50, 50), (20, 80)])
 @pytest.mark.parametrize("depth", [0, 1, 2])
-def test_roi_matches_full(tmp_path, start_ij, depth):
+@pytest.mark.parametrize("speculate", ["contain", "predict"])
+def test_roi_matches_full(tmp_path, start_ij, depth, speculate):
     rng = np.random.default_rng(21)
     _, tra = helpers.build_trajectory(28, 24, start_ij, rng)
     f = helpers.trajectory2video(tra, str(tmp_path), 24, 100, 100, 10, True)
     kw = dict(fps=24, start_location=IJ(*start_ij), target_width=10)
     ts_f, ij_f = track(f, stream="full", **kw)
-    ts_r, ij_r = track(f, stream="roi", roi_frames=4, pipeline_depth=depth, **kw)
+    ts_r, ij_r = track(
+        f, stream="roi", roi_frames=4, pipeline_depth=depth, speculate=speculate, **kw
+    )
     np.testing.assert_array_equal(ij_r, ij_f)
     np.testing.assert_allclose(ts_r, ts_f)
+
+
+def test_predict_mispredict_replay(tmp_path):
+    """A target that TELEPORTS between chunks defeats any velocity prediction;
+    the validation + replay path must still produce full-path-identical
+    positions. (The jump is within the window so the tracker itself follows.)"""
+    import cv2
+
+    h, w, T = 200, 200, 48
+    frames = []
+    path = []
+    for t in range(T):
+        # fast triangle wave: direction reverses every 6 frames at 12 px/frame
+        # (within the 15-px window radius, so the tracker follows) — velocity
+        # extrapolation across a reversal is maximally wrong
+        ph = t % 12
+        tri = 12 * ph if ph < 6 else 12 * (12 - ph)
+        ij = (60 + tri, 100)
+        path.append(ij)
+        img = np.full((h, w), 128, np.uint8)
+        cv2.circle(img, (ij[1], ij[0]), 5, 0, -1)
+        frames.append(img)
+    f = helpers.write_video(frames, str(tmp_path / "jump"), 24)
+    kw = dict(fps=24, start_location=IJ(60, 100), target_width=10, window_size=31)
+    _, ij_full = track(f, stream="full", **kw)
+    from pawsometracker_tpu import pipeline
+
+    before = pipeline.replay_count
+    _, ij_pred = track(
+        f, stream="roi", roi_frames=4, pipeline_depth=2, speculate="predict", **kw
+    )
+    np.testing.assert_array_equal(ij_pred, ij_full)
+    assert pipeline.replay_count > before  # the replay path actually ran
 
 
 @pytest.mark.parametrize("depth", [0, 1, 3])
