@@ -19,10 +19,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 CONFIGS = [
-    ("depth0_k8", {"pipeline_depth": 0, "roi_frames": 8}),
-    ("depth1_k4", {"pipeline_depth": 1, "roi_frames": 4}),
-    ("depth2_k4", {"pipeline_depth": 2, "roi_frames": 4}),
-    ("depth1_k8", {"pipeline_depth": 1, "roi_frames": 8}),
+    ("sync_k8", {"pipeline_depth": 0, "roi_frames": 8}),
+    ("predict_d1_k8", {"pipeline_depth": 1, "roi_frames": 8, "speculate": "predict"}),
+    ("predict_d2_k8", {"pipeline_depth": 2, "roi_frames": 8, "speculate": "predict"}),
+    ("predict_d2_k16", {"pipeline_depth": 2, "roi_frames": 16, "speculate": "predict"}),
 ]
 TIMEOUT = 600
 RETRIES = 3
