@@ -224,16 +224,18 @@ def _track_batch_uniform(
 
         # ROI streaming (mirrors api._track_one): ship only drift-bounded
         # crops per video instead of full frames, speculatively PIPELINED
-        # (see pipeline.py): the host crops chunk c around positions at most
-        # depth*K frames stale (the margin covers the drift geometrically) and
-        # chunk scans chain their start positions on device, so the batch
-        # never blocks on a per-chunk host<->device round trip.
+        # (see pipeline.py): crops are aimed by velocity prediction with the
+        # synchronous margin + slack, chunk scans chain their start positions
+        # on device, results are containment-validated at (lagged) drain time
+        # and replayed on a mispredict — the batch never blocks on a per-chunk
+        # host<->device round trip and bytes/frame stay at synchronous levels.
         from .api import _resolve_roi_frames
-        from .pipeline import _crop_with_fill, make_chained_batch, roi_geometry
+        from .pipeline import _crop_with_fill, _to_host_async, make_chained_batch, roi_geometry
 
         pipeline_depth = max(0, int(pipeline_depth))
-        roi_frames = _resolve_roi_frames(roi_frames, pipeline_depth, "contain")
-        ch, cw, margin = roi_geometry(spec, roi_frames, pipeline_depth, "contain")
+        mode = "predict" if pipeline_depth > 0 else "contain"
+        roi_frames = _resolve_roi_frames(roi_frames, pipeline_depth, mode)
+        ch, cw, margin = roi_geometry(spec, roi_frames, pipeline_depth, mode)
         use_roi = stream == "roi" or (
             stream == "auto" and ch * cw * 2 < frame_shape[0] * frame_shape[1]
         )
@@ -285,49 +287,36 @@ def _track_batch_uniform(
             prev_out = None
             prev_origins = None
 
-            def drain_one():
-                out, origins_e, valid_e, chunks_e, buf = pending.popleft()
-                out_np = np.asarray(out)  # blocks
+
+
+            vel = np.zeros((B, 2))  # px/frame per video, for crop aiming
+            rh = np.array(spec.radii) + spec.kernel_len // 2
+            frame_max = np.array([H - 1, W - 1])
+
+            def crop_all(chunks_e, valid_e, origins_e, buf):
                 for b in range(B):
                     k = int(valid_e[b])
                     if k > 0:
-                        abs_b = out_np[b, :k].astype(np.int64) + origins_e[b]
-                        positions[b].append(abs_b)
-                        counts[b] += k
-                        pos_host[b] = abs_b[-1]
-                        for i in range(k):
-                            dias[b](chunks_e[b][i], abs_b[i])
-                    if chunks_e[b] is not None:
-                        prefetcher_objs[b].recycle(chunks_e[b])
-                free_bufs.append(buf)
-
-            while any(active):
-                while len(pending) > pipeline_depth:
-                    drain_one()
-                valid, chunks = _gather()
-                if valid.sum() == 0:
-                    break
-                origins = pos_host.astype(np.int64) - np.asarray(margin)
-                buf = free_bufs.pop()
-                for b in range(B):
-                    k = int(valid[b])
-                    if k > 0:
                         for i in range(k):
                             _crop_with_fill(
-                                chunks[b][i], origins[b], ch, cw, int(fills[b]), out=buf[b, i]
+                                chunks_e[b][i], origins_e[b], ch, cw, int(fills[b]), out=buf[b, i]
                             )
                         for i in range(k, chunk_size):
                             buf[b, i] = buf[b, k - 1]
                     else:
                         buf[b] = fills[b]
-                lo = np.maximum(-origins, 0).astype(np.int32)
+
+            def run_scan(buf, origins_e, pos0=None):
+                nonlocal prev_out, prev_origins
+                lo = np.maximum(-origins_e, 0).astype(np.int32)
                 hi = np.minimum(
-                    [[ch - 1, cw - 1]] * B, np.array([[H - 1, W - 1]]) - origins
+                    [[ch - 1, cw - 1]] * B, frame_max[None] - origins_e
                 ).astype(np.int32)
-                if prev_out is None:
+                if pos0 is not None or prev_out is None:
+                    p0 = pos_host if pos0 is None else pos0
                     out = roi_engine.scan_bounded(
                         roi_engine.shard_chunk(buf),
-                        jnp.asarray((pos_host - origins).astype(np.int32)),
+                        jnp.asarray((p0 - origins_e).astype(np.int32)),
                         fills_dev,
                         roi_engine.shard_chunk(lo),
                         roi_engine.shard_chunk(hi),
@@ -336,12 +325,88 @@ def _track_batch_uniform(
                     out = scan_chain(
                         roi_engine.shard_chunk(buf),
                         prev_out,
-                        jnp.asarray((prev_origins - origins).astype(np.int32)),
+                        jnp.asarray((prev_origins - origins_e).astype(np.int32)),
                         fills_dev,
                         roi_engine.shard_chunk(lo),
                         roi_engine.shard_chunk(hi),
                     )
-                prev_out, prev_origins = out, origins
+                _to_host_async(out)
+                prev_out, prev_origins = out, origins_e
+                return out
+
+            def accept(out_np, origins_e, valid_e, chunks_e, buf):
+                for b in range(B):
+                    k = int(valid_e[b])
+                    if k > 0:
+                        abs_b = out_np[b, :k].astype(np.int64) + origins_e[b]
+                        positions[b].append(abs_b)
+                        counts[b] += k
+                        if k > 1:
+                            vel[b] = (abs_b[-1] - abs_b[0]) / (k - 1)
+                        pos_host[b] = abs_b[-1]
+                        for i in range(k):
+                            dias[b](chunks_e[b][i], abs_b[i])
+                    if chunks_e[b] is not None:
+                        prefetcher_objs[b].recycle(chunks_e[b])
+                if buf is not None:
+                    free_bufs.append(buf)
+
+            def contained(out_np, origins_e, valid_e):
+                """Every window each video's scan read must lie inside its
+                crop (reads past the true frame edge hit the same fill)."""
+                for b in range(B):
+                    k = int(valid_e[b])
+                    if k == 0:
+                        continue
+                    seq = np.concatenate(
+                        [pos_host[b][None].astype(np.int64),
+                         out_np[b, :k].astype(np.int64) + origins_e[b]]
+                    )
+                    if not (
+                        (np.maximum(seq - rh, 0) >= origins_e[b]).all()
+                        and (np.minimum(seq + rh, frame_max) <= origins_e[b] + [ch - 1, cw - 1]).all()
+                    ):
+                        return False
+                return True
+
+            def replay(entries):
+                """Any video mispredicted: re-run every in-flight chunk round
+                synchronously with exact origins (containment guaranteed)."""
+                nonlocal prev_out, prev_origins
+                prev_out = None
+                prev_origins = None
+                for _, _, valid_e, chunks_e, buf in entries:
+                    origins_e = pos_host.astype(np.int64) - np.asarray(margin)
+                    rbuf = np.empty((B, chunk_size, ch, cw), np.uint8)
+                    crop_all(chunks_e, valid_e, origins_e, rbuf)
+                    out = run_scan(rbuf, origins_e, pos0=pos_host.astype(np.int64))
+                    accept(np.asarray(out), origins_e, valid_e, chunks_e, buf)
+
+            def drain_one():
+                entry = pending.popleft()
+                out, origins_e, valid_e, chunks_e, buf = entry
+                out_np = np.asarray(out)  # lagged; transfer started at dispatch
+                if mode == "predict" and not contained(out_np, origins_e, valid_e):
+                    replay([entry] + list(pending))
+                    pending.clear()
+                    return
+                accept(out_np, origins_e, valid_e, chunks_e, buf)
+
+            while any(active):
+                while len(pending) > pipeline_depth:
+                    drain_one()
+                valid, chunks = _gather()
+                if valid.sum() == 0:
+                    break
+                if mode == "predict":
+                    stale = sum(int(v.max()) for _, _, v, _, _ in pending)
+                    pred = pos_host.astype(np.float64) + vel * stale
+                    origins = np.round(pred).astype(np.int64) - np.asarray(margin)
+                else:
+                    origins = pos_host.astype(np.int64) - np.asarray(margin)
+                buf = free_bufs.pop()
+                crop_all(chunks, valid, origins, buf)
+                out = run_scan(buf, origins)
                 pending.append((out, origins, valid, chunks, buf))
             while pending:
                 drain_one()
