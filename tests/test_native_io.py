@@ -66,6 +66,48 @@ def test_native_start_stop(counter_video):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.fixture(scope="module")
+def h264_bframe_video(tmp_path_factory):
+    """H.264 with B-frames (the native writer's default x264 config): the
+    stream has decode order != display order, so seek + pts handling must not
+    be counter-based shortcuts."""
+    import cv2
+
+    d = tmp_path_factory.mktemp("h264")
+    path = str(d / "bframes.mp4")
+    w = native_io.NativeVideoWriter(path, 160, 120, 24)
+    for t in range(120):  # 5 s
+        img = np.full((120, 160), 128, np.uint8)
+        ij = (60 + int(30 * np.sin(t / 8)), 80 + int(40 * np.cos(t / 8)))
+        cv2.circle(img, (ij[1], ij[0]), 6, 0, -1)
+        w.write(img)
+    w.release()
+    return path
+
+
+def _centroids(frames):
+    out = []
+    for f in frames:
+        ii, jj = np.nonzero(f < 64)
+        out.append((ii.mean(), jj.mean()) if len(ii) else (np.nan, np.nan))
+    return np.asarray(out)
+
+
+@pytest.mark.parametrize("start,stop", [(0.0, 2.0), (2.0, 3.5), (3.25, 5.0)])
+def test_h264_bframe_seek_parity(h264_bframe_video, start, stop):
+    """Mid-stream seeks on a B-frame H.264 stream: both backends must emit the
+    same number of frames with the target in the same place (gray conversion
+    differs slightly between swscale Y-plane and cv2 BGR2GRAY, so compare blob
+    centroids, not bytes)."""
+    with native_io.NativeFrameSource(h264_bframe_video, start=start, stop=stop, fps=24) as ns:
+        a = ns.read_chunk(200)
+    with OpenCVFrameSource(h264_bframe_video, start=start, stop=stop, fps=24) as cs:
+        b = cs.read_chunk(200)
+    assert a.shape[0] == b.shape[0] == int(round((stop - start) * 24))
+    ca, cb = _centroids(a), _centroids(b)
+    assert np.nanmax(np.abs(ca - cb)) < 1.0
+
+
 def test_native_no_prefetch(counter_video):
     src = native_io.NativeFrameSource(counter_video, fps=24, prefetch=0)
     try:
