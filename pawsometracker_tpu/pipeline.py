@@ -175,8 +175,16 @@ def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128):
 
     base = tracker_fns(roi_spec).scan_bounded
     ch, cw = roi_spec.frame_shape
-    crops = np.full((k_frames, ch, cw), fill, np.uint8)
-    crops[:, ch // 2 - 2 : ch // 2 + 2, cw // 2 - 2 : cw // 2 + 2] = 0
+    # realistic measurement input: a blob the size the filter is matched to
+    # (a tiny or flat pattern gives a near-tie response plateau where 1-ulp
+    # float differences between engines legitimately flip the argmax)
+    yy, xx = np.mgrid[:ch, :cw]
+    bi, bj = ch // 2 + 3, cw // 2 - 2
+    sig = max(roi_spec.sigma, 1.0)
+    blob = np.exp(-((yy - bi) ** 2 + (xx - bj) ** 2) / (2.0 * sig**2))
+    sign = -1.0 if roi_spec.darker_target else 1.0
+    frame = np.clip(fill + sign * 110.0 * blob, 0, 255).astype(np.uint8)
+    crops = np.broadcast_to(frame, (k_frames, ch, cw)).copy()
     pos = jnp.asarray(np.array([ch // 2, cw // 2], np.int32))
     lo = np.zeros(2, np.int32)
     hi = np.array([ch - 1, cw - 1], np.int32)
@@ -198,17 +206,20 @@ def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128):
         out_p, t_p = run(pal)
         out_x, t_x = run(base)
         if not np.array_equal(out_p, out_x):
-            raise AssertionError(
-                f"pallas/xla position mismatch on hardware: {out_p} vs {out_x}"
-            )
-        info = {
-            "engine": "pallas" if t_p < t_x else "xla",
-            "pallas_ms": round(t_p * 1e3, 3),
-            "xla_ms": round(t_x * 1e3, 3),
-            "parity": True,
-        }
-    except AssertionError:
-        raise
+            # fail SAFE in production: keep the XLA engine and record the
+            # mismatch; the hardware test suite asserts parity is True
+            info = {
+                "engine": "xla",
+                "parity": False,
+                "mismatch": [out_p[-1].tolist(), out_x[-1].tolist()],
+            }
+        else:
+            info = {
+                "engine": "pallas" if t_p < t_x else "xla",
+                "pallas_ms": round(t_p * 1e3, 3),
+                "xla_ms": round(t_x * 1e3, 3),
+                "parity": True,
+            }
     except Exception as e:  # pallas unavailable/failed to compile: use XLA
         info = {"engine": "xla", "reason": f"pallas failed: {e}"[:200]}
     cache[key] = info
