@@ -103,7 +103,19 @@ def stage_e2e(d):
         rmse, n = float(np.sqrt(np.mean(err**2))), len(ij)
         fpss.append(n / dt)
     s = _stats(fpss)
-    return {"e2e_fps": s["med"], "e2e_spread": s, "rmse_px": round(rmse, 3), "frames": n}
+    out = {"e2e_fps": s["med"], "e2e_spread": s, "rmse_px": round(rmse, 3), "frames": n}
+    try:  # report which scan engine the measured auto-selection picked
+        from pawsometracker_tpu.models.dog_tracker import make_spec
+        from pawsometracker_tpu.pipeline import pick_bounded_engine, roi_geometry
+
+        spec = make_spec((H, W), WINDOW, TARGET_WIDTH, True)
+        ch, cw, _ = roi_geometry(spec, 8, 1, "predict")
+        eng, info = pick_bounded_engine(make_spec((ch, cw), WINDOW, TARGET_WIDTH, True), 8)
+        out["engine_used"] = eng
+        out["engine_info"] = {k: v for k, v in info.items() if k != "mismatch"}
+    except Exception:
+        pass
+    return out
 
 
 def _decode_all(d):
@@ -299,11 +311,14 @@ def main():
     detail = {
         "resolution": f"{W}x{H}",
         "clip_frames": N_FRAMES,
+        "host_cores": os.cpu_count() or 1,
         "note": (
             "medians of {} reps with min/max spread; decode_fps = full frames "
             "into Python while e2e crops ROIs in C++ (e2e may exceed decode); "
             "tunnel-attached TPU varies ~15x run-to-run — wide spreads mark "
-            "degraded phases".format(REPS)
+            "degraded phases. On a 1-core host both single and batch e2e are "
+            "capped by the shared decode core, so batch aggregate ~= single; "
+            "batch scale-out needs decode cores (or chips) to scale with B".format(REPS)
         ),
     }
     with tempfile.TemporaryDirectory() as d:

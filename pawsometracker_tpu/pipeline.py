@@ -157,6 +157,7 @@ def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128):
         map(
             str,
             (
+                "v2",  # decision-rule version (hysteresis)
                 jax.devices()[0].device_kind,
                 jax.__version__,
                 roi_spec.frame_shape,
@@ -214,8 +215,12 @@ def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128):
                 "mismatch": [out_p[-1].tolist(), out_x[-1].tolist()],
             }
         else:
+            # hysteresis: the fused kernel must win decisively. XLA's float
+            # reduction order matches the CPU-verified oracle path on response
+            # ties (cross-engine ties can flip the argmax by 1 px), so a
+            # within-noise pallas win isn't worth trading tie stability for.
             info = {
-                "engine": "pallas" if t_p < t_x else "xla",
+                "engine": "pallas" if t_p < 0.75 * t_x else "xla",
                 "pallas_ms": round(t_p * 1e3, 3),
                 "xla_ms": round(t_x * 1e3, 3),
                 "parity": True,
