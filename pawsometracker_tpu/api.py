@@ -178,7 +178,12 @@ def _track_one(
         raise ValueError(f"no frames to track in [{start}, {stop}] at fps={fps}")
     ts = np.linspace(start, stop, n)
 
-    src = open_source(file, start=start, stop=stop, fps=fps, backend=backend)
+    # size the native decode ring so the speculative ROI pipeline can RETAIN
+    # its in-flight chunks for mispredict replay (pipeline.py)
+    pipeline_depth = max(0, int(pipeline_depth))
+    roi_frames = _resolve_roi_frames(roi_frames, pipeline_depth, speculate)
+    ring = (pipeline_depth + 2) * roi_frames + 8
+    src = open_source(file, start=start, stop=stop, fps=fps, backend=backend, prefetch=ring)
     prefetchers: list[ChunkPrefetcher] = []  # joined in finally BEFORE src.close()
     try:
         if sar is None:
@@ -210,8 +215,6 @@ def _track_one(
         # (the crop provably contains every window the scan can visit). With
         # pipeline_depth >= 1 the crop speculates ahead of the device so no
         # stage ever blocks on the per-chunk round trip (see pipeline.py).
-        pipeline_depth = max(0, int(pipeline_depth))
-        roi_frames = _resolve_roi_frames(roi_frames, pipeline_depth, speculate)
         mode = speculate if pipeline_depth > 0 else "contain"
         ch, cw, _ = roi_geometry(spec, roi_frames, pipeline_depth, mode)
         use_roi = stream == "roi" or (

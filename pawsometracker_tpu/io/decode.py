@@ -247,14 +247,26 @@ class OpenCVFrameSource:
         self.close()
 
 
-def open_source(path: str, *, start: float = 0.0, stop: float = math.inf, fps: float = 24.0, backend: str = "auto"):
-    """Open a frame source, preferring the native libav decoder when built."""
+def open_source(
+    path: str,
+    *,
+    start: float = 0.0,
+    stop: float = math.inf,
+    fps: float = 24.0,
+    backend: str = "auto",
+    prefetch: int | None = None,
+):
+    """Open a frame source, preferring the native libav decoder when built.
+    ``prefetch`` sizes the native decode-ahead ring (frames); the speculative
+    ROI pipeline needs it large enough to also RETAIN its in-flight chunks."""
     if backend in ("auto", "native"):
         try:
             from .native_io import NativeFrameSource, native_available
 
             if native_available():
-                return NativeFrameSource(path, start=start, stop=stop, fps=fps)
+                return NativeFrameSource(
+                    path, start=start, stop=stop, fps=fps, prefetch=prefetch or 8
+                )
         except Exception:
             if backend == "native":
                 raise

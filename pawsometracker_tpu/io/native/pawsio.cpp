@@ -79,12 +79,16 @@ struct Decoder {
   bool has_pending = false, has_prev = false, flushed = false;
   int emit_slot = 0;
 
-  // background prefetch: fixed ring of in-place slots (no per-frame allocs)
+  // background prefetch: fixed ring of in-place slots (no per-frame allocs).
+  // Slots [head, head+read) are RETAINED (read but not yet released — the
+  // speculative ROI pipeline may recrop them on a mispredict replay); slots
+  // [head+read, head+count) are decoded-but-unread. The producer blocks while
+  // count == depth, so retention backpressures decode.
   std::thread th;
   std::mutex mu;
   std::condition_variable cv_push, cv_pop;
   std::vector<uint8_t> ring_mem;
-  size_t ring_depth = 0, ring_head = 0, ring_count = 0;
+  size_t ring_depth = 0, ring_head = 0, ring_count = 0, ring_read = 0;
   std::atomic<bool> stop_thread{false};
   bool thread_eof = false;
 
@@ -444,25 +448,44 @@ int pawsio_start_prefetch(void *h, int depth) {
   return 0;
 }
 
+// Waits for the next UNREAD ring slot; returns its index or SIZE_MAX at EOF.
+static size_t next_unread_slot(Decoder *d) {
+  std::unique_lock<std::mutex> lk(d->mu);
+  d->cv_pop.wait(lk, [&] {
+    return d->ring_count > d->ring_read || d->thread_eof || d->stop_thread;
+  });
+  if (d->ring_count <= d->ring_read) return SIZE_MAX;
+  size_t slot = (d->ring_head + d->ring_read) % d->ring_depth;
+  d->ring_read++;
+  return slot;
+}
+
+// Frees the n oldest retained slots (the producer can refill them).
+static void release_slots(Decoder *d, size_t n) {
+  {
+    std::unique_lock<std::mutex> lk(d->mu);
+    if (n > d->ring_read) n = d->ring_read;
+    d->ring_head = (d->ring_head + n) % d->ring_depth;
+    d->ring_count -= n;
+    d->ring_read -= n;
+  }
+  d->cv_push.notify_all();
+}
+
+void pawsio_release(void *h, int n) {
+  auto d = static_cast<Decoder *>(h);
+  if (d->th.joinable() && n > 0) release_slots(d, (size_t)n);
+}
+
 // 1 = frame written, 0 = EOF, <0 = error
 int pawsio_read(void *h, uint8_t *dst) {
   auto d = static_cast<Decoder *>(h);
   if (!d->th.joinable()) return d->read_resampled(dst);
   const size_t nb = d->frame_bytes();
-  size_t slot;
-  {
-    std::unique_lock<std::mutex> lk(d->mu);
-    d->cv_pop.wait(lk, [&] { return d->ring_count > 0 || d->thread_eof || d->stop_thread; });
-    if (d->ring_count == 0) return 0;
-    slot = d->ring_head;
-  }
+  size_t slot = next_unread_slot(d);
+  if (slot == SIZE_MAX) return 0;
   std::memcpy(dst, d->ring_mem.data() + slot * nb, nb);
-  {
-    std::unique_lock<std::mutex> lk(d->mu);
-    d->ring_head = (d->ring_head + 1) % d->ring_depth;
-    d->ring_count--;
-  }
-  d->cv_push.notify_all();
+  release_slots(d, 1);  // pop semantics (valid when nothing else is retained)
   return 1;
 }
 
@@ -488,45 +511,78 @@ static void crop_from(const uint8_t *frame, int H, int W, uint8_t *dst, int ch,
   }
 }
 
-// Pops the next resampled frame and writes only its (ch x cw) crop at
-// (orr, occ) into dst. 1 = ok, 0 = EOF, <0 = error.
-int pawsio_read_roi(void *h, uint8_t *dst, int ch, int cw, int orr, int occ,
-                    uint8_t fill) {
-  auto d = static_cast<Decoder *>(h);
+// Reads the next resampled frame and writes only its (ch x cw) crop at
+// (orr, occ) into dst. retain=0 frees the frame immediately (pop); retain=1
+// keeps it in the ring until pawsio_release (speculative-replay support).
+// 1 = ok, 0 = EOF, <0 = error.
+static int read_roi_impl(Decoder *d, uint8_t *dst, int ch, int cw, int orr,
+                         int occ, uint8_t fill, int retain) {
   const int H = d->height, W = d->width;
   if (!d->th.joinable()) {
+    if (retain) {
+      set_error("retained ROI reads need the prefetch ring");
+      return -1;
+    }
     if (d->roi_scratch.size() != d->frame_bytes()) d->roi_scratch.resize(d->frame_bytes());
     int ret = d->read_resampled(d->roi_scratch.data());
     if (ret != 1) return ret;
     crop_from(d->roi_scratch.data(), H, W, dst, ch, cw, orr, occ, fill);
     return 1;
   }
-  size_t slot;
-  {
-    std::unique_lock<std::mutex> lk(d->mu);
-    d->cv_pop.wait(lk, [&] { return d->ring_count > 0 || d->thread_eof || d->stop_thread; });
-    if (d->ring_count == 0) return 0;
-    slot = d->ring_head;
-  }
+  size_t slot = next_unread_slot(d);
+  if (slot == SIZE_MAX) return 0;
   crop_from(d->ring_mem.data() + slot * d->frame_bytes(), H, W, dst, ch, cw, orr, occ, fill);
-  {
-    std::unique_lock<std::mutex> lk(d->mu);
-    d->ring_head = (d->ring_head + 1) % d->ring_depth;
-    d->ring_count--;
-  }
-  d->cv_push.notify_all();
+  if (!retain) release_slots(d, 1);
   return 1;
 }
 
-int pawsio_read_roi_batch(void *h, uint8_t *dst, int maxn, int ch, int cw,
-                          int orr, int occ, uint8_t fill) {
+int pawsio_read_roi(void *h, uint8_t *dst, int ch, int cw, int orr, int occ,
+                    uint8_t fill) {
+  return read_roi_impl(static_cast<Decoder *>(h), dst, ch, cw, orr, occ, fill, 0);
+}
+
+// retain_flag != 0: frames stay retained until pawsio_release
+int pawsio_read_roi_batch_retain(void *h, uint8_t *dst, int maxn, int ch, int cw,
+                                 int orr, int occ, uint8_t fill, int retain_flag) {
+  auto d = static_cast<Decoder *>(h);
   int n = 0;
   for (; n < maxn; n++) {
-    int ret = pawsio_read_roi(h, dst + (size_t)n * ch * cw, ch, cw, orr, occ, fill);
+    int ret = read_roi_impl(d, dst + (size_t)n * ch * cw, ch, cw, orr, occ, fill,
+                            retain_flag);
     if (ret < 0) return ret;
     if (ret == 0) break;
   }
   return n;
+}
+
+int pawsio_read_roi_batch(void *h, uint8_t *dst, int maxn, int ch, int cw,
+                          int orr, int occ, uint8_t fill) {
+  return pawsio_read_roi_batch_retain(h, dst, maxn, ch, cw, orr, occ, fill, 0);
+}
+
+// Re-crops k RETAINED frames starting at index `first` of the retained window
+// (0 = oldest retained). Returns k, or <0 on a range error.
+int pawsio_recrop(void *h, uint8_t *dst, int first, int k, int ch, int cw,
+                  int orr, int occ, uint8_t fill) {
+  auto d = static_cast<Decoder *>(h);
+  size_t head, read;
+  {
+    std::unique_lock<std::mutex> lk(d->mu);
+    head = d->ring_head;
+    read = d->ring_read;
+  }
+  if (first < 0 || k < 0 || (size_t)(first + k) > read) {
+    set_error("recrop range outside the retained window");
+    return -1;
+  }
+  const int H = d->height, W = d->width;
+  const size_t nb = d->frame_bytes();
+  for (int j = 0; j < k; j++) {
+    size_t slot = (head + first + j) % d->ring_depth;
+    crop_from(d->ring_mem.data() + slot * nb, H, W, dst + (size_t)j * ch * cw,
+              ch, cw, orr, occ, fill);
+  }
+  return k;
 }
 
 int pawsio_read_batch(void *h, uint8_t *dst, int maxn) {

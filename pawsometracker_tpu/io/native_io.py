@@ -98,6 +98,32 @@ def _load():
             ctypes.c_uint8,
         ]
         lib.pawsio_read_roi_batch.restype = ctypes.c_int
+        lib.pawsio_read_roi_batch_retain.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_uint8,
+            ctypes.c_int,
+        ]
+        lib.pawsio_read_roi_batch_retain.restype = ctypes.c_int
+        lib.pawsio_recrop.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_uint8,
+        ]
+        lib.pawsio_recrop.restype = ctypes.c_int
+        lib.pawsio_release.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.pawsio_release.restype = None
         lib.pawsio_close.argtypes = [ctypes.c_void_p]
         lib.pawsio_close.restype = None
         lib.pawsio_last_error.argtypes = []
@@ -250,6 +276,56 @@ class NativeFrameSource:
         if got < 0:
             raise IOError(f"decode error: {_last_error(self._lib)}")
         return out[:got]
+
+    def read_roi_chunk_retained(
+        self, n: int, origin, ch: int, cw: int, fill: int, out: np.ndarray | None = None
+    ) -> np.ndarray:
+        """Like :meth:`read_roi_chunk`, but the decoded frames stay RETAINED
+        in the C++ ring until :meth:`release` — so a speculative pipeline can
+        :meth:`recrop` them at a corrected origin on a mispredict without the
+        full frames ever entering Python."""
+        if out is None or out.shape[0] < n:
+            out = np.empty((n, ch, cw), np.uint8)
+        got = self._lib.pawsio_read_roi_batch_retain(
+            self._h,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            int(n),
+            int(ch),
+            int(cw),
+            int(origin[0]),
+            int(origin[1]),
+            int(fill) & 0xFF,
+            1,
+        )
+        if got < 0:
+            raise IOError(f"decode error: {_last_error(self._lib)}")
+        return out[:got]
+
+    def recrop(
+        self, first: int, k: int, origin, ch: int, cw: int, fill: int, out: np.ndarray | None = None
+    ) -> np.ndarray:
+        """Crop retained frames ``[first, first+k)`` (0 = oldest retained) at
+        a new origin."""
+        if out is None or out.shape[0] < k:
+            out = np.empty((k, ch, cw), np.uint8)
+        got = self._lib.pawsio_recrop(
+            self._h,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            int(first),
+            int(k),
+            int(ch),
+            int(cw),
+            int(origin[0]),
+            int(origin[1]),
+            int(fill) & 0xFF,
+        )
+        if got < 0:
+            raise IOError(f"recrop error: {_last_error(self._lib)}")
+        return out[:got]
+
+    def release(self, n: int):
+        """Free the ``n`` oldest retained frames (the ring can refill them)."""
+        self._lib.pawsio_release(self._h, int(n))
 
     def close(self):
         if self._h:

@@ -355,13 +355,17 @@ def run_roi_pipeline(
         )
         return bool(lo_ok.all() and hi_ok.all())
 
+    RETAINED = "native-retained"  # frames live in the C++ ring, not Python
+
     def accept(out_np, off, origin, k, frames, buf):
         nonlocal P_abs, tracked, vel
         valid = out_np[:k].astype(np.int64) + origin
         positions.append(valid)
         if off is not None:
             offsets.append(np.asarray(off)[:k])
-        if frames is not None:
+        if frames is RETAINED:
+            src.release(k)  # this chunk's frames are the oldest retained
+        elif frames is not None:
             with timer.section("diagnose"):
                 for i in range(k):
                     dia(frames[i], valid[i])
@@ -387,8 +391,13 @@ def run_roi_pipeline(
             origin = np.array([P_abs[0] - margin[0], P_abs[1] - margin[1]], np.int64)
             rbuf = np.empty((K, ch, cw), np.uint8)
             with timer.section("crop"):
-                for i in range(k):
-                    _crop_with_fill(frames[i], origin, ch, cw, fill, out=rbuf[i])
+                if frames is RETAINED:
+                    # each accept released its chunk, so this entry's frames
+                    # are now the OLDEST retained: recrop window [0, k)
+                    src.recrop(0, k, origin, ch, cw, fill, out=rbuf)
+                else:
+                    for i in range(k):
+                        _crop_with_fill(frames[i], origin, ch, cw, fill, out=rbuf[i])
                 for i in range(k, K):
                     rbuf[i] = rbuf[k - 1]
             out, off = dispatch(rbuf, k, origin)
@@ -410,25 +419,35 @@ def run_roi_pipeline(
                 return
         accept(out_np, off, origin, k, frames, buf)
 
-    # frame delivery: in contain mode the native decoder crops in C++ (full
-    # frames never enter Python; requires diagnostics off). predict mode
-    # retains raw frames for possible replay, so it always reads full chunks.
+    # frame delivery: with the native decoder and diagnostics off, crops are
+    # cut in C++ straight from the decode ring — full frames never enter
+    # Python. In predict mode the ring RETAINS each chunk's frames until its
+    # result is validated, so mispredict replays recrop in C++ too.
     use_native_roi = native_roi and mode == "contain"
+    use_native_retained = (
+        native_roi and mode == "predict" and hasattr(src, "read_roi_chunk_retained")
+    )
 
     def recycle(frames):
-        if not use_native_roi and frames is not None and roi_prefetch is not None:
+        if roi_prefetch is not None and frames is not None and frames is not RETAINED:
             roi_prefetch.recycle(frames)
 
     roi_prefetch = None
-    if use_native_roi:
+    if use_native_roi or use_native_retained:
         remaining = n_rest
         while remaining > 0:
             while len(pending) > depth:
                 drain_one()
-            origin = np.array([P_abs[0] - margin[0], P_abs[1] - margin[1]], np.int64)
+            if mode == "predict":
+                stale = sum(e[3] for e in pending)
+                pred = P_abs + vel * stale
+                origin = np.round(pred).astype(np.int64) - np.asarray(margin)
+            else:
+                origin = np.array([P_abs[0] - margin[0], P_abs[1] - margin[1]], np.int64)
             buf = free_bufs.pop()
             with timer.section("crop"):
-                got = src.read_roi_chunk(
+                reader = src.read_roi_chunk_retained if use_native_retained else src.read_roi_chunk
+                got = reader(
                     min(K, remaining), (int(origin[0]), int(origin[1])), ch, cw, fill, out=buf
                 )
             k = got.shape[0]
@@ -438,7 +457,7 @@ def run_roi_pipeline(
             for i in range(k, K):
                 buf[i] = buf[k - 1]
             out, off = dispatch(buf, k, origin)
-            pending.append((out, off, origin, k, None, buf))
+            pending.append((out, off, origin, k, RETAINED if use_native_retained else None, buf))
             remaining -= k
     else:
         from .diagnose import Dont

@@ -108,6 +108,33 @@ def test_h264_bframe_seek_parity(h264_bframe_video, start, stop):
     assert np.nanmax(np.abs(ca - cb)) < 1.0
 
 
+def test_retained_roi_recrop_release(counter_video):
+    """Retained ROI reads keep frames in the C++ ring: recrop at a different
+    origin must reproduce a straight numpy crop of the same frames, and
+    release() frees them for the decoder to continue."""
+    from pawsometracker_tpu.pipeline import _crop_with_fill
+
+    with native_io.NativeFrameSource(counter_video, fps=24, prefetch=32) as ns:
+        full = ns.read_chunk(6)  # frames 0..5 (popped)
+        c1 = ns.read_roi_chunk_retained(4, (10, 20), 16, 24, fill=7)  # frames 6..9
+        assert c1.shape == (4, 16, 24)
+        # recrop the SAME retained frames at another (out-of-bounds) origin
+        c2 = ns.recrop(0, 4, (-5, 80), 16, 24, fill=9)
+        ns.release(2)  # free frames 6..7; 8..9 stay retained
+        c3 = ns.recrop(0, 2, (10, 20), 16, 24, fill=7)
+        with pytest.raises(IOError):
+            ns.recrop(0, 3, (0, 0), 16, 24, fill=0)  # beyond the retained window
+        ns.release(2)
+        nxt = ns.read_chunk(1)  # frame 10 decodes fine after release
+    with OpenCVFrameSource(counter_video, fps=24) as cs:
+        ref = cs.read_chunk(11)
+    for i in range(4):
+        np.testing.assert_array_equal(c1[i], _crop_with_fill(ref[6 + i], (10, 20), 16, 24, 7))
+        np.testing.assert_array_equal(c2[i], _crop_with_fill(ref[6 + i], (-5, 80), 16, 24, 9))
+    np.testing.assert_array_equal(c3[0], c1[2])
+    np.testing.assert_array_equal(nxt[0], ref[10])
+
+
 def test_native_no_prefetch(counter_video):
     src = native_io.NativeFrameSource(counter_video, fps=24, prefetch=0)
     try:
