@@ -560,6 +560,21 @@ int pawsio_read_roi_batch(void *h, uint8_t *dst, int maxn, int ch, int cw,
   return pawsio_read_roi_batch_retain(h, dst, maxn, ch, cw, orr, occ, fill, 0);
 }
 
+// Advances up to maxn frames into the RETAINED window without cropping
+// (multi-target pipelines recrop each target separately). Returns the count.
+int pawsio_advance_retain(void *h, int maxn) {
+  auto d = static_cast<Decoder *>(h);
+  if (!d->th.joinable()) {
+    set_error("retained reads need the prefetch ring");
+    return -1;
+  }
+  int n = 0;
+  for (; n < maxn; n++) {
+    if (next_unread_slot(d) == SIZE_MAX) break;
+  }
+  return n;
+}
+
 // Re-crops k RETAINED frames starting at index `first` of the retained window
 // (0 = oldest retained). Returns k, or <0 on a range error.
 int pawsio_recrop(void *h, uint8_t *dst, int first, int k, int ch, int cw,

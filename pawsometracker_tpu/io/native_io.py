@@ -124,6 +124,8 @@ def _load():
         lib.pawsio_recrop.restype = ctypes.c_int
         lib.pawsio_release.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.pawsio_release.restype = None
+        lib.pawsio_advance_retain.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.pawsio_advance_retain.restype = ctypes.c_int
         lib.pawsio_close.argtypes = [ctypes.c_void_p]
         lib.pawsio_close.restype = None
         lib.pawsio_last_error.argtypes = []
@@ -322,6 +324,14 @@ class NativeFrameSource:
         if got < 0:
             raise IOError(f"recrop error: {_last_error(self._lib)}")
         return out[:got]
+
+    def advance_retained(self, n: int) -> int:
+        """Decode up to ``n`` frames into the retained window WITHOUT
+        cropping (use :meth:`recrop` per target). Returns the count."""
+        got = self._lib.pawsio_advance_retain(self._h, int(n))
+        if got < 0:
+            raise IOError(f"decode error: {_last_error(self._lib)}")
+        return got
 
     def release(self, n: int):
         """Free the ``n`` oldest retained frames (the ring can refill them)."""

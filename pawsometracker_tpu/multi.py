@@ -37,12 +37,19 @@ def track_multi(
     sar: float | None = None,
     backend: str = "auto",
     chunk_size: int = 16,
+    stream: str = "auto",
+    roi_frames: int | None = None,
+    pipeline_depth: int = 1,
 ):
     """Track ``len(start_locations)`` targets in one video.
 
     Each entry of ``start_locations`` is an ``IJ`` or display ``(x, y)``
     (auto-detect is not meaningful for multiple targets — locations are
     required). Returns ``(ts, positions)`` with ``positions int [T, N, 2]``.
+
+    Large frames stream as N per-target drift-bounded crops through the
+    speculative ROI pipeline (see :mod:`.pipeline`) — with the native decoder
+    the crops are cut (and mispredict replays recropped) in C++.
     """
     import jax.numpy as jnp
 
@@ -64,8 +71,15 @@ def track_multi(
         raise ValueError(f"no frames to track in [{start}, {stop}] at fps={fps}")
     ts = np.linspace(start, stop, n)
 
-    src = open_source(file, start=start, stop=stop, fps=fps, backend=backend)
-    prefetch = None  # joined in finally BEFORE src.close()
+    from .api import _resolve_roi_frames
+    from .pipeline import roi_geometry, run_multi_roi_pipeline
+    from .utils.profiling import Timer
+
+    pipeline_depth = max(0, int(pipeline_depth))
+    roi_frames = _resolve_roi_frames(roi_frames, pipeline_depth, "predict")
+    ring = (pipeline_depth + 2) * roi_frames + 8
+    src = open_source(file, start=start, stop=stop, fps=fps, backend=backend, prefetch=ring)
+    prefetchers = []  # joined in finally BEFORE src.close()
     try:
         sar_val = float(sar) if sar is not None else src.info.sar
         frame0 = src.read()
@@ -84,10 +98,31 @@ def track_multi(
 
         out = [np.asarray(pos)[None]]
         last_frame = 1
-        if n > 1:
+        N = guesses.shape[0]
+        mode = "predict" if pipeline_depth > 0 else "contain"
+        ch, cw, _ = roi_geometry(spec, roi_frames, pipeline_depth, mode)
+        use_roi = stream == "roi" or (
+            stream == "auto" and N * ch * cw * 2 < frame_shape[0] * frame_shape[1]
+        )
+        if n > 1 and use_roi:
+            pos_blocks, tracked = run_multi_roi_pipeline(
+                src,
+                spec,
+                np.asarray(pos),
+                fill,
+                n - 1,
+                roi_frames=roi_frames,
+                depth=pipeline_depth,
+                timer=Timer(),
+                prefetchers=prefetchers,
+            )
+            out.extend(pos_blocks)
+            last_frame += tracked
+        elif n > 1:
             from .api import padded_chunks
 
             prefetch = ChunkPrefetcher(src, chunk_size, max_frames=n - 1)
+            prefetchers.append(prefetch)
             for chunk, chunk_in, k in padded_chunks(prefetch, chunk_size):
                 pos_t = fns.scan_multi(jnp.asarray(chunk_in), pos, fill_dev)
                 pos = pos_t[k - 1]
@@ -95,8 +130,8 @@ def track_multi(
                 prefetch.recycle(chunk)
                 last_frame += k
     finally:
-        if prefetch is not None:
-            prefetch.close()
+        for p in prefetchers:
+            p.close()
         src.close()
 
     positions = np.concatenate(out, axis=0)

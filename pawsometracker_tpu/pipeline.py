@@ -493,3 +493,178 @@ def run_roi_pipeline(
     while pending:
         drain_one()
     return positions, offsets, tracked
+
+
+def run_multi_roi_pipeline(
+    src,
+    spec,
+    pos0_abs: np.ndarray,
+    fill: int,
+    n_rest: int,
+    *,
+    roi_frames: int,
+    depth: int,
+    timer,
+    prefetchers: list,
+):
+    """Speculative pipelined ROI streaming for N targets in ONE stream: each
+    decoded frame yields N drift-bounded crops (vmapped bounded scans over the
+    target axis), aimed per target by velocity prediction and validated /
+    replayed exactly like the single-target pipeline. With the native decoder
+    the first target's crop comes from the retained read and the other N-1
+    from C++ ``recrop`` — full frames never enter Python.
+
+    Returns ``(position_arrays, frames_tracked)``; each array is
+    ``[k, N, 2]`` absolute int.
+    """
+    import jax.numpy as jnp
+
+    from .parallel.mesh import ShardedBatchTracker
+
+    H, W = spec.frame_shape
+    K = roi_frames
+    mode = "predict" if depth > 0 else "contain"
+    ch, cw, margin = roi_geometry(spec, K, depth, mode)
+    roi_spec = make_spec((ch, cw), spec.window_size, spec.target_width, spec.darker_target)
+    engine = ShardedBatchTracker(roi_spec, None)
+    scan_chain = make_chained_batch(engine.scan_bounded)
+
+    N = int(pos0_abs.shape[0])
+    fills_vec = jnp.asarray(np.full(N, fill, np.uint8))
+    rh = np.array(spec.radii) + spec.kernel_len // 2
+    frame_max = np.array([H - 1, W - 1])
+    free_bufs = [np.empty((N, K, ch, cw), np.uint8) for _ in range(depth + 2)]
+
+    positions: list[np.ndarray] = []
+    tracked = 0
+    P = np.asarray(pos0_abs, np.int64)  # [N, 2] newest downloaded
+    vel = np.zeros((N, 2))
+    prev_out = None
+    prev_origins = None
+    pending: deque = deque()  # (out, origins [N,2], k, frames_token, buf)
+
+    RETAINED = "native-retained"
+    native = hasattr(src, "read_roi_chunk_retained")
+    roi_prefetch = None if native else ChunkPrefetcher(src, K, max_frames=n_rest)
+    if roi_prefetch is not None:
+        prefetchers.append(roi_prefetch)
+
+    def run_scan(buf, origins, pos0=None):
+        nonlocal prev_out, prev_origins
+        lo = np.maximum(-origins, 0).astype(np.int32)
+        hi = np.minimum([[ch - 1, cw - 1]] * N, frame_max[None] - origins).astype(np.int32)
+        with timer.section("device"):
+            if pos0 is not None or prev_out is None:
+                p0 = P if pos0 is None else pos0
+                out = engine.scan_bounded(
+                    buf, jnp.asarray((p0 - origins).astype(np.int32)), fills_vec, lo, hi
+                )
+            else:
+                out = scan_chain(
+                    buf,
+                    prev_out,
+                    jnp.asarray((prev_origins - origins).astype(np.int32)),
+                    fills_vec,
+                    lo,
+                    hi,
+                )
+        _to_host_async(out)
+        prev_out, prev_origins = out, origins
+        return out
+
+    def crop_round(frames, k, origins, buf, retained_base=None):
+        """Fill buf[N, K] with per-target crops of this chunk's frames."""
+        with timer.section("crop"):
+            if frames is RETAINED:
+                for t in range(N):
+                    src.recrop(retained_base, k, origins[t], ch, cw, fill, out=buf[t])
+            else:
+                for t in range(N):
+                    for i in range(k):
+                        _crop_with_fill(frames[i], origins[t], ch, cw, fill, out=buf[t, i])
+            for t in range(N):
+                for i in range(k, K):
+                    buf[t, i] = buf[t, k - 1]
+
+    def accept(out_np, origins, k, frames, buf):
+        nonlocal P, vel, tracked
+        valid = out_np[:, :k].astype(np.int64) + origins[:, None, :]  # [N, k, 2]
+        positions.append(np.transpose(valid, (1, 0, 2)))  # [k, N, 2]
+        if frames is RETAINED:
+            src.release(k)
+        elif frames is not None:
+            roi_prefetch.recycle(frames)
+        if k > 1:
+            vel = (valid[:, -1] - valid[:, 0]) / (k - 1)
+        P = valid[:, -1]
+        tracked += k
+        if buf is not None:
+            free_bufs.append(buf)
+
+    def contained(out_np, origins, k):
+        seq = np.concatenate(
+            [P[:, None, :], out_np[:, :k].astype(np.int64) + origins[:, None, :]], axis=1
+        )
+        lo_ok = np.maximum(seq - rh, 0) >= origins[:, None, :]
+        hi_ok = np.minimum(seq + rh, frame_max) <= (origins + [ch - 1, cw - 1])[:, None, :]
+        return bool(lo_ok.all() and hi_ok.all())
+
+    def replay(entries):
+        nonlocal prev_out, prev_origins
+        global replay_count
+        replay_count += 1
+        prev_out = None
+        prev_origins = None
+        for _, _, k, frames, buf in entries:
+            origins = P - np.asarray(margin)
+            rbuf = np.empty((N, K, ch, cw), np.uint8)
+            crop_round(frames, k, origins, rbuf, retained_base=0)
+            out = run_scan(rbuf, origins, pos0=P)
+            with timer.section("drain"):
+                out_np = np.asarray(out)
+            accept(out_np, origins, k, frames, buf)
+
+    def drain_one():
+        entry = pending.popleft()
+        out, origins, k, frames, buf = entry
+        with timer.section("drain"):
+            out_np = np.asarray(out)
+        if mode == "predict" and not contained(out_np, origins, k):
+            replay([entry] + list(pending))
+            pending.clear()
+            return
+        accept(out_np, origins, k, frames, buf)
+
+    def next_chunk(remaining):
+        """Returns (frames_token, k, retained_base) or (None, 0, 0) at EOF."""
+        if native:
+            base = sum(e[2] for e in pending)
+            got = src.advance_retained(min(K, remaining))
+            return (RETAINED, got, base) if got else (None, 0, 0)
+        try:
+            chunk = next(prefetch_iter)
+        except StopIteration:
+            return None, 0, 0
+        return (chunk, chunk.shape[0], 0) if chunk.shape[0] else (None, 0, 0)
+
+    prefetch_iter = iter(roi_prefetch) if roi_prefetch is not None else None
+    remaining = n_rest
+    while remaining > 0:
+        while len(pending) > depth:
+            drain_one()
+        frames, k, base = next_chunk(remaining)
+        if k == 0:
+            break
+        if mode == "predict":
+            stale = sum(e[2] for e in pending)
+            origins = np.round(P + vel * stale).astype(np.int64) - np.asarray(margin)
+        else:
+            origins = P - np.asarray(margin)
+        buf = free_bufs.pop()
+        crop_round(frames, k, origins, buf, retained_base=base)
+        out = run_scan(buf, origins)
+        pending.append((out, origins, k, frames, buf))
+        remaining -= k
+    while pending:
+        drain_one()
+    return positions, tracked

@@ -45,3 +45,30 @@ def test_track_multi_matches_single(tmp_path):
 def test_track_multi_requires_locations(tmp_path):
     with pytest.raises(ValueError):
         track_multi("whatever.mp4", [])
+
+
+@pytest.mark.parametrize("depth", [0, 2])
+def test_track_multi_roi_matches_full(tmp_path, depth):
+    """Multi-target ROI pipeline (per-target speculative crops, vmapped
+    bounded scans) must equal full-frame streaming bit-for-bit."""
+    T, h, w = 50, 360, 480
+    paths = [
+        [(80 + t, 90 + 2 * t) for t in range(T)],
+        [(300 - 2 * t, 400 - 3 * t) for t in range(T)],
+        [(180, 60 + 4 * t) for t in range(T)],
+    ]
+    frames = []
+    for t in range(T):
+        f = np.full((h, w), 128, np.uint8)
+        for p in paths:
+            cv2.circle(f, (p[t][1], p[t][0]), 5, 0, -1)
+        frames.append(f)
+    f = helpers.write_video(frames, str(tmp_path / "three"), 24)
+    locs = [IJ(*p[0]) for p in paths]
+    kw = dict(fps=24, target_width=10, window_size=21)
+    _, pos_full = track_multi(f, locs, stream="full", **kw)
+    _, pos_roi = track_multi(f, locs, stream="roi", roi_frames=4, pipeline_depth=depth, **kw)
+    np.testing.assert_array_equal(pos_roi, pos_full)
+    for k, p in enumerate(paths):
+        err = np.linalg.norm(pos_roi[:, k, :] - np.asarray(p), axis=1)
+        assert np.sqrt(np.mean(err**2)) < 1.0, f"target {k}"
