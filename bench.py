@@ -318,7 +318,10 @@ def main():
             "tunnel-attached TPU varies ~15x run-to-run — wide spreads mark "
             "degraded phases. On a 1-core host both single and batch e2e are "
             "capped by the shared decode core, so batch aggregate ~= single; "
-            "batch scale-out needs decode cores (or chips) to scale with B".format(REPS)
+            "batch scale-out needs decode cores (or chips) to scale with B. "
+            "rmse_px ~0.1 with engine_used=pallas is cross-engine float-order "
+            "tie variance on the symmetric synthetic blob (docs/performance.md); "
+            "the XLA path scores 0.0 and both are inside the <1px oracle".format(REPS)
         ),
     }
     with tempfile.TemporaryDirectory() as d:
