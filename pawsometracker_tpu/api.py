@@ -40,7 +40,7 @@ from .models.dog_tracker import (
 )
 from .ops.dog_kernel import fix_window_size, guess_window_size
 from .ops.filters import mode_u8_host
-from .pipeline import roi_geometry, run_roi_pipeline
+from .pipeline import roi_geometry, run_full_pipeline, run_roi_pipeline
 
 #: 24 hours minus 1 millisecond (reference: src/PawsomeTracker.jl:19)
 DEFAULT_MAX_DURATION_SECONDS = 86399.999
@@ -250,30 +250,31 @@ def _track_one(
             last_frame += tracked
         elif n > 1:
             if subpixel:
+                import jax
+
                 fns_full = tracker_fns(spec)
                 lo_s = jnp.zeros((2,), jnp.int32)
                 hi_s = jnp.asarray(np.array(frame_shape, np.int32) - 1)
-                scan = lambda c, p, f: fns_full.scan_sub(c, p, f, lo_s, hi_s)  # noqa: E731
+                scan = jax.jit(lambda c, p, f: fns_full.scan_sub(c, p, f, lo_s, hi_s))
             else:
                 scan = _scan_fn_for(spec, engine)
-            prefetch = ChunkPrefetcher(src, chunk_size, max_frames=n - 1)
-            prefetchers.append(prefetch)
-            for chunk, chunk_in, k in padded_chunks(prefetch, chunk_size):
-                with timer.section("device"):
-                    out = scan(jnp.asarray(chunk_in), pos, fill_dev)
-                    if subpixel:
-                        pos_out, offs = out
-                        offsets.append(np.asarray(offs[:k]))
-                    else:
-                        pos_out = out
-                    pos = pos_out[k - 1]
-                    valid = np.asarray(pos_out[:k])  # blocks: device done with chunk
-                positions.append(valid)
-                with timer.section("diagnose"):
-                    for i in range(k):
-                        dia(chunk[i], valid[i])
-                prefetch.recycle(chunk)
-                last_frame += k
+            pos_blocks, off_blocks, tracked = run_full_pipeline(
+                src,
+                spec,
+                np.asarray(pos),
+                fill,
+                n - 1,
+                chunk_size=chunk_size,
+                depth=pipeline_depth,
+                scan=scan,
+                subpixel=subpixel,
+                dia=dia,
+                timer=timer,
+                prefetchers=prefetchers,
+            )
+            positions.extend(pos_blocks)
+            offsets.extend(off_blocks)
+            last_frame += tracked
         if timer.totals:
             logger.debug(
                 "track %s: %d frames, stream=%s, sections=%s",

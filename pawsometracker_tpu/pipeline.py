@@ -495,6 +495,97 @@ def run_roi_pipeline(
     return positions, offsets, tracked
 
 
+def make_chained_full(scan):
+    """Chained wrapper for FULL-FRAME scans ``fn(frames, pos0, fill)``."""
+    import jax
+    import jax.numpy as jnp
+
+    def chained(frames, prev_all, fill):
+        return scan(frames, prev_all[-1].astype(jnp.int32), fill)
+
+    return jax.jit(chained)
+
+
+def run_full_pipeline(
+    src,
+    spec,
+    pos0_abs: np.ndarray,
+    fill: int,
+    n_rest: int,
+    *,
+    chunk_size: int,
+    depth: int,
+    scan,
+    subpixel: bool,
+    dia,
+    timer,
+    prefetchers: list,
+):
+    """Full-frame streaming with the same de-serialization as the ROI path:
+    chunk scans chain their start positions on device and the host downloads
+    positions ``depth`` chunks behind (no origins, no speculation — frames are
+    whole, so results are trivially identical to the synchronous loop)."""
+    import jax.numpy as jnp
+
+    scan_chain = make_chained_full(scan)
+    fill_dev = np.uint8(fill)
+    positions: list[np.ndarray] = []
+    offsets: list[np.ndarray] = []
+    tracked = 0
+    prev_out = None
+    pending: deque = deque()  # (out, off, k, frames_for_dia)
+
+    from .diagnose import Dont
+
+    keep = not isinstance(dia, Dont)
+
+    def drain_one():
+        nonlocal tracked
+        out, off, k, frames = pending.popleft()
+        with timer.section("drain"):
+            out_np = np.asarray(out)
+        positions.append(out_np[:k])
+        if off is not None:
+            offsets.append(np.asarray(off)[:k])
+        if keep:
+            with timer.section("diagnose"):
+                for i in range(k):
+                    dia(frames[i], out_np[i])
+        # recycle only at drain: the device transfer from this buffer is done
+        # once its result materialized, so the producer may refill it now
+        prefetch.recycle(frames)
+        tracked += k
+
+    prefetch = ChunkPrefetcher(src, chunk_size, max_frames=n_rest)
+    prefetchers.append(prefetch)
+    pos0 = jnp.asarray(np.asarray(pos0_abs, np.int32))
+    for chunk in prefetch:
+        while len(pending) > depth:
+            drain_one()
+        k = chunk.shape[0]
+        if k < chunk_size:
+            pad = np.repeat(chunk[-1:], chunk_size - k, axis=0)
+            chunk_in = np.concatenate([chunk, pad], axis=0)
+        else:
+            chunk_in = chunk
+        with timer.section("device"):
+            if prev_out is None:
+                out = scan(chunk_in, pos0, fill_dev)
+            else:
+                out = scan_chain(chunk_in, prev_out, fill_dev)
+        if subpixel:
+            out, off = out
+            _to_host_async(out, off)
+        else:
+            off = None
+            _to_host_async(out)
+        prev_out = out
+        pending.append((out, off, k, chunk))
+    while pending:
+        drain_one()
+    return positions, offsets, tracked
+
+
 def run_multi_roi_pipeline(
     src,
     spec,
