@@ -34,6 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", default="auto", choices=["auto", "native", "opencv"])
     p.add_argument("--engine", default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument("--stream", default="auto", choices=["auto", "roi", "full"])
+    p.add_argument("--pipeline-depth", type=int, default=1,
+                   help="chunks the host runs ahead of the device (0 = synchronous)")
+    p.add_argument("--speculate", default="predict", choices=["predict", "contain"],
+                   help="ROI crop aiming strategy")
+    p.add_argument("--roi-frames", type=int, default=None, help="frames per ROI mini-chunk")
+    p.add_argument("--subpixel", action="store_true",
+                   help="parabolic peak refinement (float positions)")
     p.add_argument("--checkpoint", default=None, help="checkpoint path for resumable tracking")
     p.add_argument("--out", default=None, help="write results to this .npz instead of CSV stdout")
     p.add_argument("--format", default="csv", choices=["csv", "json"], help="stdout format")
@@ -67,6 +74,10 @@ def main(argv=None) -> int:
         backend=args.backend,
         engine=args.engine,
         stream=args.stream,
+        pipeline_depth=args.pipeline_depth,
+        speculate=args.speculate,
+        roi_frames=args.roi_frames,
+        subpixel=args.subpixel,
     )
     try:
         if args.checkpoint:
