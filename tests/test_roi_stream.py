@@ -182,6 +182,31 @@ def test_batch_mixed_resolution_and_params(tmp_path):
     np.testing.assert_array_equal(results[1][1], ij_b)
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_roi_random_walk_property(tmp_path, seed):
+    """Property: for ANY motion the tracker can follow (steps <= window
+    radius), the pipelined predict-mode ROI path equals full-frame streaming
+    exactly. Random near-radius steps maximize prediction error."""
+    import cv2
+
+    rng = np.random.default_rng(200 + seed)
+    h, w, T = 160, 160, 40
+    r = 10  # window 21 -> radius 10
+    ij = np.array([80, 80])
+    frames = []
+    for t in range(T):
+        step = rng.integers(-9, 10, size=2)  # near-radius jumps, any direction
+        ij = np.clip(ij + step, 6, [h - 7, w - 7])
+        img = np.full((h, w), 128, np.uint8)
+        cv2.circle(img, (int(ij[1]), int(ij[0])), 4, 0, -1)
+        frames.append(img)
+    f = helpers.write_video(frames, str(tmp_path / "walk"), 24)
+    kw = dict(fps=24, start_location=IJ(80, 80), target_width=8, window_size=21)
+    _, ij_full = track(f, stream="full", **kw)
+    _, ij_roi = track(f, stream="roi", roi_frames=4, pipeline_depth=2, **kw)
+    np.testing.assert_array_equal(ij_roi, ij_full)
+
+
 def test_roi_auto_selection():
     # auto picks ROI only when the crop is much smaller than the frame
     spec_big = make_spec((1080, 1920), 41, 25, True)
