@@ -84,22 +84,11 @@ def main(argv=None) -> int:
             if len(args.files) != 1:
                 print("error: --checkpoint supports a single file", file=sys.stderr)
                 return 2
-            kwargs.pop("start_location")
-            kwargs.pop("diagnostic_file")
+            cp_kwargs = dict(kwargs)  # forward EVERY tracking flag
+            cp_kwargs.pop("diagnostic_file")  # not supported by slices
+            cp_kwargs["start"] = args.start or 0.0
             ts, ij = track_resumable(
-                args.files[0],
-                checkpoint_path=args.checkpoint,
-                start=args.start or 0.0,
-                stop=args.stop,
-                fps=args.fps,
-                start_location=loc,
-                target_width=args.target_width,
-                window_size=args.window_size,
-                darker_target=not args.lighter_target,
-                sar=args.sar,
-                backend=args.backend,
-                engine=args.engine,
-                stream=args.stream,
+                args.files[0], checkpoint_path=args.checkpoint, **cp_kwargs
             )
         else:
             target = args.files if len(args.files) > 1 else args.files[0]
@@ -114,7 +103,8 @@ def main(argv=None) -> int:
         np.savez(args.out, ts=ts, ij=ij)
         print(f"wrote {len(ij)} positions to {args.out}", file=sys.stderr)
     elif args.format == "json":
-        print(json.dumps({"ts": [float(t) for t in ts], "ij": [[int(a), int(b)] for a, b in ij]}))
+        cast = float if args.subpixel else int
+        print(json.dumps({"ts": [float(t) for t in ts], "ij": [[cast(a), cast(b)] for a, b in ij]}))
     else:
         print("t,row,col")
         for t, (i, j) in zip(ts, ij):

@@ -179,10 +179,18 @@ def _track_one(
     ts = np.linspace(start, stop, n)
 
     # size the native decode ring so the speculative ROI pipeline can RETAIN
-    # its in-flight chunks for mispredict replay (pipeline.py)
+    # its in-flight chunks for mispredict replay (pipeline.py) — only when
+    # that path can actually run (ROI not disabled, predict mode, no overlay:
+    # otherwise keep the small default ring and its memory footprint)
     pipeline_depth = max(0, int(pipeline_depth))
     roi_frames = _resolve_roi_frames(roi_frames, pipeline_depth, speculate)
-    ring = (pipeline_depth + 2) * roi_frames + 8
+    from .diagnose import Dont
+
+    retention_possible = (
+        stream != "full" and pipeline_depth > 0 and speculate == "predict"
+        and isinstance(dia, Dont)
+    )
+    ring = (pipeline_depth + 2) * roi_frames + 8 if retention_possible else None
     src = open_source(file, start=start, stop=stop, fps=fps, backend=backend, prefetch=ring)
     prefetchers: list[ChunkPrefetcher] = []  # joined in finally BEFORE src.close()
     try:

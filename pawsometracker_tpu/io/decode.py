@@ -265,7 +265,8 @@ def open_source(
 
             if native_available():
                 return NativeFrameSource(
-                    path, start=start, stop=stop, fps=fps, prefetch=prefetch or 8
+                    path, start=start, stop=stop, fps=fps,
+                    prefetch=8 if prefetch is None else prefetch,
                 )
         except Exception:
             if backend == "native":
@@ -349,11 +350,15 @@ class ChunkPrefetcher:
         """Stop and JOIN the producer thread. Must be called before closing
         the underlying source: otherwise the thread may still be inside
         ``source.read_chunk`` when the source (for the native backend, a C++
-        decoder) is destroyed — a use-after-free."""
+        decoder) is destroyed — a use-after-free. The join therefore blocks
+        until the thread actually exits (decode of one chunk can take minutes
+        on wedged I/O, but returning with the thread alive would trade a slow
+        close for a segfault)."""
         self._stop.set()
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
-        self._thread.join(timeout=10.0)
+        while self._thread.is_alive():
+            try:
+                while True:
+                    self._q.get_nowait()  # unblock a full-queue put()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=1.0)

@@ -481,11 +481,20 @@ void pawsio_release(void *h, int n) {
 int pawsio_read(void *h, uint8_t *dst) {
   auto d = static_cast<Decoder *>(h);
   if (!d->th.joinable()) return d->read_resampled(dst);
+  {
+    // plain reads must not interleave with a live retained window: popping
+    // the OLDEST slot would free a frame a replay may still recrop
+    std::unique_lock<std::mutex> lk(d->mu);
+    if (d->ring_read > 0) {
+      set_error("pawsio_read while frames are retained; release them first");
+      return -1;
+    }
+  }
   const size_t nb = d->frame_bytes();
   size_t slot = next_unread_slot(d);
   if (slot == SIZE_MAX) return 0;
   std::memcpy(dst, d->ring_mem.data() + slot * nb, nb);
-  release_slots(d, 1);  // pop semantics (valid when nothing else is retained)
+  release_slots(d, 1);
   return 1;
 }
 

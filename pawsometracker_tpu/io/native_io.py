@@ -234,6 +234,9 @@ class NativeFrameSource:
             sar=sar,
             frame_count=max(int(info.nframes), 0),
         )
+        #: decode-ahead ring capacity in frames (0 = ring-less synchronous
+        #: decode); retained ROI reads need ring_frames >= retained + ahead
+        self.ring_frames = int(prefetch)
         if prefetch:
             lib.pawsio_start_prefetch(self._h, int(prefetch))
 

@@ -165,6 +165,7 @@ def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128):
                 round(roi_spec.sigma, 6),
                 roi_spec.darker_target,
                 k_frames,
+                int(fill),
             ),
         )
     )
@@ -226,7 +227,9 @@ def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128):
                 "parity": True,
             }
     except Exception as e:  # pallas unavailable/failed to compile: use XLA
-        info = {"engine": "xla", "reason": f"pallas failed: {e}"[:200]}
+        # transient (a remote-compile wedge, OOM): do NOT persist — the next
+        # process re-measures instead of being pinned to XLA forever
+        return "xla", {"engine": "xla", "reason": f"pallas failed: {e}"[:200]}
     cache[key] = info
     try:
         _save_engine_cache(cache)
@@ -424,8 +427,13 @@ def run_roi_pipeline(
     # Python. In predict mode the ring RETAINS each chunk's frames until its
     # result is validated, so mispredict replays recrop in C++ too.
     use_native_roi = native_roi and mode == "contain"
+    # retained reads DEADLOCK if the ring cannot hold the in-flight chunks
+    # plus one decoding chunk, so require a ring sized by the caller
     use_native_retained = (
-        native_roi and mode == "predict" and hasattr(src, "read_roi_chunk_retained")
+        native_roi
+        and mode == "predict"
+        and hasattr(src, "read_roi_chunk_retained")
+        and getattr(src, "ring_frames", 0) >= (depth + 2) * K
     )
 
     def recycle(frames):
@@ -635,7 +643,10 @@ def run_multi_roi_pipeline(
     pending: deque = deque()  # (out, origins [N,2], k, frames_token, buf)
 
     RETAINED = "native-retained"
-    native = hasattr(src, "read_roi_chunk_retained")
+    native = (
+        hasattr(src, "read_roi_chunk_retained")
+        and getattr(src, "ring_frames", 0) >= (depth + 2) * K
+    )
     roi_prefetch = None if native else ChunkPrefetcher(src, K, max_frames=n_rest)
     if roi_prefetch is not None:
         prefetchers.append(roi_prefetch)
