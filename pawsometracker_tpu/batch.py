@@ -170,10 +170,26 @@ def _track_batch_uniform(
         window_size = guess_window_size(target_width)
     window_size = fix_window_size(window_size)
 
+    from .api import _resolve_roi_frames
+
+    pipeline_depth = max(0, int(pipeline_depth))
+    mode = "predict" if pipeline_depth > 0 else "contain"
+    roi_frames = _resolve_roi_frames(roi_frames, pipeline_depth, mode)
+    # retention-sized native ring only when the retained path can run
+    # (predict mode, ROI possible, no per-video overlays)
+    retention_possible = (
+        stream != "full" and mode == "predict" and not any(
+            p is not None for p in (_broadcast(diagnostic_files, B, None) if diagnostic_files else [])
+        )
+    )
+    ring = (pipeline_depth + 2) * roi_frames + 8 if retention_possible else None
+
     sources = []
     try:
         for f, t0, t1 in zip(files, starts, stops):
-            sources.append(open_source(f, start=t0, stop=t1, fps=fps, backend=backend))
+            sources.append(
+                open_source(f, start=t0, stop=t1, fps=fps, backend=backend, prefetch=ring)
+            )
 
         shapes = {s.info.frame_shape for s in sources}
         if len(shapes) != 1:
@@ -229,26 +245,38 @@ def _track_batch_uniform(
         # on device, results are containment-validated at (lagged) drain time
         # and replayed on a mispredict — the batch never blocks on a per-chunk
         # host<->device round trip and bytes/frame stay at synchronous levels.
-        from .api import _resolve_roi_frames
         from .pipeline import _crop_with_fill, _to_host_async, make_chained_batch, roi_geometry
 
-        pipeline_depth = max(0, int(pipeline_depth))
-        mode = "predict" if pipeline_depth > 0 else "contain"
-        roi_frames = _resolve_roi_frames(roi_frames, pipeline_depth, mode)
         ch, cw, margin = roi_geometry(spec, roi_frames, pipeline_depth, mode)
         use_roi = stream == "roi" or (
             stream == "auto" and ch * cw * 2 < frame_shape[0] * frame_shape[1]
         )
+        RETAINED = "native-retained"
         if use_roi:
             chunk_size = roi_frames
             roi_spec = make_spec((ch, cw), window_size, target_width, darker_target)
             roi_engine = ShardedBatchTracker(roi_spec, mesh)
             scan_chain = make_chained_batch(roi_engine.scan_bounded)
-
-        prefetcher_objs = [
-            ChunkPrefetcher(s, chunk_size, max_frames=n - 1) for s, n in zip(sources, ns)
-        ]
-        prefetchers = [iter(p) for p in prefetcher_objs]
+        # native retained mode: every source crops (and replays) in C++ —
+        # full frames never enter Python for the whole batch
+        nat_retained = (
+            use_roi
+            and mode == "predict"
+            and all(isinstance(d, Dont) for d in dias)
+            and all(
+                hasattr(s, "read_roi_chunk_retained")
+                and getattr(s, "ring_frames", 0) >= (pipeline_depth + 2) * roi_frames
+                for s in sources
+            )
+        )
+        if nat_retained:
+            prefetcher_objs = []
+            left = [n - 1 for n in ns]  # frames still to track per video
+        else:
+            prefetcher_objs = [
+                ChunkPrefetcher(s, chunk_size, max_frames=n - 1) for s, n in zip(sources, ns)
+            ]
+            prefetchers = [iter(p) for p in prefetcher_objs]
         active = [True] * B
         last_frames = [frames0[b] for b in range(B)]
         pos_host = np.array(pos)  # newest DOWNLOADED positions per video
@@ -258,6 +286,19 @@ def _track_batch_uniform(
             """One chunk per active video; marks EOF videos inactive."""
             valid = np.zeros(B, np.int64)
             chunks = [None] * B
+            if nat_retained:
+                for b in range(B):
+                    if active[b]:
+                        k = sources[b].advance_retained(min(chunk_size, left[b]))
+                        if k == 0:
+                            active[b] = False
+                        else:
+                            valid[b] = k
+                            chunks[b] = RETAINED
+                            left[b] -= k
+                            if k < chunk_size or left[b] == 0:
+                                active[b] = False
+                return valid, chunks
             for b in range(B):
                 if active[b]:
                     try:
@@ -293,14 +334,20 @@ def _track_batch_uniform(
             rh = np.array(spec.radii) + spec.kernel_len // 2
             frame_max = np.array([H - 1, W - 1])
 
-            def crop_all(chunks_e, valid_e, origins_e, buf):
+            def crop_all(chunks_e, valid_e, origins_e, buf, bases=None):
                 for b in range(B):
                     k = int(valid_e[b])
                     if k > 0:
-                        for i in range(k):
-                            _crop_with_fill(
-                                chunks_e[b][i], origins_e[b], ch, cw, int(fills[b]), out=buf[b, i]
+                        if chunks_e[b] is RETAINED:
+                            base = 0 if bases is None else int(bases[b])
+                            sources[b].recrop(
+                                base, k, origins_e[b], ch, cw, int(fills[b]), out=buf[b]
                             )
+                        else:
+                            for i in range(k):
+                                _crop_with_fill(
+                                    chunks_e[b][i], origins_e[b], ch, cw, int(fills[b]), out=buf[b, i]
+                                )
                         for i in range(k, chunk_size):
                             buf[b, i] = buf[b, k - 1]
                     else:
@@ -344,9 +391,12 @@ def _track_batch_uniform(
                         if k > 1:
                             vel[b] = (abs_b[-1] - abs_b[0]) / (k - 1)
                         pos_host[b] = abs_b[-1]
-                        for i in range(k):
-                            dias[b](chunks_e[b][i], abs_b[i])
-                    if chunks_e[b] is not None:
+                        if chunks_e[b] is RETAINED:
+                            sources[b].release(k)
+                        else:
+                            for i in range(k):
+                                dias[b](chunks_e[b][i], abs_b[i])
+                    if chunks_e[b] is not None and chunks_e[b] is not RETAINED:
                         prefetcher_objs[b].recycle(chunks_e[b])
                 if buf is not None:
                     free_bufs.append(buf)
@@ -405,7 +455,8 @@ def _track_batch_uniform(
                 else:
                     origins = pos_host.astype(np.int64) - np.asarray(margin)
                 buf = free_bufs.pop()
-                crop_all(chunks, valid, origins, buf)
+                bases = [sum(int(v[b]) for _, _, v, _, _ in pending) for b in range(B)]
+                crop_all(chunks, valid, origins, buf, bases=bases)
                 out = run_scan(buf, origins)
                 pending.append((out, origins, valid, chunks, buf))
             while pending:

@@ -156,6 +156,29 @@ def test_batch_roi_pipelined_matches_single(tmp_path):
             np.testing.assert_array_equal(ij_b, ij_single)
 
 
+def test_batch_predict_mispredict_replay(tmp_path):
+    """Batch pipeline under adversarial (velocity-defeating) motion: the
+    whole-round replay must keep every video identical to per-video track()."""
+    import cv2
+
+    from pawsometracker_tpu.batch import track_batch
+
+    h, w, T = 200, 200, 48
+    frames = []
+    for t in range(T):
+        ph = t % 12
+        tri = 12 * ph if ph < 6 else 12 * (12 - ph)
+        img = np.full((h, w), 128, np.uint8)
+        cv2.circle(img, (100, 60 + tri), 5, 0, -1)
+        frames.append(img)
+    f = helpers.write_video(frames, str(tmp_path / "tri"), 24)
+    kw = dict(fps=24, start_location=IJ(60, 100), target_width=10, window_size=31)
+    _, ij_single = track(f, stream="full", **kw)
+    results = track_batch([f, f], stream="roi", roi_frames=4, pipeline_depth=2, **kw)
+    for _, ij_b in results:
+        np.testing.assert_array_equal(ij_b, ij_single)
+
+
 def test_batch_mixed_resolution_and_params(tmp_path):
     """Videos of different resolutions and per-video target_width/window_size
     in ONE track_batch call: results must equal per-video track()."""
