@@ -19,10 +19,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 CONFIGS = [
-    ("sync_k8", {"pipeline_depth": 0, "roi_frames": 8}),
     ("predict_d1_k8", {"pipeline_depth": 1, "roi_frames": 8, "speculate": "predict"}),
-    ("predict_d2_k8", {"pipeline_depth": 2, "roi_frames": 8, "speculate": "predict"}),
-    ("predict_d2_k16", {"pipeline_depth": 2, "roi_frames": 16, "speculate": "predict"}),
+    ("predict_d1_k4", {"pipeline_depth": 1, "roi_frames": 4, "speculate": "predict"}),
+    ("predict_d2_k4", {"pipeline_depth": 2, "roi_frames": 4, "speculate": "predict"}),
+    ("predict_d3_k4", {"pipeline_depth": 3, "roi_frames": 4, "speculate": "predict"}),
 ]
 TIMEOUT = 600
 RETRIES = 3
@@ -37,7 +37,7 @@ def run_config(clip_dir: str, label: str) -> dict:
     path = os.path.join(clip_dir, "bench1080.mp4")
     truth = np.load(os.path.join(clip_dir, "truth.npy"))
     p0 = IJ(int(truth[0][0]), int(truth[0][1]))
-    kw = dict(start_location=p0, target_width=25, window_size=41, engine="xla")
+    kw = dict(start_location=p0, target_width=25, window_size=41)
     t0 = time.perf_counter()
     track(path, stop=32 / 24.0, **kw, **extra)
     warm = time.perf_counter() - t0
