@@ -20,8 +20,8 @@ sys.path.insert(0, REPO)
 
 CONFIGS = [
     ("predict_d1_k8", {"pipeline_depth": 1, "roi_frames": 8, "speculate": "predict"}),
-    ("predict_d1_k4", {"pipeline_depth": 1, "roi_frames": 4, "speculate": "predict"}),
-    ("predict_d2_k4", {"pipeline_depth": 2, "roi_frames": 4, "speculate": "predict"}),
+    ("predict_d2_k8", {"pipeline_depth": 2, "roi_frames": 8, "speculate": "predict"}),
+    ("predict_d3_k8", {"pipeline_depth": 3, "roi_frames": 8, "speculate": "predict"}),
     ("predict_d3_k4", {"pipeline_depth": 3, "roi_frames": 4, "speculate": "predict"}),
 ]
 TIMEOUT = 600
