@@ -234,8 +234,6 @@ def _track_one(
             # when diagnostics are off and the native decoder is active, crops
             # are cut in C++ straight from the decode ring: full frames never
             # cross into Python
-            from .diagnose import Dont
-
             native_roi = isinstance(dia, Dont) and hasattr(src, "read_roi_chunk")
             pos_blocks, off_blocks, tracked = run_roi_pipeline(
                 src,

@@ -175,12 +175,11 @@ def _track_batch_uniform(
     pipeline_depth = max(0, int(pipeline_depth))
     mode = "predict" if pipeline_depth > 0 else "contain"
     roi_frames = _resolve_roi_frames(roi_frames, pipeline_depth, mode)
-    # retention-sized native ring only when the retained path can run
-    # (predict mode, ROI possible, no per-video overlays)
+    # ONE gate for the retained native path: ring sizing here, the per-source
+    # capability check completes it after the sources are open
+    dia_paths = _broadcast(diagnostic_files, B, None) if diagnostic_files else [None] * B
     retention_possible = (
-        stream != "full" and mode == "predict" and not any(
-            p is not None for p in (_broadcast(diagnostic_files, B, None) if diagnostic_files else [])
-        )
+        stream != "full" and mode == "predict" and all(p is None for p in dia_paths)
     )
     ring = (pipeline_depth + 2) * roi_frames + 8 if retention_possible else None
 
@@ -232,7 +231,6 @@ def _track_batch_uniform(
         counts = [1] * B
 
         dias = []
-        dia_paths = _broadcast(diagnostic_files, B, None) if diagnostic_files else [None] * B
         for p, fr0 in zip(dia_paths, frames0):
             d = Dont() if p is None else Diagnose(p, darker_target, fps)
             d.update_ratio(fr0.shape)
@@ -261,8 +259,7 @@ def _track_batch_uniform(
         # full frames never enter Python for the whole batch
         nat_retained = (
             use_roi
-            and mode == "predict"
-            and all(isinstance(d, Dont) for d in dias)
+            and retention_possible
             and all(
                 hasattr(s, "read_roi_chunk_retained")
                 and getattr(s, "ring_frames", 0) >= (pipeline_depth + 2) * roi_frames
@@ -455,7 +452,11 @@ def _track_batch_uniform(
                 else:
                     origins = pos_host.astype(np.int64) - np.asarray(margin)
                 buf = free_bufs.pop()
-                bases = [sum(int(v[b]) for _, _, v, _, _ in pending) for b in range(B)]
+                bases = (
+                    [sum(int(v[b]) for _, _, v, _, _ in pending) for b in range(B)]
+                    if nat_retained
+                    else None
+                )
                 crop_all(chunks, valid, origins, buf, bases=bases)
                 out = run_scan(buf, origins)
                 pending.append((out, origins, valid, chunks, buf))

@@ -547,6 +547,15 @@ static int read_roi_impl(Decoder *d, uint8_t *dst, int ch, int cw, int orr,
     crop_from(d->roi_scratch.data(), H, W, dst, ch, cw, orr, occ, fill);
     return 1;
   }
+  if (!retain) {
+    // pop semantics free the OLDEST slot; with a live retained window that
+    // would free a frame a replay may still recrop — reject loudly
+    std::unique_lock<std::mutex> lk(d->mu);
+    if (d->ring_read > 0) {
+      set_error("non-retained read while frames are retained; release them first");
+      return -1;
+    }
+  }
   size_t slot = next_unread_slot(d);
   if (slot == SIZE_MAX) return 0;
   crop_from(d->ring_mem.data() + slot * d->frame_bytes(), H, W, dst, ch, cw, orr, occ, fill);

@@ -77,8 +77,10 @@ def track_multi(
 
     pipeline_depth = max(0, int(pipeline_depth))
     roi_frames = _resolve_roi_frames(roi_frames, pipeline_depth, "predict")
-    retention_possible = stream != "full" and pipeline_depth > 0
-    ring = (pipeline_depth + 2) * roi_frames + 8 if retention_possible else None
+    # the multi-target native path crops per target via advance/recrop at
+    # EVERY depth (contain mode included), so size the ring whenever ROI
+    # streaming is possible
+    ring = (pipeline_depth + 2) * roi_frames + 8 if stream != "full" else None
     src = open_source(file, start=start, stop=stop, fps=fps, backend=backend, prefetch=ring)
     prefetchers = []  # joined in finally BEFORE src.close()
     try:

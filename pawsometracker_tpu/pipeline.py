@@ -136,6 +136,11 @@ def _save_engine_cache(cache: dict) -> None:
     os.replace(tmp, p)
 
 
+#: in-process engine decisions (also holds transient-failure fallbacks that
+#: must not be persisted but should not be re-attempted every call either)
+_session_engine_cache: dict = {}
+
+
 def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128):
     """Measured choice between the fused Pallas bounded kernel and the XLA
     bounded scan for this environment + geometry (VERDICT: the production
@@ -153,11 +158,13 @@ def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128):
 
     if jax.default_backend() != "tpu":
         return "xla", {"reason": "non-tpu backend"}
+    # fill is NOT part of the key: the zero-sum DoG response is invariant to
+    # the constant background level, so the timing/parity measurement is too
     key = "|".join(
         map(
             str,
             (
-                "v2",  # decision-rule version (hysteresis)
+                "v3",  # decision-rule version (hysteresis)
                 jax.devices()[0].device_kind,
                 jax.__version__,
                 roi_spec.frame_shape,
@@ -165,12 +172,15 @@ def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128):
                 round(roi_spec.sigma, 6),
                 roi_spec.darker_target,
                 k_frames,
-                int(fill),
             ),
         )
     )
+    if key in _session_engine_cache:
+        info = _session_engine_cache[key]
+        return info["engine"], info
     cache = _load_engine_cache()
     if key in cache:
+        _session_engine_cache[key] = cache[key]
         return cache[key]["engine"], cache[key]
 
     from .ops.pallas_tracker import pallas_scan_fn
@@ -227,9 +237,13 @@ def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128):
                 "parity": True,
             }
     except Exception as e:  # pallas unavailable/failed to compile: use XLA
-        # transient (a remote-compile wedge, OOM): do NOT persist — the next
-        # process re-measures instead of being pinned to XLA forever
-        return "xla", {"engine": "xla", "reason": f"pallas failed: {e}"[:200]}
+        # possibly transient (a remote-compile wedge, OOM): remember for THIS
+        # process so every track() doesn't re-pay the failed attempt, but do
+        # NOT persist — the next process re-measures instead of being pinned
+        info = {"engine": "xla", "reason": f"pallas failed: {e}"[:200]}
+        _session_engine_cache[key] = info
+        return "xla", info
+    _session_engine_cache[key] = info
     cache[key] = info
     try:
         _save_engine_cache(cache)
