@@ -62,6 +62,7 @@ def track_batch(
     roi_frames: int | None = None,
     pipeline_depth: int = 1,
     diagnostic_files=None,
+    engine: str = "auto",
 ):
     """Track one target in each of ``files`` concurrently on the device.
 
@@ -126,6 +127,7 @@ def track_batch(
             roi_frames=roi_frames,
             pipeline_depth=pipeline_depth,
             diagnostic_files=[dias_in[i] for i in idxs],
+            engine=engine,
         )
         for i, r in zip(idxs, sub):
             results[i] = r
@@ -150,6 +152,7 @@ def _track_batch_uniform(
     roi_frames: int | None = None,
     pipeline_depth: int = 1,
     diagnostic_files=None,
+    engine: str = "auto",
 ):
     """One-bucket core of :func:`track_batch`: all videos share a resolution
     and tracker configuration."""
@@ -243,7 +246,13 @@ def _track_batch_uniform(
         # on device, results are containment-validated at (lagged) drain time
         # and replayed on a mispredict — the batch never blocks on a per-chunk
         # host<->device round trip and bytes/frame stay at synchronous levels.
-        from .pipeline import _crop_with_fill, _to_host_async, make_chained_batch, roi_geometry
+        from .pipeline import (
+            _crop_with_fill,
+            _select_batched_bounded,
+            _to_host_async,
+            make_chained_batch,
+            roi_geometry,
+        )
 
         ch, cw, margin = roi_geometry(spec, roi_frames, pipeline_depth, mode)
         use_roi = stream == "roi" or (
@@ -254,7 +263,14 @@ def _track_batch_uniform(
             chunk_size = roi_frames
             roi_spec = make_spec((ch, cw), window_size, target_width, darker_target)
             roi_engine = ShardedBatchTracker(roi_spec, mesh)
-            scan_chain = make_chained_batch(roi_engine.scan_bounded)
+            scan_bounded = (
+                _select_batched_bounded(
+                    roi_engine, roi_spec, roi_frames, B, int(fills[0]), engine
+                )
+                if mesh is None
+                else roi_engine.scan_bounded  # sharded path stays vmapped XLA
+            )
+            scan_chain = make_chained_batch(scan_bounded)
         # native retained mode: every source crops (and replays) in C++ —
         # full frames never enter Python for the whole batch
         nat_retained = (
@@ -358,7 +374,7 @@ def _track_batch_uniform(
                 ).astype(np.int32)
                 if pos0 is not None or prev_out is None:
                     p0 = pos_host if pos0 is None else pos0
-                    out = roi_engine.scan_bounded(
+                    out = scan_bounded(
                         roi_engine.shard_chunk(buf),
                         jnp.asarray((p0 - origins_e).astype(np.int32)),
                         fills_dev,

@@ -40,12 +40,15 @@ def track_multi(
     stream: str = "auto",
     roi_frames: int | None = None,
     pipeline_depth: int = 1,
+    engine: str = "auto",
 ):
     """Track ``len(start_locations)`` targets in one video.
 
     Each entry of ``start_locations`` is an ``IJ`` or display ``(x, y)``
     (auto-detect is not meaningful for multiple targets — locations are
     required). Returns ``(ts, positions)`` with ``positions int [T, N, 2]``.
+    ``engine="auto"`` makes the measured pallas/xla choice for the batched
+    bounded ROI scan.
 
     Large frames stream as N per-target drift-bounded crops through the
     speculative ROI pipeline (see :mod:`.pipeline`) — with the native decoder
@@ -118,6 +121,7 @@ def track_multi(
                 depth=pipeline_depth,
                 timer=Timer(),
                 prefetchers=prefetchers,
+                engine=engine,
             )
             out.extend(pos_blocks)
             last_frame += tracked

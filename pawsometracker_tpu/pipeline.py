@@ -46,7 +46,7 @@ from .io.decode import ChunkPrefetcher
 from .models.dog_tracker import make_spec, tracker_fns
 
 __all__ = ["roi_geometry", "make_chained", "make_chained_batch", "run_roi_pipeline",
-           "pick_bounded_engine"]
+           "pick_bounded_engine", "pick_bounded_engine_batch"]
 
 #: mispredict replays since import (observability: tests + debugging)
 replay_count = 0
@@ -151,6 +151,19 @@ def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128):
 
     Returns ``("pallas"|"xla", info_dict)``.
     """
+    return _pick_engine_measured(roi_spec, k_frames, fill, batch=None)
+
+
+def pick_bounded_engine_batch(roi_spec, k_frames: int, batch: int, fill: int = 128):
+    """Batched analog of :func:`pick_bounded_engine` for the batch/multi ROI
+    paths: measures the ``grid=(B, T)`` fused Pallas kernel against the
+    vmapped XLA bounded scan at this exact ``(geometry, K, B)`` and persists
+    the decision. Parity over the whole batch is asserted before pallas can
+    win."""
+    return _pick_engine_measured(roi_spec, k_frames, fill, batch=int(batch))
+
+
+def _pick_engine_measured(roi_spec, k_frames: int, fill: int, batch: int | None):
     import time
 
     import jax
@@ -172,7 +185,8 @@ def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128):
                 round(roi_spec.sigma, 6),
                 roi_spec.darker_target,
                 k_frames,
-            ),
+            )
+            + (() if batch is None else (f"B{batch}",)),
         )
     )
     if key in _session_engine_cache:
@@ -185,7 +199,11 @@ def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128):
 
     from .ops.pallas_tracker import pallas_scan_fn
 
-    base = tracker_fns(roi_spec).scan_bounded
+    if batch is None:
+        base = tracker_fns(roi_spec).scan_bounded
+    else:
+        base_1 = tracker_fns(roi_spec).scan_bounded
+        base = jax.jit(jax.vmap(getattr(base_1, "__wrapped__", base_1)))
     ch, cw = roi_spec.frame_shape
     # realistic measurement input: a blob the size the filter is matched to
     # (a tiny or flat pattern gives a near-tie response plateau where 1-ulp
@@ -196,11 +214,18 @@ def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128):
     blob = np.exp(-((yy - bi) ** 2 + (xx - bj) ** 2) / (2.0 * sig**2))
     sign = -1.0 if roi_spec.darker_target else 1.0
     frame = np.clip(fill + sign * 110.0 * blob, 0, 255).astype(np.uint8)
-    crops = np.broadcast_to(frame, (k_frames, ch, cw)).copy()
-    pos = jnp.asarray(np.array([ch // 2, cw // 2], np.int32))
-    lo = np.zeros(2, np.int32)
-    hi = np.array([ch - 1, cw - 1], np.int32)
-    f = np.uint8(fill)
+    if batch is None:
+        crops = np.broadcast_to(frame, (k_frames, ch, cw)).copy()
+        pos = jnp.asarray(np.array([ch // 2, cw // 2], np.int32))
+        lo = np.zeros(2, np.int32)
+        hi = np.array([ch - 1, cw - 1], np.int32)
+        f = np.uint8(fill)
+    else:
+        crops = np.broadcast_to(frame, (batch, k_frames, ch, cw)).copy()
+        pos = jnp.asarray(np.tile(np.array([[ch // 2, cw // 2]], np.int32), (batch, 1)))
+        lo = np.zeros((batch, 2), np.int32)
+        hi = np.tile(np.array([[ch - 1, cw - 1]], np.int32), (batch, 1))
+        f = jnp.full((batch,), fill, jnp.uint8)
 
     def run(fn, reps=3):
         out = fn(crops, pos, f, lo, hi)
@@ -214,7 +239,7 @@ def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128):
         return np.asarray(out), best
 
     try:
-        pal = pallas_scan_fn(roi_spec, bounded=True)
+        pal = pallas_scan_fn(roi_spec, bounded=True, batched=batch is not None)
         out_p, t_p = run(pal)
         out_x, t_x = run(base)
         if not np.array_equal(out_p, out_x):
@@ -250,6 +275,19 @@ def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128):
     except Exception:
         pass
     return info["engine"], info
+
+
+def _select_batched_bounded(tracker, roi_spec, k_frames: int, batch: int, fill: int, engine: str):
+    """The batched bounded scan for the batch/multi ROI paths: the measured
+    pallas/xla choice (``auto``), or the named engine. Falls back to the
+    tracker's vmapped XLA scan when pallas is unavailable."""
+    if engine == "auto":
+        engine, _ = pick_bounded_engine_batch(roi_spec, k_frames, batch, fill)
+    if engine == "pallas":
+        from .ops.pallas_tracker import pallas_scan_fn
+
+        return pallas_scan_fn(roi_spec, batched=True, bounded=True)
+    return tracker.scan_bounded
 
 
 def _crop_with_fill(frame: np.ndarray, o, ch: int, cw: int, fill: int, out=None) -> np.ndarray:
@@ -619,13 +657,17 @@ def run_multi_roi_pipeline(
     depth: int,
     timer,
     prefetchers: list,
+    engine: str = "auto",
 ):
     """Speculative pipelined ROI streaming for N targets in ONE stream: each
-    decoded frame yields N drift-bounded crops (vmapped bounded scans over the
+    decoded frame yields N drift-bounded crops (bounded scans batched over the
     target axis), aimed per target by velocity prediction and validated /
     replayed exactly like the single-target pipeline. With the native decoder
     the first target's crop comes from the retained read and the other N-1
     from C++ ``recrop`` — full frames never enter Python.
+
+    ``engine="auto"`` makes the measured pallas/xla choice for the batched
+    bounded scan (grid ``(N, K)`` fused kernel vs vmapped XLA).
 
     Returns ``(position_arrays, frames_tracked)``; each array is
     ``[k, N, 2]`` absolute int.
@@ -639,10 +681,10 @@ def run_multi_roi_pipeline(
     mode = "predict" if depth > 0 else "contain"
     ch, cw, margin = roi_geometry(spec, K, depth, mode)
     roi_spec = make_spec((ch, cw), spec.window_size, spec.target_width, spec.darker_target)
-    engine = ShardedBatchTracker(roi_spec, None)
-    scan_chain = make_chained_batch(engine.scan_bounded)
-
     N = int(pos0_abs.shape[0])
+    tracker = ShardedBatchTracker(roi_spec, None)
+    scan_bounded = _select_batched_bounded(tracker, roi_spec, K, N, fill, engine)
+    scan_chain = make_chained_batch(scan_bounded)
     fills_vec = jnp.asarray(np.full(N, fill, np.uint8))
     rh = np.array(spec.radii) + spec.kernel_len // 2
     frame_max = np.array([H - 1, W - 1])
@@ -672,7 +714,7 @@ def run_multi_roi_pipeline(
         with timer.section("device"):
             if pos0 is not None or prev_out is None:
                 p0 = P if pos0 is None else pos0
-                out = engine.scan_bounded(
+                out = scan_bounded(
                     buf, jnp.asarray((p0 - origins).astype(np.int32)), fills_vec, lo, hi
                 )
             else:

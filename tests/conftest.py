@@ -7,6 +7,11 @@ hardware.
 
 import os
 
+# stash the launch platform selection (e.g. "axon" for the tunneled TPU —
+# experimental platforms are only picked when explicitly named) so the
+# hardware-gated subprocess tests can restore it
+if "PAWS_ORIG_JAX_PLATFORMS" not in os.environ and "JAX_PLATFORMS" in os.environ:
+    os.environ["PAWS_ORIG_JAX_PLATFORMS"] = os.environ["JAX_PLATFORMS"]
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:

@@ -107,3 +107,35 @@ def test_interpret_bounded_matches_jax():
            jnp.asarray(lo), jnp.asarray(hi))
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_interpret_batched_bounded_matches_jax():
+    """Batched bounded variant (grid (B, T)) — the batch/multi ROI-path engine
+    wired by pipeline._select_batched_bounded: per-video clamp boxes and fills
+    ride the scalar-prefetch array."""
+    import jax
+
+    ch, cw, T, B = 81, 89, 6, 3
+    paths = [[(30 + 4 * b + t, 40 + t) for t in range(T)] for b in range(B)]
+    crops = np.stack(
+        [np.stack([draw_blob(ch, cw, ij, 4, bg=90 + 40 * b) for ij in p])
+         for b, p in enumerate(paths)]
+    )
+    spec = make_spec((ch, cw), 19, 8, True)
+    pos0 = np.array([p[0] for p in paths], np.int32)
+    fills = np.array([90, 130, 170], np.uint8)
+    lo = np.array([[0, 0], [2, 1], [0, 3]], np.int32)
+    hi = np.array([[80, 88], [70, 85], [78, 80]], np.int32)
+    base = tracker_fns(spec).scan_bounded
+    want = np.asarray(
+        jax.vmap(getattr(base, "__wrapped__", base))(
+            jnp.asarray(crops), jnp.asarray(pos0), jnp.asarray(fills),
+            jnp.asarray(lo), jnp.asarray(hi),
+        )
+    )
+    fn = pallas_scan_fn(spec, batched=True, bounded=True, interpret=True)
+    got = np.asarray(
+        fn(jnp.asarray(crops), jnp.asarray(pos0), jnp.asarray(fills),
+           jnp.asarray(lo), jnp.asarray(hi))
+    )
+    np.testing.assert_array_equal(got, want)

@@ -25,7 +25,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _run(code: str, timeout: int = 900) -> str:
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
-    env["PYTHONPATH"] = REPO
+    # experimental platforms (the tunneled-TPU "axon" plugin) are only
+    # selected when explicitly named, so restore the launch-time selection
+    # instead of merely unsetting the conftest CPU pin
+    orig = os.environ.get("PAWS_ORIG_JAX_PLATFORMS")
+    if orig and orig != "cpu":
+        env["JAX_PLATFORMS"] = orig
+    # PREPEND the repo: the launch PYTHONPATH may carry the TPU plugin's
+    # registration hook (e.g. the axon plugin's site dir) — don't clobber it
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "") if env.get("PYTHONPATH") else REPO
     env.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
     r = subprocess.run(
@@ -74,3 +82,23 @@ assert np.array_equal(out_x, out_p), (out_x, out_p)
 print("ok")
 """
     )
+
+
+def test_batched_bounded_engine_measurement_on_hardware():
+    """pick_bounded_engine_batch (the batch/multi ROI-path chooser) must
+    measure with batch parity asserted on the chip."""
+    out = _run(
+        """
+import json
+import jax
+assert jax.default_backend() == "tpu", jax.default_backend()
+from pawsometracker_tpu.models.dog_tracker import make_spec
+from pawsometracker_tpu.pipeline import roi_geometry, pick_bounded_engine_batch
+spec = make_spec((1080, 1920), 41, 25, True)
+ch, cw, _ = roi_geometry(spec, 8, 1, "predict")
+engine, info = pick_bounded_engine_batch(make_spec((ch, cw), 41, 25, True), 8, 4)
+print(json.dumps({"engine": engine, "info": info}))
+"""
+    )
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["info"].get("parity") is True, res
