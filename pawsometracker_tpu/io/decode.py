@@ -32,6 +32,7 @@ fallback is best-effort there (tested to agree on resampling *structure*).
 from __future__ import annotations
 
 import math
+import os
 import queue
 import threading
 from dataclasses import dataclass
@@ -255,15 +256,34 @@ def open_source(
     fps: float = 24.0,
     backend: str = "auto",
     prefetch: int | None = None,
+    workers: int | None = None,
 ):
     """Open a frame source, preferring the native libav decoder when built.
     ``prefetch`` sizes the native decode-ahead ring (frames); the speculative
-    ROI pipeline needs it large enough to also RETAIN its in-flight chunks."""
+    ROI pipeline needs it large enough to also RETAIN its in-flight chunks.
+
+    ``workers`` > 1 (default: the ``PAWSIO_DECODE_WORKERS`` env var) decodes
+    the video with that many cooperating native decoders over interleaved
+    keyframe-seek spans — bit-identical frames, ~Wx throughput on multi-core
+    hosts (see :mod:`.parallel_decode`). The parallel source serves full
+    frames only (no C++ retained-crop ring), so it suits decode-bound
+    workloads; single-worker sources keep the in-ring ROI fast path."""
+    if workers is None:
+        try:
+            workers = int(os.environ.get("PAWSIO_DECODE_WORKERS", "1"))
+        except ValueError:
+            workers = 1
     if backend in ("auto", "native"):
         try:
             from .native_io import NativeFrameSource, native_available
 
             if native_available():
+                if workers and workers > 1:
+                    from .parallel_decode import ParallelNativeSource
+
+                    return ParallelNativeSource(
+                        path, start=start, stop=stop, fps=fps, workers=workers
+                    )
                 return NativeFrameSource(
                     path, start=start, stop=stop, fps=fps,
                     prefetch=8 if prefetch is None else prefetch,

@@ -69,6 +69,11 @@ struct Decoder {
   AVRational tb_q = {0, 1};   // stream time base (exact)
   AVRational out_tb = {0, 1}; // 1/fps (exact rational)
   int64_t start_pts = 0;      // `start` in stream time-base ticks
+  // first output slot to emit (multi-segment parallel decode): slot math
+  // stays on the GLOBAL grid anchored at `start` — a worker opened at
+  // slot0 = a reproduces the single decoder's slots a.. bit-exactly (same
+  // integer grid, no per-worker rounding of the start time)
+  int64_t slot0 = 0;
   bool demux_eof = false;
   bool force_sws = false;  // PAWSIO_EXACT_GRAY=1: always use swscale
 
@@ -128,9 +133,9 @@ struct Decoder {
         double t = (pts == AV_NOPTS_VALUE) ? 0.0 : pts * tb;
         double tp = t - start;
         av_frame_make_writable(frame);
-        if (tp < -0.5 / native_fps) {
+        if (tp < slot0 / fps - 0.5 / native_fps) {
           av_frame_unref(frame);
-          continue;  // pre-start: decode-and-discard (accurate -ss)
+          continue;  // pre-window: decode-and-discard (accurate -ss)
         }
         if (tp >= duration) {
           av_frame_unref(frame);
@@ -223,7 +228,7 @@ struct Decoder {
       int slot = slot_of(ptss);
       if (!has_pending) {
         std::swap(pending, scratch);
-        pending_slot = std::max(slot, 0);
+        pending_slot = std::max(slot, (int)slot0);
         emit_slot = pending_slot;
         has_pending = true;
         has_prev = false;
@@ -362,11 +367,21 @@ int pawsio_probe(const char *path, PawsInfo *info) {
   return 0;
 }
 
-void *pawsio_open(const char *path, double start, double stop, double fps, PawsInfo *info) {
+// threads < 0: libav default (PAWSIO_THREADS env or auto-sized pool).
+// threads >= 0: explicit codec thread count for THIS decoder — multi-segment
+// parallel decode opens one decoder per worker and pins each to 1 thread so
+// W workers use W cores instead of W oversubscribed frame-thread pools.
+// slot0 > 0: emit output slots [slot0, ..) of the GLOBAL grid anchored at
+// `start` (seek lands at the keyframe before start + slot0/fps) — the
+// mid-stream entry point for multi-segment parallel decode, bit-exact with a
+// slot0=0 decoder's slots slot0.. because the slot grid is shared.
+static void *open_impl(const char *path, double start, double stop, double fps,
+                       long long slot0, int threads, PawsInfo *info) {
   auto d = new Decoder();
   d->start = start;
   d->duration = stop - start;
   d->fps = fps;
+  d->slot0 = slot0;
   int ret = avformat_open_input(&d->fmt, path, nullptr, nullptr);
   if (ret < 0) {
     set_averror("open_input", ret);
@@ -390,8 +405,12 @@ void *pawsio_open(const char *path, double start, double stop, double fps, PawsI
   avcodec_parameters_to_context(d->dec, st->codecpar);
   // frame+slice threading (libav parallel decode). thread_count=0 lets libav
   // size the pool to the host's cores; PAWSIO_THREADS overrides.
-  const char *thr = getenv("PAWSIO_THREADS");
-  d->dec->thread_count = thr ? atoi(thr) : 0;
+  if (threads >= 0) {
+    d->dec->thread_count = threads;
+  } else {
+    const char *thr = getenv("PAWSIO_THREADS");
+    d->dec->thread_count = thr ? atoi(thr) : 0;
+  }
   d->dec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
   // PAWSIO_FAST_DECODE=1: skip the h264 in-loop deblocking filter — ~10-30%
   // faster on decode-bound hosts at the cost of slightly different pixel
@@ -427,8 +446,9 @@ void *pawsio_open(const char *path, double start, double stop, double fps, PawsI
   d->pkt = av_packet_alloc();
   const char *eg = getenv("PAWSIO_EXACT_GRAY");
   d->force_sws = eg && eg[0] == '1';
-  if (start > 0) {
-    int64_t ts = (int64_t)(start / d->tb);
+  double seek_t = start + (slot0 > 0 ? slot0 / fps : 0.0);
+  if (seek_t > 0) {
+    int64_t ts = (int64_t)(seek_t / d->tb);
     if (av_seek_frame(d->fmt, d->stream_idx, ts, AVSEEK_FLAG_BACKWARD) < 0) {
       // fall back to decoding from the beginning (decode-and-discard)
       av_seek_frame(d->fmt, d->stream_idx, 0, AVSEEK_FLAG_BACKWARD);
@@ -446,6 +466,20 @@ void *pawsio_open(const char *path, double start, double stop, double fps, PawsI
     info->nframes = st->nb_frames;
   }
   return d;
+}
+
+void *pawsio_open(const char *path, double start, double stop, double fps, PawsInfo *info) {
+  return open_impl(path, start, stop, fps, 0, -1, info);
+}
+
+void *pawsio_open2(const char *path, double start, double stop, double fps, int threads,
+                   PawsInfo *info) {
+  return open_impl(path, start, stop, fps, 0, threads, info);
+}
+
+void *pawsio_open_span(const char *path, double start, double stop, double fps,
+                       long long slot0, int threads, PawsInfo *info) {
+  return open_impl(path, start, stop, fps, slot0, threads, info);
 }
 
 int pawsio_start_prefetch(void *h, int depth) {

@@ -77,6 +77,28 @@ def _load():
             ctypes.POINTER(_PawsInfo),
         ]
         lib.pawsio_open.restype = ctypes.c_void_p
+        try:  # stale prebuilt .so may predate the newer entry points
+            lib.pawsio_open2.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_double,
+                ctypes.c_double,
+                ctypes.c_double,
+                ctypes.c_int,
+                ctypes.POINTER(_PawsInfo),
+            ]
+            lib.pawsio_open2.restype = ctypes.c_void_p
+            lib.pawsio_open_span.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_double,
+                ctypes.c_double,
+                ctypes.c_double,
+                ctypes.c_longlong,
+                ctypes.c_int,
+                ctypes.POINTER(_PawsInfo),
+            ]
+            lib.pawsio_open_span.restype = ctypes.c_void_p
+        except AttributeError:
+            pass
         lib.pawsio_read.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
         lib.pawsio_read.restype = ctypes.c_int
         lib.pawsio_read_batch.argtypes = [
@@ -211,6 +233,8 @@ class NativeFrameSource:
         stop: float = math.inf,
         fps: float = 24.0,
         prefetch: int = 8,
+        threads: int = -1,
+        slot0: int = 0,
     ):
         lib = _load()
         if lib is None:
@@ -221,9 +245,24 @@ class NativeFrameSource:
         self.stop = float(stop)
         self.fps = float(fps)
         info = _PawsInfo()
-        self._h = lib.pawsio_open(
-            self.path.encode(), self.start, self.stop, self.fps, ctypes.byref(info)
-        )
+        if slot0 > 0:
+            if not hasattr(lib, "pawsio_open_span"):
+                raise RuntimeError("libpawsio.so predates pawsio_open_span — rebuild")
+            # mid-stream entry on the GLOBAL slot grid (bit-exact with a
+            # slot0=0 decoder's later slots; see parallel_decode.py)
+            self._h = lib.pawsio_open_span(
+                self.path.encode(), self.start, self.stop, self.fps, int(slot0),
+                int(threads), ctypes.byref(info),
+            )
+        elif threads >= 0 and hasattr(lib, "pawsio_open2"):
+            self._h = lib.pawsio_open2(
+                self.path.encode(), self.start, self.stop, self.fps, int(threads),
+                ctypes.byref(info),
+            )
+        else:
+            self._h = lib.pawsio_open(
+                self.path.encode(), self.start, self.stop, self.fps, ctypes.byref(info)
+            )
         if not self._h:
             raise IOError(f"could not open video: {self.path} ({_last_error(lib)})")
         sar = float(Fraction(info.sar_num, info.sar_den)) if info.sar_den else 1.0

@@ -1,0 +1,305 @@
+"""Multi-segment parallel decode: W workers, one video, bit-identical frames.
+
+The reference's decode is a single out-of-process ffmpeg pipe (reference:
+src/PawsomeTracker.jl:155-157) — one core's worth of decode throughput. On a
+multi-core host the tracker is decode-bound at 1080p (the device scan is >10x
+faster than one core can decode), so this module parallelizes decode of ONE
+video across cores:
+
+- The output frame grid is split into fixed *spans* of ``span_frames``
+  consecutive output slots. Workers pull span indices from a shared counter
+  (dynamic load balancing) and decode each span with its OWN native decoder
+  opened at ``start + first_slot/fps`` — libav seeks to the keyframe at/before
+  that time and decode-discards up to the span start (accurate ``-ss``), then
+  produces exactly the span's slots.
+- Completed spans land in a bounded reorder buffer; the consumer reads frames
+  strictly in order. Flow control: at most ``workers + 2`` spans may be open
+  (decoding or buffered) at once, and they are always the lowest unconsumed
+  indices, so the consumer's next span is never starved by later ones.
+- Each worker decoder is pinned to ONE codec thread (``pawsio_open2``): W
+  workers use W cores, instead of W oversubscribed libav frame-thread pools.
+
+**Why mid-stream starts are bit-identical** to the single-decoder stream: the
+fps resampler assigns each input frame the output slot ``round(t*fps)`` with
+exact rational arithmetic and shows, at every slot, the last input frame whose
+claimed slot is <= it (pawsio.cpp read_resampled). That selection is per-slot
+stateless, and a span worker keeps the single stream's slot grid EXACTLY: it
+opens with the GLOBAL ``(start, stop)`` plus an integer slot offset
+(``pawsio_open_span``), so slot rounding can never diverge (re-deriving the
+grid from ``start + a/fps`` would shift round-half ties by fractional ticks —
+caught by the 24->18 fps parity test). The one remaining requirement is that
+the input frame "held" into the span's first slot is still decoded: the
+accurate-seek discard keeps frames up to half an input interval before the
+span window, which covers the holder whenever ``native_fps >= fps`` on CFR
+content (for upsampling or wildly VFR input the holder can predate the
+window), hence the CFR guard in :func:`parallel_ok`. Parity is enforced by
+tests on h264 B-frame content (tests/test_parallel_decode.py).
+"""
+
+from __future__ import annotations
+
+import math
+import threading
+
+import numpy as np
+
+from .decode import VideoInfo  # noqa: F401  (re-export convenience)
+
+__all__ = ["ParallelNativeSource", "parallel_ok"]
+
+DEFAULT_SPAN_FRAMES = 64
+
+
+def parallel_ok(info, fps: float) -> bool:
+    """True when multi-segment decode is safe for this stream: the span-start
+    holder guarantee needs the input rate at or above the output rate (see
+    module docstring)."""
+    return info.fps + 1e-6 >= fps
+
+
+class _Span:
+    __slots__ = ("idx", "frames", "pos", "event", "error")
+
+    def __init__(self, idx: int):
+        self.idx = idx
+        self.frames: np.ndarray | None = None  # [got, H, W] view (got <= span)
+        self.pos = 0  # frames already consumed
+        self.event = threading.Event()
+        self.error: BaseException | None = None
+
+
+class ParallelNativeSource:
+    """Drop-in frame source (``info`` / ``read`` / ``read_chunk`` / ``close``)
+    that decodes one video with ``workers`` cooperating native decoders.
+
+    Frames are bit-identical to ``NativeFrameSource(path, start, stop, fps)``
+    read sequentially. ROI streaming still works through the generic
+    full-frame path (no C++ retained ring across workers), so this source
+    targets decode-bound workloads: full-frame tracking, diagnostics on,
+    plain decode, and predict-mode pipelines on multi-core hosts.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        *,
+        start: float = 0.0,
+        stop: float = math.inf,
+        fps: float = 24.0,
+        workers: int = 2,
+        span_frames: int = DEFAULT_SPAN_FRAMES,
+        threads_per_worker: int = 1,
+    ):
+        from .native_io import NativeFrameSource, native_probe
+
+        self.path = str(path)
+        self.start = float(start)
+        self.stop = float(stop)
+        self.fps = float(fps)
+        self.info = native_probe(self.path)
+        self._src_cls = NativeFrameSource
+        self._span_frames = int(span_frames)
+        self._threads_per_worker = int(threads_per_worker)
+        W = max(1, int(workers))
+        if not parallel_ok(self.info, self.fps):
+            W = 1  # upsampling/VFR-risky: keep the single-decoder guarantee
+        self.workers = W
+        self._seq = None
+        self._threads: list[threading.Thread] = []
+        if W == 1:
+            # degenerate case: one plain sequential decoder, no spans at all
+            # (span entry at slot0 needs the holder guarantee; a single
+            # decoder from `start` needs nothing)
+            self._seq = NativeFrameSource(
+                self.path, start=self.start, stop=self.stop, fps=self.fps, prefetch=0
+            )
+            return
+
+        # request cap in output slots (exact: same formula the callers use).
+        # True EOF is discovered from short spans; speculative claims past EOF
+        # are bounded by the open-span budget (at most workers+2 wasted opens).
+        if math.isfinite(stop):
+            self._slot_limit = max(0, int(np.round(self.fps * (stop - start))))
+        else:
+            self._slot_limit = None
+
+        self._lock = threading.Lock()
+        self._error: BaseException | None = None
+        self._spans: dict[int, _Span] = {}
+        self._next_ticket = 0  # next span index a worker may claim
+        self._eof_slot: int | None = None  # first slot known not to exist
+        self._stop_flag = False
+        # open-span budget: decoding + buffered spans (consumer releases)
+        self._budget = threading.Semaphore(W + 2)
+        self._consumed_until = 0  # absolute frames fully consumed
+        self._cur: _Span | None = None
+        self._threads = [
+            threading.Thread(target=self._worker, daemon=True) for _ in range(W)
+        ]
+        for t in self._threads:
+            t.start()
+
+    # ---- worker side -----------------------------------------------------
+
+    def _claim(self) -> _Span | None:
+        """Reserve the next span ticket (budget already acquired)."""
+        with self._lock:
+            if self._stop_flag:
+                return None
+            a = self._next_ticket * self._span_frames
+            if self._eof_slot is not None and a >= self._eof_slot:
+                return None
+            if self._slot_limit is not None and a >= self._slot_limit:
+                return None
+            span = _Span(self._next_ticket)
+            self._next_ticket += 1
+            self._spans[span.idx] = span
+            return span
+
+    def _worker(self):
+        while True:
+            self._budget.acquire()
+            span = self._claim()
+            if span is None:
+                self._budget.release()
+                return
+            try:
+                got = self._decode_span(span)
+            except BaseException as e:
+                span.error = e
+                self._error = e
+                span.event.set()
+                return
+            span.event.set()
+            if got < self._span_count(span.idx):
+                with self._lock:
+                    first = span.idx * self._span_frames + got
+                    if self._eof_slot is None or first < self._eof_slot:
+                        self._eof_slot = first
+
+    def _span_count(self, idx: int) -> int:
+        """Requested output slots for span ``idx`` (the last span is short)."""
+        a = idx * self._span_frames
+        n = self._span_frames
+        if self._slot_limit is not None:
+            n = min(n, self._slot_limit - a)
+        return max(0, n)
+
+    def _decode_span(self, span: _Span) -> int:
+        a = span.idx * self._span_frames
+        want = self._span_count(span.idx)
+        if want == 0:
+            span.frames = np.empty((0,) + self.info.frame_shape, np.uint8)
+            return 0
+        # GLOBAL (start, stop) + slot offset: the decoder keeps the single
+        # stream's slot grid (no per-worker start rounding) and seeks to the
+        # keyframe before slot a's time — bit-exact mid-stream entry. The
+        # global stop also keeps the resampler's EOF flush identical.
+        src = self._src_cls(
+            self.path,
+            start=self.start,
+            stop=self.stop,
+            fps=self.fps,
+            prefetch=0,  # synchronous ring-less decode inside this thread
+            threads=self._threads_per_worker,
+            slot0=a,
+        )
+        try:
+            chunk = src.read_chunk(want)
+        finally:
+            src.close()
+        span.frames = chunk
+        return chunk.shape[0]
+
+    # ---- consumer side ---------------------------------------------------
+
+    def _next_span(self) -> _Span | None:
+        """The span holding the next unconsumed frame, decoded; None at EOF."""
+        import time
+
+        while True:
+            idx = self._consumed_until // self._span_frames
+            with self._lock:
+                if self._stop_flag:
+                    return None
+                if self._eof_slot is not None and self._consumed_until >= self._eof_slot:
+                    return None
+                if self._slot_limit is not None and self._consumed_until >= self._slot_limit:
+                    return None
+                span = self._spans.get(idx)
+            if span is None:
+                # not claimed yet (budget starvation is impossible: open spans
+                # are the lowest unconsumed indices) — yield briefly
+                if not any(t.is_alive() for t in self._threads):
+                    if self._error is not None:
+                        raise self._error
+                    return None  # workers exited (limit/EOF) without this span
+                time.sleep(0.002)
+                continue
+            if not span.event.wait(timeout=0.25):
+                continue  # periodic re-check of eof/stop
+            if span.error is not None:
+                raise span.error
+            if span.frames.shape[0] == 0:
+                return None
+            return span
+
+    def _release_span(self, span: _Span):
+        with self._lock:
+            self._spans.pop(span.idx, None)
+        self._budget.release()
+
+    def read_chunk(self, n: int, out: np.ndarray | None = None) -> np.ndarray:
+        if self._seq is not None:
+            return self._seq.read_chunk(n, out=out)
+        H, W = self.info.frame_shape
+        if out is None or out.shape[0] < n:
+            out = np.empty((n, H, W), np.uint8)
+        got = 0
+        while got < n:
+            span = self._cur
+            if span is None or span.pos >= span.frames.shape[0]:
+                if span is not None:
+                    short = span.frames.shape[0] < self._span_count(span.idx)
+                    self._release_span(span)
+                    self._cur = None
+                    if short:
+                        break  # EOF inside this span
+                span = self._next_span()
+                if span is None:
+                    break
+                self._cur = span
+            take = min(n - got, span.frames.shape[0] - span.pos)
+            out[got : got + take] = span.frames[span.pos : span.pos + take]
+            span.pos += take
+            self._consumed_until += take
+            got += take
+        return out[:got]
+
+    def read(self) -> np.ndarray | None:
+        chunk = self.read_chunk(1)
+        return chunk[0] if chunk.shape[0] else None
+
+    def close(self):
+        if self._seq is not None:
+            self._seq.close()
+            self._seq = None
+        if not self._threads:
+            return
+        with self._lock:
+            self._stop_flag = True
+        # unblock any worker waiting on the budget, then join
+        for _ in self._threads:
+            self._budget.release()
+        for t in self._threads:
+            t.join()
+        if self._cur is not None:
+            self._release_span(self._cur)
+            self._cur = None
+        self._spans.clear()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

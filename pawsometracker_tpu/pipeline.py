@@ -54,9 +54,16 @@ replay_count = 0
 
 def _predict_slack(k_frames: int, depth: int, r: int) -> int:
     """Per-axis slack (px) added to the synchronous margin in predict mode:
-    covers velocity-extrapolation error over the ``depth*K``-frame staleness
-    horizon. Small relative to the worst-case drift bound ``depth*K*r``."""
-    return max(4, (depth * k_frames * r) // 8)
+    covers velocity-extrapolation error over the staleness horizon.
+
+    Deliberately depth-INDEPENDENT: depth is then a pure latency-hiding knob —
+    crop geometry (bytes/frame, jitted kernels, engine-cache entries) is
+    identical at every depth, and a deeper pipeline costs nothing per frame.
+    The price is a staler aim at higher depth (extrapolation error grows with
+    ``depth*K`` while the slack doesn't), which only raises the mispredict-
+    replay rate; correctness never depends on it (containment validation
+    replays exactly). Small relative to the worst-case drift bound ``K*r``."""
+    return max(4, (k_frames * r) // 8)
 
 
 def roi_geometry(spec, k_frames: int, depth: int = 0, mode: str = "contain"):

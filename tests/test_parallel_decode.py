@@ -1,0 +1,145 @@
+"""Multi-segment parallel decode: bit-exact parity with the single decoder.
+
+The workers open independent native decoders at mid-stream span starts, so
+these tests pin the translation-invariance of the fps-resampler slot math on
+real codec content — including H.264 with B-frames (decode order != display
+order) and fps resampling (held/duplicated frames at span boundaries).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+import helpers
+from pawsometracker_tpu.io import native_io
+from pawsometracker_tpu.io.parallel_decode import ParallelNativeSource, parallel_ok
+
+pytestmark = pytest.mark.skipif(
+    not native_io.native_available(), reason="native pawsio library not built"
+)
+
+
+@pytest.fixture(scope="module")
+def h264_clip(tmp_path_factory):
+    import cv2
+
+    d = tmp_path_factory.mktemp("pdec")
+    path = str(d / "clip.mp4")
+    w = native_io.NativeVideoWriter(path, 160, 120, 24)
+    for t in range(145):  # ~6 s, deliberately NOT a span multiple
+        img = np.full((120, 160), 128, np.uint8)
+        img[:16, :32] = (t * 5) % 256  # frame counter patch
+        ij = (60 + int(30 * np.sin(t / 7)), 80 + int(45 * np.cos(t / 7)))
+        cv2.circle(img, (ij[1], ij[0]), 6, 0, -1)
+        w.write(img)
+    w.release()
+    return path
+
+
+def _all_frames(src, chunk=17):
+    out = []
+    while True:
+        c = src.read_chunk(chunk)
+        if c.shape[0] == 0:
+            return np.stack(out) if out else np.empty((0,), np.uint8)
+        out.extend(np.array(c))
+        if c.shape[0] < chunk:
+            return np.stack(out)
+
+
+@pytest.mark.parametrize("workers,span", [(2, 16), (3, 7), (4, 32)])
+def test_parity_full_range(h264_clip, workers, span):
+    with native_io.NativeFrameSource(h264_clip, fps=24) as ref:
+        want = _all_frames(ref)
+    with ParallelNativeSource(h264_clip, fps=24, workers=workers, span_frames=span) as par:
+        got = _all_frames(par)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("start,stop", [(0.0, 3.0), (1.3, 4.7), (2.0, math.inf)])
+def test_parity_sub_window(h264_clip, start, stop):
+    kw = dict(start=start, stop=stop, fps=24)
+    with native_io.NativeFrameSource(h264_clip, **kw) as ref:
+        want = _all_frames(ref)
+    with ParallelNativeSource(h264_clip, workers=3, span_frames=10, **kw) as par:
+        got = _all_frames(par)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("fps", [12, 18, 24])  # downsample + identity
+def test_parity_resampled(h264_clip, fps):
+    with native_io.NativeFrameSource(h264_clip, fps=fps) as ref:
+        want = _all_frames(ref)
+    with ParallelNativeSource(h264_clip, fps=fps, workers=3, span_frames=11) as par:
+        got = _all_frames(par)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_upsampling_falls_back_to_single_worker(h264_clip):
+    # native 24 fps -> 60 fps output violates the span-start holder guarantee
+    par = ParallelNativeSource(h264_clip, fps=60, workers=4, span_frames=16)
+    try:
+        assert par.workers == 1
+        assert not parallel_ok(par.info, 60)
+        with native_io.NativeFrameSource(h264_clip, fps=60) as ref:
+            want = _all_frames(ref)
+        got = _all_frames(par)
+        np.testing.assert_array_equal(got, want)
+    finally:
+        par.close()
+
+
+def test_parity_ffv1_avi(tmp_path):
+    frames = [np.full((64, 96), 128, np.uint8) for _ in range(50)]
+    for i, f in enumerate(frames):
+        f[:12, :12] = (i * 4) % 256
+    path = helpers.write_video(frames, str(tmp_path / "c"), 24, codec="FFV1")
+    with native_io.NativeFrameSource(path, fps=24) as ref:
+        want = _all_frames(ref)
+    with ParallelNativeSource(path, fps=24, workers=2, span_frames=9) as par:
+        got = _all_frames(par)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_read_single_and_interleaved_chunks(h264_clip):
+    with native_io.NativeFrameSource(h264_clip, fps=24) as ref:
+        want = _all_frames(ref, chunk=1)
+    with ParallelNativeSource(h264_clip, fps=24, workers=2, span_frames=8) as par:
+        got = [par.read()]
+        got.extend(np.array(par.read_chunk(5)))
+        while True:
+            f = par.read()
+            if f is None:
+                break
+            got.append(f)
+    np.testing.assert_array_equal(np.stack(got), want)
+
+
+def test_early_close_joins_workers(h264_clip):
+    par = ParallelNativeSource(h264_clip, fps=24, workers=3, span_frames=8)
+    par.read_chunk(3)  # consume a little, then abandon
+    par.close()
+    assert not any(t.is_alive() for t in par._threads)
+
+
+def test_missing_file_raises():
+    with pytest.raises(Exception):
+        src = ParallelNativeSource("/nonexistent/x.mp4", fps=24, workers=2)
+        try:
+            src.read_chunk(4)
+        finally:
+            src.close()
+
+
+def test_track_with_decode_workers_matches_default(h264_clip, monkeypatch):
+    """End-to-end: the full track() pipeline over the parallel source (env
+    opt-in) produces the same positions as the single-decoder default."""
+    from pawsometracker_tpu import IJ, track
+
+    want_ts, want_ij = track(h264_clip, start_location=IJ(60, 80), target_width=12)
+    monkeypatch.setenv("PAWSIO_DECODE_WORKERS", "3")
+    got_ts, got_ij = track(h264_clip, start_location=IJ(60, 80), target_width=12)
+    np.testing.assert_array_equal(np.asarray(got_ij), np.asarray(want_ij))
+    np.testing.assert_allclose(got_ts, want_ts)
