@@ -244,6 +244,36 @@ def stage_cpu_mt(d):
     return {"cpu_mt_fps": s["med"], "cpu_mt_spread": s, "cpu_threads": os.cpu_count() or 1}
 
 
+def stage_pdecode(d):
+    """Multi-segment parallel decode scaling (io/parallel_decode.py): decode
+    the clip with W cooperating native decoders vs one. Only meaningful with
+    multiple cores — on a 1-core host it reports the single-decoder number
+    and marks itself skipped."""
+    from pawsometracker_tpu.io.decode import open_source
+
+    path, _ = _clip(d)
+    cores = os.cpu_count() or 1
+
+    def run(workers):
+        t0 = time.perf_counter()
+        with open_source(path, fps=FPS, workers=workers) as src:
+            got = src.read_chunk(N_FRAMES).shape[0]
+        return got / (time.perf_counter() - t0)
+
+    if cores < 2:
+        return {"pdecode_skipped": "1-core host; parallel decode needs cores"}
+    W = min(4, cores)
+    one = _stats([run(1) for _ in range(REPS)])
+    par = _stats([run(W) for _ in range(REPS)])
+    return {
+        "pdecode_workers": W,
+        "pdecode_1w_fps": one["med"],
+        "pdecode_fps": par["med"],
+        "pdecode_spread": par,
+        "pdecode_scaling": round(par["med"] / max(one["med"], 1e-9), 2),
+    }
+
+
 def stage_batch(d):
     """Aggregate throughput across B=4 videos tracked concurrently on one chip
     (the framework's scale-out axis; with a mesh this shards across chips)."""
@@ -276,6 +306,7 @@ STAGES = {
     "e2e": (stage_e2e, 900),
     "batch": (stage_batch, 900),
     "decode": (stage_decode, 300),
+    "pdecode": (stage_pdecode, 420),
     "device": (stage_device, 420),
     "pallas": (stage_pallas, 420),
     "cpu": (stage_cpu, 420),
