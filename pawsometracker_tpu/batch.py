@@ -63,6 +63,7 @@ def track_batch(
     pipeline_depth: int = 1,
     diagnostic_files=None,
     engine: str = "auto",
+    subpixel: bool = False,
 ):
     """Track one target in each of ``files`` concurrently on the device.
 
@@ -78,7 +79,9 @@ def track_batch(
 
     ``mesh``: a ``jax.sharding.Mesh`` to shard the batch across chips (None =
     single device). ``diagnostic_files``: optional per-file overlay video
-    paths (None entries disable). Returns a list of ``(ts, positions)``.
+    paths (None entries disable). ``subpixel=True`` returns float positions
+    (integer recurrence + parabolic response-peak refinement, exactly like
+    :func:`.api.track`). Returns a list of ``(ts, positions)``.
     """
     files = list(files)
     B = len(files)
@@ -128,6 +131,7 @@ def track_batch(
             pipeline_depth=pipeline_depth,
             diagnostic_files=[dias_in[i] for i in idxs],
             engine=engine,
+            subpixel=subpixel,
         )
         for i, r in zip(idxs, sub):
             results[i] = r
@@ -153,6 +157,7 @@ def _track_batch_uniform(
     pipeline_depth: int = 1,
     diagnostic_files=None,
     engine: str = "auto",
+    subpixel: bool = False,
 ):
     """One-bucket core of :func:`track_batch`: all videos share a resolution
     and tracker configuration."""
@@ -223,14 +228,26 @@ def _track_batch_uniform(
         f0 = engine.shard_chunk(frames0)
         fills_dev = jnp.asarray(fills)
         g_dev = jnp.asarray(guesses)
-        pos_norm = engine.snap(f0, g_dev, fills_dev)
-        if auto.any():
-            pos_det = engine.snap_detect(f0, g_dev, fills_dev)
-            pos = jnp.where(jnp.asarray(auto)[:, None], pos_det, pos_norm)
+        auto_col = jnp.asarray(auto)[:, None]
+        if subpixel:
+            pos_norm, off_norm = engine.snap_sub(f0, g_dev, fills_dev)
+            if auto.any():
+                pos_det, off_det = engine.snap_detect_sub(f0, g_dev, fills_dev)
+                pos = jnp.where(auto_col, pos_det, pos_norm)
+                off0 = np.asarray(jnp.where(auto_col, off_det, off_norm))
+            else:
+                pos, off0 = pos_norm, np.asarray(off_norm)
         else:
-            pos = pos_norm
+            pos_norm = engine.snap(f0, g_dev, fills_dev)
+            if auto.any():
+                pos_det = engine.snap_detect(f0, g_dev, fills_dev)
+                pos = jnp.where(auto_col, pos_det, pos_norm)
+            else:
+                pos = pos_norm
+            off0 = np.zeros((B, 2), np.float32)
 
         positions = [[np.asarray(pos[b])] for b in range(B)]
+        offsets = [[off0[b].reshape(1, 2)] for b in range(B)]
         counts = [1] * B
 
         dias = []
@@ -263,13 +280,14 @@ def _track_batch_uniform(
             chunk_size = roi_frames
             roi_spec = make_spec((ch, cw), window_size, target_width, darker_target)
             roi_engine = ShardedBatchTracker(roi_spec, mesh)
-            scan_bounded = (
-                _select_batched_bounded(
+            if subpixel:
+                scan_bounded = roi_engine.scan_sub  # XLA only (needs the response)
+            elif mesh is None:
+                scan_bounded = _select_batched_bounded(
                     roi_engine, roi_spec, roi_frames, B, int(fills[0]), engine
                 )
-                if mesh is None
-                else roi_engine.scan_bounded  # sharded path stays vmapped XLA
-            )
+            else:
+                scan_bounded = roi_engine.scan_bounded  # sharded path stays vmapped XLA
             scan_chain = make_chained_batch(scan_bounded)
         # native retained mode: every source crops (and replays) in C++ —
         # full frames never enter Python for the whole batch
@@ -390,16 +408,24 @@ def _track_batch_uniform(
                         roi_engine.shard_chunk(lo),
                         roi_engine.shard_chunk(hi),
                     )
-                _to_host_async(out)
+                if subpixel:
+                    out, off = out
+                    _to_host_async(out, off)
+                else:
+                    off = None
+                    _to_host_async(out)
+                # the chained scan needs only the POSITIONS device handle
                 prev_out, prev_origins = out, origins_e
-                return out
+                return out, off
 
-            def accept(out_np, origins_e, valid_e, chunks_e, buf):
+            def accept(out_np, off, origins_e, valid_e, chunks_e, buf):
                 for b in range(B):
                     k = int(valid_e[b])
                     if k > 0:
                         abs_b = out_np[b, :k].astype(np.int64) + origins_e[b]
                         positions[b].append(abs_b)
+                        if off is not None:
+                            offsets[b].append(np.asarray(off)[b, :k])
                         counts[b] += k
                         if k > 1:
                             vel[b] = (abs_b[-1] - abs_b[0]) / (k - 1)
@@ -438,22 +464,22 @@ def _track_batch_uniform(
                 nonlocal prev_out, prev_origins
                 prev_out = None
                 prev_origins = None
-                for _, _, valid_e, chunks_e, buf in entries:
+                for _, _, _, valid_e, chunks_e, buf in entries:
                     origins_e = pos_host.astype(np.int64) - np.asarray(margin)
                     rbuf = np.empty((B, chunk_size, ch, cw), np.uint8)
                     crop_all(chunks_e, valid_e, origins_e, rbuf)
-                    out = run_scan(rbuf, origins_e, pos0=pos_host.astype(np.int64))
-                    accept(np.asarray(out), origins_e, valid_e, chunks_e, buf)
+                    out, off = run_scan(rbuf, origins_e, pos0=pos_host.astype(np.int64))
+                    accept(np.asarray(out), off, origins_e, valid_e, chunks_e, buf)
 
             def drain_one():
                 entry = pending.popleft()
-                out, origins_e, valid_e, chunks_e, buf = entry
+                out, off, origins_e, valid_e, chunks_e, buf = entry
                 out_np = np.asarray(out)  # lagged; transfer started at dispatch
                 if mode == "predict" and not contained(out_np, origins_e, valid_e):
                     replay([entry] + list(pending))
                     pending.clear()
                     return
-                accept(out_np, origins_e, valid_e, chunks_e, buf)
+                accept(out_np, off, origins_e, valid_e, chunks_e, buf)
 
             while any(active):
                 while len(pending) > pipeline_depth:
@@ -462,24 +488,29 @@ def _track_batch_uniform(
                 if valid.sum() == 0:
                     break
                 if mode == "predict":
-                    stale = sum(int(v.max()) for _, _, v, _, _ in pending)
+                    stale = sum(int(v.max()) for _, _, _, v, _, _ in pending)
                     pred = pos_host.astype(np.float64) + vel * stale
                     origins = np.round(pred).astype(np.int64) - np.asarray(margin)
                 else:
                     origins = pos_host.astype(np.int64) - np.asarray(margin)
                 buf = free_bufs.pop()
                 bases = (
-                    [sum(int(v[b]) for _, _, v, _, _ in pending) for b in range(B)]
+                    [sum(int(v[b]) for _, _, _, v, _, _ in pending) for b in range(B)]
                     if nat_retained
                     else None
                 )
                 crop_all(chunks, valid, origins, buf, bases=bases)
-                out = run_scan(buf, origins)
-                pending.append((out, origins, valid, chunks, buf))
+                out, off = run_scan(buf, origins)
+                pending.append((out, off, origins, valid, chunks, buf))
             while pending:
                 drain_one()
         else:
             batch = np.empty((B, chunk_size) + frame_shape, np.uint8)
+            if subpixel:
+                lo_full = jnp.zeros((B, 2), jnp.int32)
+                hi_full = jnp.asarray(
+                    np.tile(np.array(frame_shape, np.int32) - 1, (B, 1))
+                )
             while any(active):
                 valid, chunks = _gather()
                 if valid.sum() == 0:
@@ -493,16 +524,29 @@ def _track_batch_uniform(
                             batch[b, k:] = chunks[b][-1]
                     else:
                         batch[b] = last_frames[b]
-                out = engine.scan(
-                    engine.shard_chunk(batch),
-                    engine.shard_chunk(pos_host.astype(np.int32)),
-                    fills_dev,
-                )
+                if subpixel:
+                    out, off = engine.scan_sub(
+                        engine.shard_chunk(batch),
+                        engine.shard_chunk(pos_host.astype(np.int32)),
+                        fills_dev,
+                        lo_full,
+                        hi_full,
+                    )
+                    off_host = np.asarray(off)
+                else:
+                    out = engine.scan(
+                        engine.shard_chunk(batch),
+                        engine.shard_chunk(pos_host.astype(np.int32)),
+                        fills_dev,
+                    )
+                    off_host = None
                 scan_host = np.asarray(out)
                 for b in range(B):
                     k = int(valid[b])
                     if k > 0:
                         positions[b].append(scan_host[b, :k])
+                        if off_host is not None:
+                            offsets[b].append(off_host[b, :k])
                         counts[b] += k
                         pos_host[b] = scan_host[b, k - 1]
                         for i in range(k):
@@ -518,8 +562,12 @@ def _track_batch_uniform(
             d.close()
 
     out = []
+    sz = np.array(frame_shape) - 1
     for b in range(B):
         ts = np.linspace(starts[b], stops[b], ns[b])[: counts[b]]
         ij = np.concatenate([p.reshape(-1, 2) for p in positions[b]], axis=0)[: counts[b]]
+        if subpixel:
+            off = np.concatenate([o.reshape(-1, 2) for o in offsets[b]], axis=0)[: counts[b]]
+            ij = np.clip(ij.astype(np.float64) + off, 0, sz)
         out.append((ts, ij))
     return out

@@ -124,6 +124,8 @@ class TrackerFns:
     snap_sub: callable
     scan_multi: callable
     snap_multi: callable
+    scan_multi_sub: callable
+    snap_multi_sub: callable
     step_padded: callable
     pad_frame: callable
 
@@ -258,6 +260,26 @@ def _build(spec: TrackerSpec) -> TrackerFns:
         padded = pad_frame(frame_u8, fill_u8)
         return jax.vmap(lambda p: step_padded(padded, p.astype(jnp.int32)))(guesses)
 
+    def scan_multi_sub(frames_u8, pos0s, fill_u8):
+        """:func:`scan_multi` + per-frame-per-target sub-pixel offsets
+        (``-> (int32 [T, N, 2], float32 [T, N, 2])``)."""
+        lo = jnp.zeros((2,), jnp.int32)
+        hi = jnp.asarray(max_pos)
+
+        def body(poss, frame):
+            padded = pad_frame(frame, fill_u8)
+            new, offs = jax.vmap(lambda p: _step_sub(padded, p, lo, hi))(poss)
+            return new, (new, offs)
+
+        _, (positions, offs) = jax.lax.scan(body, pos0s.astype(jnp.int32), frames_u8)
+        return positions, offs
+
+    def snap_multi_sub(frame_u8, guesses, fill_u8):
+        padded = pad_frame(frame_u8, fill_u8)
+        lo = jnp.zeros((2,), jnp.int32)
+        hi = jnp.asarray(max_pos)
+        return jax.vmap(lambda p: _step_sub(padded, p.astype(jnp.int32), lo, hi))(guesses)
+
     snap_j = jax.jit(snap)
     scan_j = jax.jit(scan)
     snap_b = jax.jit(jax.vmap(snap))
@@ -273,6 +295,8 @@ def _build(spec: TrackerSpec) -> TrackerFns:
         snap_sub=jax.jit(snap_sub),
         scan_multi=jax.jit(scan_multi),
         snap_multi=jax.jit(snap_multi),
+        scan_multi_sub=jax.jit(scan_multi_sub),
+        snap_multi_sub=jax.jit(snap_multi_sub),
         step_padded=step_padded,
         pad_frame=pad_frame,
     )

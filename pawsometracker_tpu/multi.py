@@ -41,12 +41,15 @@ def track_multi(
     roi_frames: int | None = None,
     pipeline_depth: int = 1,
     engine: str = "auto",
+    subpixel: bool = False,
 ):
     """Track ``len(start_locations)`` targets in one video.
 
     Each entry of ``start_locations`` is an ``IJ`` or display ``(x, y)``
     (auto-detect is not meaningful for multiple targets — locations are
-    required). Returns ``(ts, positions)`` with ``positions int [T, N, 2]``.
+    required). Returns ``(ts, positions)`` with ``positions int [T, N, 2]``
+    (float with ``subpixel=True``: integer recurrence + parabolic
+    response-peak refinement, exactly like :func:`.api.track`).
     ``engine="auto"`` makes the measured pallas/xla choice for the batched
     bounded ROI scan.
 
@@ -100,7 +103,12 @@ def track_multi(
             [_resolve_guess(loc, sar_val, frame_shape) for loc in start_locations], np.int32
         )
         fill_dev = np.uint8(fill)
-        pos = fns.snap_multi(jnp.asarray(frame0), jnp.asarray(guesses), fill_dev)
+        if subpixel:
+            pos, off0 = fns.snap_multi_sub(jnp.asarray(frame0), jnp.asarray(guesses), fill_dev)
+            offs = [np.asarray(off0)[None]]
+        else:
+            pos = fns.snap_multi(jnp.asarray(frame0), jnp.asarray(guesses), fill_dev)
+            offs = []
 
         out = [np.asarray(pos)[None]]
         last_frame = 1
@@ -111,7 +119,7 @@ def track_multi(
             stream == "auto" and N * ch * cw * 2 < frame_shape[0] * frame_shape[1]
         )
         if n > 1 and use_roi:
-            pos_blocks, tracked = run_multi_roi_pipeline(
+            pos_blocks, off_blocks, tracked = run_multi_roi_pipeline(
                 src,
                 spec,
                 np.asarray(pos),
@@ -122,8 +130,10 @@ def track_multi(
                 timer=Timer(),
                 prefetchers=prefetchers,
                 engine=engine,
+                subpixel=subpixel,
             )
             out.extend(pos_blocks)
+            offs.extend(off_blocks)
             last_frame += tracked
         elif n > 1:
             from .api import padded_chunks
@@ -131,7 +141,11 @@ def track_multi(
             prefetch = ChunkPrefetcher(src, chunk_size, max_frames=n - 1)
             prefetchers.append(prefetch)
             for chunk, chunk_in, k in padded_chunks(prefetch, chunk_size):
-                pos_t = fns.scan_multi(jnp.asarray(chunk_in), pos, fill_dev)
+                if subpixel:
+                    pos_t, off_t = fns.scan_multi_sub(jnp.asarray(chunk_in), pos, fill_dev)
+                    offs.append(np.asarray(off_t[:k]))
+                else:
+                    pos_t = fns.scan_multi(jnp.asarray(chunk_in), pos, fill_dev)
                 pos = pos_t[k - 1]
                 out.append(np.asarray(pos_t[:k]))  # blocks: device done with chunk
                 prefetch.recycle(chunk)
@@ -142,4 +156,10 @@ def track_multi(
         src.close()
 
     positions = np.concatenate(out, axis=0)
+    if subpixel:
+        off_all = np.concatenate(offs, axis=0)
+        sz = np.array(frame_shape) - 1
+        return ts[:last_frame], np.clip(
+            positions[:last_frame].astype(np.float64) + off_all[:last_frame], 0, sz
+        )
     return ts[:last_frame], positions[:last_frame]

@@ -140,6 +140,11 @@ class ShardedBatchTracker:
             self.snap_detect = det.snap_batch
             self.scan = fns.scan_batch
             self.scan_bounded = jax.jit(jax.vmap(_unwrap(fns.scan_bounded)))
+            # sub-pixel variants (always XLA: the parabolic refinement reads
+            # the response around the argmax, which the fused kernel discards)
+            self.scan_sub = jax.jit(jax.vmap(_unwrap(fns.scan_sub)))
+            self.snap_sub = jax.jit(jax.vmap(_unwrap(fns.snap_sub)))
+            self.snap_detect_sub = jax.jit(jax.vmap(_unwrap(det.snap_sub)))
             if engine == "pallas" or (engine == "auto" and jax.default_backend() == "tpu"):
                 # single-device batch: the fused kernel scans all videos in one
                 # launch (grid (B, T)); per-video fills supported
@@ -175,6 +180,17 @@ class ShardedBatchTracker:
                 jax.vmap(_unwrap(base.scan_bounded)),
                 (chunk_sh, pos_sh, vec_sh, pos_sh, pos_sh),
                 tpos_sh,
+            )
+            self.scan_sub = _jit_b(
+                jax.vmap(_unwrap(base.scan_sub)),
+                (chunk_sh, pos_sh, vec_sh, pos_sh, pos_sh),
+                (tpos_sh, tpos_sh),
+            )
+            self.snap_sub = _jit_b(
+                jax.vmap(_unwrap(base.snap_sub)), (frames_sh, pos_sh, vec_sh), (pos_sh, pos_sh)
+            )
+            self.snap_detect_sub = _jit_b(
+                jax.vmap(_unwrap(detb.snap_sub)), (frames_sh, pos_sh, vec_sh), (pos_sh, pos_sh)
             )
 
     def shard_chunk(self, chunk: np.ndarray):

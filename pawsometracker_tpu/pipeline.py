@@ -665,6 +665,7 @@ def run_multi_roi_pipeline(
     timer,
     prefetchers: list,
     engine: str = "auto",
+    subpixel: bool = False,
 ):
     """Speculative pipelined ROI streaming for N targets in ONE stream: each
     decoded frame yields N drift-bounded crops (bounded scans batched over the
@@ -674,10 +675,12 @@ def run_multi_roi_pipeline(
     from C++ ``recrop`` — full frames never enter Python.
 
     ``engine="auto"`` makes the measured pallas/xla choice for the batched
-    bounded scan (grid ``(N, K)`` fused kernel vs vmapped XLA).
+    bounded scan (grid ``(N, K)`` fused kernel vs vmapped XLA); ``subpixel``
+    forces the XLA sub-pixel scan and additionally returns offset arrays.
 
-    Returns ``(position_arrays, frames_tracked)``; each array is
-    ``[k, N, 2]`` absolute int.
+    Returns ``(position_arrays, offset_arrays, frames_tracked)``; each
+    position array is ``[k, N, 2]`` absolute int (offsets ``[k, N, 2]``
+    float, empty list unless ``subpixel``).
     """
     import jax.numpy as jnp
 
@@ -690,7 +693,10 @@ def run_multi_roi_pipeline(
     roi_spec = make_spec((ch, cw), spec.window_size, spec.target_width, spec.darker_target)
     N = int(pos0_abs.shape[0])
     tracker = ShardedBatchTracker(roi_spec, None)
-    scan_bounded = _select_batched_bounded(tracker, roi_spec, K, N, fill, engine)
+    if subpixel:
+        scan_bounded = tracker.scan_sub  # XLA only (needs the response peak)
+    else:
+        scan_bounded = _select_batched_bounded(tracker, roi_spec, K, N, fill, engine)
     scan_chain = make_chained_batch(scan_bounded)
     fills_vec = jnp.asarray(np.full(N, fill, np.uint8))
     rh = np.array(spec.radii) + spec.kernel_len // 2
@@ -698,12 +704,13 @@ def run_multi_roi_pipeline(
     free_bufs = [np.empty((N, K, ch, cw), np.uint8) for _ in range(depth + 2)]
 
     positions: list[np.ndarray] = []
+    offsets: list[np.ndarray] = []
     tracked = 0
     P = np.asarray(pos0_abs, np.int64)  # [N, 2] newest downloaded
     vel = np.zeros((N, 2))
     prev_out = None
     prev_origins = None
-    pending: deque = deque()  # (out, origins [N,2], k, frames_token, buf)
+    pending: deque = deque()  # (out, off, origins [N,2], k, frames_token, buf)
 
     RETAINED = "native-retained"
     native = (
@@ -733,9 +740,14 @@ def run_multi_roi_pipeline(
                     lo,
                     hi,
                 )
-        _to_host_async(out)
+        if subpixel:
+            out, off = out
+            _to_host_async(out, off)
+        else:
+            off = None
+            _to_host_async(out)
         prev_out, prev_origins = out, origins
-        return out
+        return out, off
 
     def crop_round(frames, k, origins, buf, retained_base=None):
         """Fill buf[N, K] with per-target crops of this chunk's frames."""
@@ -751,10 +763,12 @@ def run_multi_roi_pipeline(
                 for i in range(k, K):
                     buf[t, i] = buf[t, k - 1]
 
-    def accept(out_np, origins, k, frames, buf):
+    def accept(out_np, off, origins, k, frames, buf):
         nonlocal P, vel, tracked
         valid = out_np[:, :k].astype(np.int64) + origins[:, None, :]  # [N, k, 2]
         positions.append(np.transpose(valid, (1, 0, 2)))  # [k, N, 2]
+        if off is not None:
+            offsets.append(np.transpose(np.asarray(off)[:, :k], (1, 0, 2)))
         if frames is RETAINED:
             src.release(k)
         elif frames is not None:
@@ -780,30 +794,30 @@ def run_multi_roi_pipeline(
         replay_count += 1
         prev_out = None
         prev_origins = None
-        for _, _, k, frames, buf in entries:
+        for _, _, _, k, frames, buf in entries:
             origins = P - np.asarray(margin)
             rbuf = np.empty((N, K, ch, cw), np.uint8)
             crop_round(frames, k, origins, rbuf, retained_base=0)
-            out = run_scan(rbuf, origins, pos0=P)
+            out, off = run_scan(rbuf, origins, pos0=P)
             with timer.section("drain"):
                 out_np = np.asarray(out)
-            accept(out_np, origins, k, frames, buf)
+            accept(out_np, off, origins, k, frames, buf)
 
     def drain_one():
         entry = pending.popleft()
-        out, origins, k, frames, buf = entry
+        out, off, origins, k, frames, buf = entry
         with timer.section("drain"):
             out_np = np.asarray(out)
         if mode == "predict" and not contained(out_np, origins, k):
             replay([entry] + list(pending))
             pending.clear()
             return
-        accept(out_np, origins, k, frames, buf)
+        accept(out_np, off, origins, k, frames, buf)
 
     def next_chunk(remaining):
         """Returns (frames_token, k, retained_base) or (None, 0, 0) at EOF."""
         if native:
-            base = sum(e[2] for e in pending)
+            base = sum(e[3] for e in pending)
             got = src.advance_retained(min(K, remaining))
             return (RETAINED, got, base) if got else (None, 0, 0)
         try:
@@ -821,15 +835,15 @@ def run_multi_roi_pipeline(
         if k == 0:
             break
         if mode == "predict":
-            stale = sum(e[2] for e in pending)
+            stale = sum(e[3] for e in pending)
             origins = np.round(P + vel * stale).astype(np.int64) - np.asarray(margin)
         else:
             origins = P - np.asarray(margin)
         buf = free_bufs.pop()
         crop_round(frames, k, origins, buf, retained_base=base)
-        out = run_scan(buf, origins)
-        pending.append((out, origins, k, frames, buf))
+        out, off = run_scan(buf, origins)
+        pending.append((out, off, origins, k, frames, buf))
         remaining -= k
     while pending:
         drain_one()
-    return positions, tracked
+    return positions, offsets, tracked
