@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import math
 import threading
+from collections import deque
 
 import numpy as np
 
@@ -73,10 +74,13 @@ class ParallelNativeSource:
     that decodes one video with ``workers`` cooperating native decoders.
 
     Frames are bit-identical to ``NativeFrameSource(path, start, stop, fps)``
-    read sequentially. ROI streaming still works through the generic
-    full-frame path (no C++ retained ring across workers), so this source
-    targets decode-bound workloads: full-frame tracking, diagnostics on,
-    plain decode, and predict-mode pipelines on multi-core hosts.
+    read sequentially. The retained-ROI protocol (``read_roi_chunk_retained``
+    / ``advance_retained`` / ``recrop`` / ``release``) is also provided —
+    retention is numpy views into the span buffers (a span's memory lives
+    until its last retained frame is released), so the speculative predict
+    pipeline runs at full parallel-decode speed on multi-core hosts. Crops
+    are numpy copies here rather than C++-ring crops; the decoded frames
+    already live in Python-side span buffers either way.
     """
 
     def __init__(
@@ -104,6 +108,12 @@ class ParallelNativeSource:
         if not parallel_ok(self.info, self.fps):
             W = 1  # upsampling/VFR-risky: keep the single-decoder guarantee
         self.workers = W
+        #: retained-ROI window: numpy frame views into span buffers (a span's
+        #: memory lives until its last retained frame is released). Python
+        #: retention has no fixed ring, so advertise effectively-unbounded
+        #: capacity to the pipelines' ring-sizing gates.
+        self._retained: deque = deque()
+        self.ring_frames = 1 << 30
         self._seq = None
         self._threads: list[threading.Thread] = []
         if W == 1:
@@ -249,12 +259,15 @@ class ParallelNativeSource:
             self._spans.pop(span.idx, None)
         self._budget.release()
 
-    def read_chunk(self, n: int, out: np.ndarray | None = None) -> np.ndarray:
+    def _consume(self, n: int, sink) -> int:
+        """Advance the in-order stream by up to ``n`` frames, handing each
+        contiguous block to ``sink`` as a numpy view (the view keeps its span
+        buffer alive, so retaining it is safe)."""
         if self._seq is not None:
-            return self._seq.read_chunk(n, out=out)
-        H, W = self.info.frame_shape
-        if out is None or out.shape[0] < n:
-            out = np.empty((n, H, W), np.uint8)
+            chunk = self._seq.read_chunk(n)  # fresh array: safe to retain
+            if chunk.shape[0]:
+                sink(chunk)
+            return int(chunk.shape[0])
         got = 0
         while got < n:
             span = self._cur
@@ -270,15 +283,86 @@ class ParallelNativeSource:
                     break
                 self._cur = span
             take = min(n - got, span.frames.shape[0] - span.pos)
-            out[got : got + take] = span.frames[span.pos : span.pos + take]
+            sink(span.frames[span.pos : span.pos + take])
             span.pos += take
             self._consumed_until += take
             got += take
+        return got
+
+    def read_chunk(self, n: int, out: np.ndarray | None = None) -> np.ndarray:
+        if self._retained:  # mirror pawsio: no plain reads over a live window
+            raise IOError("non-retained read while frames are retained; release them first")
+        if self._seq is not None:
+            return self._seq.read_chunk(n, out=out)
+        H, W = self.info.frame_shape
+        if out is None or out.shape[0] < n:
+            out = np.empty((n, H, W), np.uint8)
+        state = [0]
+
+        def sink(blk):
+            g = state[0]
+            out[g : g + blk.shape[0]] = blk
+            state[0] = g + blk.shape[0]
+
+        got = self._consume(n, sink)
         return out[:got]
 
     def read(self) -> np.ndarray | None:
         chunk = self.read_chunk(1)
         return chunk[0] if chunk.shape[0] else None
+
+    # ---- retained-ROI protocol (mirrors NativeFrameSource's C++ ring) ------
+
+    def advance_retained(self, n: int) -> int:
+        """Pull up to ``n`` frames into the retained window without cropping."""
+        return self._consume(n, lambda blk: self._retained.extend(blk))
+
+    def _crop(self, frame, origin, ch, cw, fill, out):
+        from ..pipeline import _crop_with_fill  # lazy: avoids an import cycle
+
+        _crop_with_fill(frame, origin, ch, cw, fill, out=out)
+
+    def read_roi_chunk_retained(
+        self, n: int, origin, ch: int, cw: int, fill: int, out: np.ndarray | None = None
+    ) -> np.ndarray:
+        if out is None or out.shape[0] < n:
+            out = np.empty((n, ch, cw), np.uint8)
+        base = len(self._retained)
+        k = self.advance_retained(n)
+        for i in range(k):
+            self._crop(self._retained[base + i], origin, ch, cw, fill, out[i])
+        return out[:k]
+
+    def read_roi_chunk(
+        self, n: int, origin, ch: int, cw: int, fill: int, out: np.ndarray | None = None
+    ) -> np.ndarray:
+        """Crop-and-forget (contain mode): callers in this mode never retain,
+        so the frames this call pulled are exactly the oldest and may be
+        released immediately."""
+        if self._retained:  # releasing after the crop would pop OLD frames
+            raise IOError("read_roi_chunk while frames are retained; release them first")
+        got = self.read_roi_chunk_retained(n, origin, ch, cw, fill, out=out)
+        self.release(got.shape[0])
+        return got
+
+    def recrop(
+        self, first: int, k: int, origin, ch: int, cw: int, fill: int,
+        out: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """Crop retained frames ``[first, first+k)`` (0 = oldest retained) at
+        a new origin — the mispredict-replay path."""
+        if out is None or out.shape[0] < k:
+            out = np.empty((k, ch, cw), np.uint8)
+        m = max(0, min(int(k), len(self._retained) - int(first)))
+        for i in range(m):
+            self._crop(self._retained[int(first) + i], origin, ch, cw, fill, out[i])
+        return out[:m]
+
+    def release(self, n: int):
+        """Free the ``n`` oldest retained frames (span buffers are reclaimed
+        once their last retained view is dropped)."""
+        for _ in range(min(int(n), len(self._retained))):
+            self._retained.popleft()
 
     def close(self):
         if self._seq is not None:

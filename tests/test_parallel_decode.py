@@ -143,3 +143,88 @@ def test_track_with_decode_workers_matches_default(h264_clip, monkeypatch):
     got_ts, got_ij = track(h264_clip, start_location=IJ(60, 80), target_width=12)
     np.testing.assert_array_equal(np.asarray(got_ij), np.asarray(want_ij))
     np.testing.assert_allclose(got_ts, want_ts)
+
+
+def test_retained_roi_protocol_parity(h264_clip):
+    """read_roi_chunk_retained / recrop / release on the parallel source must
+    match the native C++ ring's crops frame for frame."""
+    ref = native_io.NativeFrameSource(h264_clip, fps=24, prefetch=32)
+    par = ParallelNativeSource(h264_clip, fps=24, workers=3, span_frames=10)
+    try:
+        origin, ch, cw = (40, 60), 48, 56
+        a = ref.read_roi_chunk_retained(8, origin, ch, cw, 128)
+        b = par.read_roi_chunk_retained(8, origin, ch, cw, 128)
+        np.testing.assert_array_equal(a, b)
+        # replay-style recrop at a corrected origin over the retained window
+        a2 = ref.recrop(2, 5, (30, 50), ch, cw, 128)
+        b2 = par.recrop(2, 5, (30, 50), ch, cw, 128)
+        np.testing.assert_array_equal(a2, b2)
+        ref.release(8)
+        par.release(8)
+        # next retained chunk continues the stream (crosses a span boundary)
+        a3 = ref.read_roi_chunk_retained(8, (50, 70), ch, cw, 128)
+        b3 = par.read_roi_chunk_retained(8, (50, 70), ch, cw, 128)
+        np.testing.assert_array_equal(a3, b3)
+    finally:
+        ref.close()
+        par.close()
+
+
+def test_retained_interleave_guard(h264_clip):
+    par = ParallelNativeSource(h264_clip, fps=24, workers=2, span_frames=8)
+    try:
+        par.read_roi_chunk_retained(4, (10, 10), 32, 32, 128)
+        with pytest.raises(IOError):
+            par.read_chunk(2)
+        with pytest.raises(IOError):
+            par.read_roi_chunk(2, (10, 10), 32, 32, 128)
+        par.release(4)
+        assert par.read_chunk(2).shape[0] == 2  # clean again
+    finally:
+        par.close()
+
+
+def test_contain_roi_chunk_matches_native(h264_clip):
+    with native_io.NativeFrameSource(h264_clip, fps=24, prefetch=16) as ref:
+        a = ref.read_roi_chunk(12, (-5, 100), 40, 80, 99)
+    with ParallelNativeSource(h264_clip, fps=24, workers=2, span_frames=7) as par:
+        b = par.read_roi_chunk(12, (-5, 100), 40, 80, 99)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_track_multi_with_decode_workers(h264_clip, monkeypatch):
+    """track_multi over the parallel source's retained protocol (advance +
+    per-target recrop) equals the default path."""
+    from pawsometracker_tpu import IJ
+    from pawsometracker_tpu.multi import track_multi
+
+    locs = [IJ(60, 80)]
+    want_ts, want = track_multi(h264_clip, locs, target_width=12)
+    monkeypatch.setenv("PAWSIO_DECODE_WORKERS", "3")
+    got_ts, got = track_multi(h264_clip, locs, target_width=12)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mispredict_replay_over_parallel_source(tmp_path, monkeypatch):
+    """The mispredict replay recrops from the parallel source's Python
+    retention (the recrop path) and must still be full-path identical."""
+    import cv2
+
+    from pawsometracker_tpu import IJ, pipeline, track
+
+    h, w, T = 200, 200, 48
+    frames = []
+    for t in range(T):
+        ph = t % 12
+        tri = 12 * ph if ph < 6 else 12 * (12 - ph)
+        img = np.full((h, w), 128, np.uint8)
+        cv2.circle(img, (100, 60 + tri), 5, 0, -1)
+        frames.append(img)
+    f = helpers.write_video(frames, str(tmp_path / "jump"), 24)
+    kw = dict(fps=24, start_location=IJ(60, 100), target_width=10, window_size=31)
+    _, want = track(f, stream="full", **kw)
+    monkeypatch.setenv("PAWSIO_DECODE_WORKERS", "3")
+    before = pipeline.replay_count
+    _, got = track(f, stream="roi", roi_frames=4, pipeline_depth=2, **kw)
+    np.testing.assert_array_equal(got, want)
+    assert pipeline.replay_count > before
