@@ -21,6 +21,8 @@ from collections import defaultdict
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = os.path.join(REPO, "pawsometracker_tpu")
+if REPO not in sys.path:  # `python tools/pawscov.py` puts tools/ first, not the repo
+    sys.path.insert(0, REPO)
 
 seen: dict[str, set[int]] = defaultdict(set)
 
