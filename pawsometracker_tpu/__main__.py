@@ -34,8 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", default="auto", choices=["auto", "native", "opencv"])
     p.add_argument("--engine", default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument("--stream", default="auto", choices=["auto", "roi", "full"])
-    p.add_argument("--pipeline-depth", type=int, default=1,
-                   help="chunks the host runs ahead of the device (0 = synchronous)")
+    p.add_argument("--pipeline-depth", type=lambda s: s if s == "auto" else int(s),
+                   default=1,
+                   help="chunks the host runs ahead of the device (0 = synchronous; "
+                        "'auto' adapts from the measured drain latency)")
     p.add_argument("--speculate", default="predict", choices=["predict", "contain"],
                    help="ROI crop aiming strategy")
     p.add_argument("--roi-frames", type=int, default=None, help="frames per ROI mini-chunk")

@@ -182,15 +182,22 @@ def _track_one(
     # its in-flight chunks for mispredict replay (pipeline.py) — only when
     # that path can actually run (ROI not disabled, predict mode, no overlay:
     # otherwise keep the small default ring and its memory footprint)
-    pipeline_depth = max(0, int(pipeline_depth))
-    roi_frames = _resolve_roi_frames(roi_frames, pipeline_depth, speculate)
+    # "auto": the ROI pipeline adapts depth at runtime from the measured drain
+    # latency (pipeline.run_roi_pipeline); gates/sizing here use the cap
+    if pipeline_depth == "auto":
+        from .pipeline import AUTO_DEPTH_MAX
+
+        depth_gate = AUTO_DEPTH_MAX
+    else:
+        pipeline_depth = depth_gate = max(0, int(pipeline_depth))
+    roi_frames = _resolve_roi_frames(roi_frames, depth_gate, speculate)
     from .diagnose import Dont
 
     retention_possible = (
-        stream != "full" and pipeline_depth > 0 and speculate == "predict"
+        stream != "full" and depth_gate > 0 and speculate == "predict"
         and isinstance(dia, Dont)
     )
-    ring = (pipeline_depth + 2) * roi_frames + 8 if retention_possible else None
+    ring = (depth_gate + 2) * roi_frames + 8 if retention_possible else None
     src = open_source(file, start=start, stop=stop, fps=fps, backend=backend, prefetch=ring)
     prefetchers: list[ChunkPrefetcher] = []  # joined in finally BEFORE src.close()
     try:
@@ -223,8 +230,8 @@ def _track_one(
         # (the crop provably contains every window the scan can visit). With
         # pipeline_depth >= 1 the crop speculates ahead of the device so no
         # stage ever blocks on the per-chunk round trip (see pipeline.py).
-        mode = speculate if pipeline_depth > 0 else "contain"
-        ch, cw, _ = roi_geometry(spec, roi_frames, pipeline_depth, mode)
+        mode = speculate if depth_gate > 0 else "contain"
+        ch, cw, _ = roi_geometry(spec, roi_frames, depth_gate, mode)
         use_roi = stream == "roi" or (
             stream == "auto" and ch * cw * 2 < frame_shape[0] * frame_shape[1]
         )
@@ -271,7 +278,8 @@ def _track_one(
                 fill,
                 n - 1,
                 chunk_size=chunk_size,
-                depth=pipeline_depth,
+                # full-frame chunks are memory-heavy; "auto" keeps depth 1 here
+                depth=1 if pipeline_depth == "auto" else pipeline_depth,
                 scan=scan,
                 subpixel=subpixel,
                 dia=dia,
@@ -338,9 +346,10 @@ def track(
     ``engine`` picks the device scan (``auto`` = measured pallas/xla choice on
     TPU); ``stream`` forces full-frame or ROI streaming (``auto`` = by crop
     size); ``roi_frames`` and ``pipeline_depth`` tune the speculative ROI
-    pipeline (see :mod:`.pipeline`; depth 0 = synchronous); ``chunk_size``
-    tunes full-frame streaming granularity; ``subpixel`` adds parabolic peak
-    refinement to the returned (float) positions.
+    pipeline (see :mod:`.pipeline`; depth 0 = synchronous, ``"auto"`` adapts
+    at runtime from the measured drain latency — identical results either
+    way); ``chunk_size`` tunes full-frame streaming granularity; ``subpixel``
+    adds parabolic peak refinement to the returned (float) positions.
 
     For a list of ``file``s the per-file ``start``/``stop``/``start_location``
     may be lists of the same length; a ``None`` start_location in segment k>0

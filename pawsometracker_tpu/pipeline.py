@@ -51,6 +51,10 @@ __all__ = ["roi_geometry", "make_chained", "make_chained_batch", "run_roi_pipeli
 #: mispredict replays since import (observability: tests + debugging)
 replay_count = 0
 
+#: cap for pipeline_depth="auto" (bounds buffer/ring memory; in predict mode
+#: geometry is depth-independent so the cap costs nothing to raise later)
+AUTO_DEPTH_MAX = 3
+
 
 def _predict_slack(k_frames: int, depth: int, r: int) -> int:
     """Per-axis slack (px) added to the synchronous margin in predict mode:
@@ -343,11 +347,26 @@ def run_roi_pipeline(
     array in ``position_arrays`` is an absolute int ``[k, 2]`` block.
     ``prefetchers`` collects any ChunkPrefetcher created here so the caller's
     ``finally`` can join its thread before closing ``src``.
+
+    ``depth="auto"`` adapts at runtime: start at 1 and deepen (up to
+    :data:`AUTO_DEPTH_MAX`) whenever the lagged drain still blocks — i.e. the
+    measured per-chunk drain latency says the pipeline isn't hiding the
+    round trip yet — and reset to 1 on a mispredict replay (extrapolation is
+    unreliable for this motion, so a long speculation horizon only buys
+    replays). Results are identical at every depth; since the predict-mode
+    crop geometry is depth-independent, adapting costs no bytes and no
+    recompiles.
     """
+    import time
+
     import jax.numpy as jnp
 
     H, W = spec.frame_shape
     K = roi_frames
+    auto_depth = depth == "auto"
+    depth_max = AUTO_DEPTH_MAX if auto_depth else depth
+    depth_cur = 1 if auto_depth else depth
+    depth = depth_max  # geometry/ring/buffer sizing below uses the max
     mode = speculate if depth > 0 else "contain"
     ch, cw, margin = roi_geometry(spec, K, depth, mode)
     roi_spec = make_spec((ch, cw), spec.window_size, spec.target_width, spec.darker_target)
@@ -444,9 +463,11 @@ def run_roi_pipeline(
         frames at its EXACT origin and re-run synchronously. The exact origin
         plus the predict margin (>= K*r + L//2) restores the synchronous
         containment guarantee, so a replayed chunk is always valid."""
-        nonlocal prev_out, prev_origin
+        nonlocal prev_out, prev_origin, depth_cur
         global replay_count
         replay_count += 1
+        if auto_depth:
+            depth_cur = 1  # long speculation horizons don't pay for this motion
         prev_out = None  # the device chain past this point is invalid
         prev_origin = None
         for _, off_ignored, _, k, frames, buf in entries:
@@ -468,9 +489,16 @@ def run_roi_pipeline(
             accept(out_np, off, origin, k, frames, buf)
 
     def drain_one():
+        nonlocal depth_cur
         out, off, origin, k, frames, buf = pending.popleft()
         with timer.section("drain"):
+            t0 = time.perf_counter()
             out_np = np.asarray(out)
+            blocked = time.perf_counter() - t0
+        if auto_depth and blocked > 0.002 and depth_cur < depth_max:
+            # the lagged download still blocked: the pipeline isn't deep
+            # enough to hide the round trip — add a chunk of slack
+            depth_cur += 1
         if mode == "predict":
             seq = np.concatenate(
                 [P_abs[None], out_np[:k].astype(np.int64) + origin], axis=0
@@ -503,7 +531,7 @@ def run_roi_pipeline(
     if use_native_roi or use_native_retained:
         remaining = n_rest
         while remaining > 0:
-            while len(pending) > depth:
+            while len(pending) > depth_cur:
                 drain_one()
             if mode == "predict":
                 stale = sum(e[3] for e in pending)
@@ -533,7 +561,7 @@ def run_roi_pipeline(
         roi_prefetch = ChunkPrefetcher(src, K, max_frames=n_rest)
         prefetchers.append(roi_prefetch)
         for chunk in roi_prefetch:
-            while len(pending) > depth:
+            while len(pending) > depth_cur:
                 drain_one()
             k = chunk.shape[0]
             if mode == "predict":

@@ -238,3 +238,37 @@ def test_roi_auto_selection():
     spec_small = make_spec((100, 100), 21, 10, True)
     ch2, cw2, _ = roi_geometry(spec_small, 8)
     assert not (ch2 * cw2 * 2 < 100 * 100)
+
+
+def test_auto_pipeline_depth_identical(tmp_path):
+    """pipeline_depth='auto' (runtime depth adaptation from drain latency)
+    must be result-identical to the synchronous full-frame path."""
+    rng = np.random.default_rng(61)
+    _, tra = helpers.build_trajectory(40, 24, (60, 60), rng)
+    f = helpers.trajectory2video(tra, str(tmp_path), 24, 140, 140, 10, True)
+    kw = dict(fps=24, start_location=IJ(60, 60), target_width=10)
+    _, want = track(f, stream="full", **kw)
+    _, got = track(f, stream="roi", pipeline_depth="auto", **kw)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_auto_depth_replay_still_identical(tmp_path):
+    """Teleporting motion under auto depth: replays must reset the horizon
+    and stay full-path identical."""
+    import cv2
+
+    from pawsometracker_tpu import pipeline
+
+    h, w, T = 200, 200, 48
+    frames = []
+    for t in range(T):
+        ph = t % 12
+        tri = 12 * ph if ph < 6 else 12 * (12 - ph)
+        img = np.full((h, w), 128, np.uint8)
+        cv2.circle(img, (100, 60 + tri), 5, 0, -1)
+        frames.append(img)
+    f = helpers.write_video(frames, str(tmp_path / "jump"), 24)
+    kw = dict(fps=24, start_location=IJ(60, 100), target_width=10, window_size=31)
+    _, want = track(f, stream="full", **kw)
+    _, got = track(f, stream="roi", roi_frames=4, pipeline_depth="auto", **kw)
+    np.testing.assert_array_equal(got, want)
