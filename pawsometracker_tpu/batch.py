@@ -180,16 +180,21 @@ def _track_batch_uniform(
 
     from .api import _resolve_roi_frames
 
-    pipeline_depth = max(0, int(pipeline_depth))
-    mode = "predict" if pipeline_depth > 0 else "contain"
-    roi_frames = _resolve_roi_frames(roi_frames, pipeline_depth, mode)
+    if pipeline_depth == "auto":
+        from .pipeline import AUTO_DEPTH_MAX
+
+        auto_depth, depth_gate = True, AUTO_DEPTH_MAX
+    else:
+        auto_depth, depth_gate = False, max(0, int(pipeline_depth))
+    mode = "predict" if depth_gate > 0 else "contain"
+    roi_frames = _resolve_roi_frames(roi_frames, depth_gate, mode)
     # ONE gate for the retained native path: ring sizing here, the per-source
     # capability check completes it after the sources are open
     dia_paths = _broadcast(diagnostic_files, B, None) if diagnostic_files else [None] * B
     retention_possible = (
         stream != "full" and mode == "predict" and all(p is None for p in dia_paths)
     )
-    ring = (pipeline_depth + 2) * roi_frames + 8 if retention_possible else None
+    ring = (depth_gate + 2) * roi_frames + 8 if retention_possible else None
 
     sources = []
     try:
@@ -271,7 +276,7 @@ def _track_batch_uniform(
             roi_geometry,
         )
 
-        ch, cw, margin = roi_geometry(spec, roi_frames, pipeline_depth, mode)
+        ch, cw, margin = roi_geometry(spec, roi_frames, depth_gate, mode)
         use_roi = stream == "roi" or (
             stream == "auto" and ch * cw * 2 < frame_shape[0] * frame_shape[1]
         )
@@ -296,7 +301,7 @@ def _track_batch_uniform(
             and retention_possible
             and all(
                 hasattr(s, "read_roi_chunk_retained")
-                and getattr(s, "ring_frames", 0) >= (pipeline_depth + 2) * roi_frames
+                and getattr(s, "ring_frames", 0) >= (depth_gate + 2) * roi_frames
                 for s in sources
             )
         )
@@ -353,11 +358,12 @@ def _track_batch_uniform(
             # drained, so in-flight transfers never read a mutated buffer
             free_bufs = [
                 np.empty((B, chunk_size, ch, cw), np.uint8)
-                for _ in range(pipeline_depth + 2)
+                for _ in range(depth_gate + 2)
             ]
             pending: deque = deque()
             prev_out = None
             prev_origins = None
+            depth_cur = 1 if auto_depth else depth_gate
 
 
 
@@ -461,7 +467,9 @@ def _track_batch_uniform(
             def replay(entries):
                 """Any video mispredicted: re-run every in-flight chunk round
                 synchronously with exact origins (containment guaranteed)."""
-                nonlocal prev_out, prev_origins
+                nonlocal prev_out, prev_origins, depth_cur
+                if auto_depth:
+                    depth_cur = 1
                 prev_out = None
                 prev_origins = None
                 for _, _, _, valid_e, chunks_e, buf in entries:
@@ -472,9 +480,15 @@ def _track_batch_uniform(
                     accept(np.asarray(out), off, origins_e, valid_e, chunks_e, buf)
 
             def drain_one():
+                nonlocal depth_cur
+                import time
+
                 entry = pending.popleft()
                 out, off, origins_e, valid_e, chunks_e, buf = entry
+                t0 = time.perf_counter()
                 out_np = np.asarray(out)  # lagged; transfer started at dispatch
+                if auto_depth and time.perf_counter() - t0 > 0.002 and depth_cur < depth_gate:
+                    depth_cur += 1
                 if mode == "predict" and not contained(out_np, origins_e, valid_e):
                     replay([entry] + list(pending))
                     pending.clear()
@@ -482,7 +496,7 @@ def _track_batch_uniform(
                 accept(out_np, off, origins_e, valid_e, chunks_e, buf)
 
             while any(active):
-                while len(pending) > pipeline_depth:
+                while len(pending) > depth_cur:
                     drain_one()
                 valid, chunks = _gather()
                 if valid.sum() == 0:

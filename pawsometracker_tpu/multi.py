@@ -81,12 +81,17 @@ def track_multi(
     from .pipeline import roi_geometry, run_multi_roi_pipeline
     from .utils.profiling import Timer
 
-    pipeline_depth = max(0, int(pipeline_depth))
-    roi_frames = _resolve_roi_frames(roi_frames, pipeline_depth, "predict")
+    if pipeline_depth == "auto":
+        from .pipeline import AUTO_DEPTH_MAX
+
+        depth_gate = AUTO_DEPTH_MAX
+    else:
+        pipeline_depth = depth_gate = max(0, int(pipeline_depth))
+    roi_frames = _resolve_roi_frames(roi_frames, depth_gate, "predict")
     # the multi-target native path crops per target via advance/recrop at
     # EVERY depth (contain mode included), so size the ring whenever ROI
     # streaming is possible
-    ring = (pipeline_depth + 2) * roi_frames + 8 if stream != "full" else None
+    ring = (depth_gate + 2) * roi_frames + 8 if stream != "full" else None
     src = open_source(file, start=start, stop=stop, fps=fps, backend=backend, prefetch=ring)
     prefetchers = []  # joined in finally BEFORE src.close()
     try:
@@ -113,8 +118,8 @@ def track_multi(
         out = [np.asarray(pos)[None]]
         last_frame = 1
         N = guesses.shape[0]
-        mode = "predict" if pipeline_depth > 0 else "contain"
-        ch, cw, _ = roi_geometry(spec, roi_frames, pipeline_depth, mode)
+        mode = "predict" if depth_gate > 0 else "contain"
+        ch, cw, _ = roi_geometry(spec, roi_frames, depth_gate, mode)
         use_roi = stream == "roi" or (
             stream == "auto" and N * ch * cw * 2 < frame_shape[0] * frame_shape[1]
         )

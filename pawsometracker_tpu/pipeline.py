@@ -710,12 +710,18 @@ def run_multi_roi_pipeline(
     position array is ``[k, N, 2]`` absolute int (offsets ``[k, N, 2]``
     float, empty list unless ``subpixel``).
     """
+    import time
+
     import jax.numpy as jnp
 
     from .parallel.mesh import ShardedBatchTracker
 
     H, W = spec.frame_shape
     K = roi_frames
+    auto_depth = depth == "auto"
+    depth_max = AUTO_DEPTH_MAX if auto_depth else depth
+    depth_cur = 1 if auto_depth else depth
+    depth = depth_max  # geometry/ring/buffer sizing uses the cap
     mode = "predict" if depth > 0 else "contain"
     ch, cw, margin = roi_geometry(spec, K, depth, mode)
     roi_spec = make_spec((ch, cw), spec.window_size, spec.target_width, spec.darker_target)
@@ -817,9 +823,11 @@ def run_multi_roi_pipeline(
         return bool(lo_ok.all() and hi_ok.all())
 
     def replay(entries):
-        nonlocal prev_out, prev_origins
+        nonlocal prev_out, prev_origins, depth_cur
         global replay_count
         replay_count += 1
+        if auto_depth:
+            depth_cur = 1
         prev_out = None
         prev_origins = None
         for _, _, _, k, frames, buf in entries:
@@ -832,10 +840,15 @@ def run_multi_roi_pipeline(
             accept(out_np, off, origins, k, frames, buf)
 
     def drain_one():
+        nonlocal depth_cur
         entry = pending.popleft()
         out, off, origins, k, frames, buf = entry
         with timer.section("drain"):
+            t0 = time.perf_counter()
             out_np = np.asarray(out)
+            blocked = time.perf_counter() - t0
+        if auto_depth and blocked > 0.002 and depth_cur < depth_max:
+            depth_cur += 1
         if mode == "predict" and not contained(out_np, origins, k):
             replay([entry] + list(pending))
             pending.clear()
@@ -857,7 +870,7 @@ def run_multi_roi_pipeline(
     prefetch_iter = iter(roi_prefetch) if roi_prefetch is not None else None
     remaining = n_rest
     while remaining > 0:
-        while len(pending) > depth:
+        while len(pending) > depth_cur:
             drain_one()
         frames, k, base = next_chunk(remaining)
         if k == 0:

@@ -272,3 +272,21 @@ def test_auto_depth_replay_still_identical(tmp_path):
     _, want = track(f, stream="full", **kw)
     _, got = track(f, stream="roi", roi_frames=4, pipeline_depth="auto", **kw)
     np.testing.assert_array_equal(got, want)
+
+
+def test_auto_depth_batch_and_multi_identical(tmp_path):
+    """pipeline_depth='auto' on track_batch and track_multi equals depth-1."""
+    from pawsometracker_tpu.batch import track_batch
+    from pawsometracker_tpu.multi import track_multi
+
+    rng = np.random.default_rng(62)
+    _, tra = helpers.build_trajectory(30, 24, (60, 60), rng)
+    f = helpers.trajectory2video(tra, str(tmp_path), 24, 140, 140, 10, True)
+    kw = dict(fps=24, target_width=10)
+    want = track_batch([f, f], start_location=IJ(60, 60), **kw)
+    got = track_batch([f, f], start_location=IJ(60, 60), pipeline_depth="auto", **kw)
+    for (_, a), (_, b) in zip(want, got):
+        np.testing.assert_array_equal(a, b)
+    _, mwant = track_multi(f, [IJ(60, 60)], **kw)
+    _, mgot = track_multi(f, [IJ(60, 60)], pipeline_depth="auto", **kw)
+    np.testing.assert_array_equal(mgot, mwant)
