@@ -10,6 +10,8 @@ prefetch thread per video, assembling lockstep ``[B, T, H, W]`` chunks.
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 
 from .api import DEFAULT_CHUNK_SIZE, DEFAULT_MAX_DURATION_SECONDS, IJ, _resolve_guess
@@ -219,7 +221,7 @@ def _track_batch_uniform(
         fills = np.array([mode_u8_host(f) for f in frames0], np.uint8)
 
         spec = make_spec(frame_shape, window_size, target_width, darker_target)
-        engine = ShardedBatchTracker(spec, mesh)
+        tracker = ShardedBatchTracker(spec, mesh)
 
         guesses = np.array(
             [
@@ -230,22 +232,22 @@ def _track_batch_uniform(
         )
         auto = np.array([loc is None for loc in locs])
 
-        f0 = engine.shard_chunk(frames0)
+        f0 = tracker.shard_chunk(frames0)
         fills_dev = jnp.asarray(fills)
         g_dev = jnp.asarray(guesses)
         auto_col = jnp.asarray(auto)[:, None]
         if subpixel:
-            pos_norm, off_norm = engine.snap_sub(f0, g_dev, fills_dev)
+            pos_norm, off_norm = tracker.snap_sub(f0, g_dev, fills_dev)
             if auto.any():
-                pos_det, off_det = engine.snap_detect_sub(f0, g_dev, fills_dev)
+                pos_det, off_det = tracker.snap_detect_sub(f0, g_dev, fills_dev)
                 pos = jnp.where(auto_col, pos_det, pos_norm)
                 off0 = np.asarray(jnp.where(auto_col, off_det, off_norm))
             else:
                 pos, off0 = pos_norm, np.asarray(off_norm)
         else:
-            pos_norm = engine.snap(f0, g_dev, fills_dev)
+            pos_norm = tracker.snap(f0, g_dev, fills_dev)
             if auto.any():
-                pos_det = engine.snap_detect(f0, g_dev, fills_dev)
+                pos_det = tracker.snap_detect(f0, g_dev, fills_dev)
                 pos = jnp.where(auto_col, pos_det, pos_norm)
             else:
                 pos = pos_norm
@@ -269,6 +271,7 @@ def _track_batch_uniform(
         # and replayed on a mispredict — the batch never blocks on a per-chunk
         # host<->device round trip and bytes/frame stay at synchronous levels.
         from .pipeline import (
+            AUTO_DRAIN_BLOCK_S,
             _crop_with_fill,
             _select_batched_bounded,
             _to_host_async,
@@ -425,13 +428,14 @@ def _track_batch_uniform(
                 return out, off
 
             def accept(out_np, off, origins_e, valid_e, chunks_e, buf):
+                off_np = None if off is None else np.asarray(off)  # one D2H, not B
                 for b in range(B):
                     k = int(valid_e[b])
                     if k > 0:
                         abs_b = out_np[b, :k].astype(np.int64) + origins_e[b]
                         positions[b].append(abs_b)
-                        if off is not None:
-                            offsets[b].append(np.asarray(off)[b, :k])
+                        if off_np is not None:
+                            offsets[b].append(off_np[b, :k])
                         counts[b] += k
                         if k > 1:
                             vel[b] = (abs_b[-1] - abs_b[0]) / (k - 1)
@@ -481,13 +485,12 @@ def _track_batch_uniform(
 
             def drain_one():
                 nonlocal depth_cur
-                import time
-
                 entry = pending.popleft()
                 out, off, origins_e, valid_e, chunks_e, buf = entry
                 t0 = time.perf_counter()
                 out_np = np.asarray(out)  # lagged; transfer started at dispatch
-                if auto_depth and time.perf_counter() - t0 > 0.002 and depth_cur < depth_gate:
+                blocked = time.perf_counter() - t0
+                if auto_depth and blocked > AUTO_DRAIN_BLOCK_S and depth_cur < depth_gate:
                     depth_cur += 1
                 if mode == "predict" and not contained(out_np, origins_e, valid_e):
                     replay([entry] + list(pending))
@@ -539,18 +542,18 @@ def _track_batch_uniform(
                     else:
                         batch[b] = last_frames[b]
                 if subpixel:
-                    out, off = engine.scan_sub(
-                        engine.shard_chunk(batch),
-                        engine.shard_chunk(pos_host.astype(np.int32)),
+                    out, off = tracker.scan_sub(
+                        tracker.shard_chunk(batch),
+                        tracker.shard_chunk(pos_host.astype(np.int32)),
                         fills_dev,
                         lo_full,
                         hi_full,
                     )
                     off_host = np.asarray(off)
                 else:
-                    out = engine.scan(
-                        engine.shard_chunk(batch),
-                        engine.shard_chunk(pos_host.astype(np.int32)),
+                    out = tracker.scan(
+                        tracker.shard_chunk(batch),
+                        tracker.shard_chunk(pos_host.astype(np.int32)),
                         fills_dev,
                     )
                     off_host = None

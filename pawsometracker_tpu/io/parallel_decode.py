@@ -54,7 +54,13 @@ DEFAULT_SPAN_FRAMES = 64
 def parallel_ok(info, fps: float) -> bool:
     """True when multi-segment decode is safe for this stream: the span-start
     holder guarantee needs the input rate at or above the output rate (see
-    module docstring)."""
+    module docstring).
+
+    CAVEAT: ``info.fps`` is the container's guessed/average rate, so this
+    guard covers CFR content only. VFR input with a local inter-frame gap
+    wider than one average interval right before a span start can lose the
+    held frame and diverge from the sequential decode — for VFR footage keep
+    ``workers=1`` (the PTS-true sequential paths handle VFR exactly)."""
     return info.fps + 1e-6 >= fps
 
 
@@ -107,6 +113,11 @@ class ParallelNativeSource:
         W = max(1, int(workers))
         if not parallel_ok(self.info, self.fps):
             W = 1  # upsampling/VFR-risky: keep the single-decoder guarantee
+        if W > 1:
+            from .native_io import _load
+
+            if not hasattr(_load(), "pawsio_open_span"):
+                W = 1  # stale prebuilt .so: degrade at open, not mid-stream
         self.workers = W
         #: retained-ROI window: numpy frame views into span buffers (a span's
         #: memory lives until its last retained frame is released). Python

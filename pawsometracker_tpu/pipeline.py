@@ -55,6 +55,11 @@ replay_count = 0
 #: geometry is depth-independent so the cap costs nothing to raise later)
 AUTO_DEPTH_MAX = 3
 
+#: pipeline_depth="auto" deepens when the lagged drain blocks longer than
+#: this — shared by the single/multi/batch drain controllers so a tuning
+#: change cannot silently diverge between the three pipelines
+AUTO_DRAIN_BLOCK_S = 0.002
+
 
 def _predict_slack(k_frames: int, depth: int, r: int) -> int:
     """Per-axis slack (px) added to the synchronous margin in predict mode:
@@ -290,8 +295,9 @@ def _pick_engine_measured(roi_spec, k_frames: int, fill: int, batch: int | None)
 
 def _select_batched_bounded(tracker, roi_spec, k_frames: int, batch: int, fill: int, engine: str):
     """The batched bounded scan for the batch/multi ROI paths: the measured
-    pallas/xla choice (``auto``), or the named engine. Falls back to the
-    tracker's vmapped XLA scan when pallas is unavailable."""
+    pallas/xla choice (``auto``, which fails safe to XLA when pallas is
+    unavailable), or the named engine (an explicit ``"pallas"`` raises if the
+    kernel cannot build — same contract as the single-video ``engine=``)."""
     if engine == "auto":
         engine, _ = pick_bounded_engine_batch(roi_spec, k_frames, batch, fill)
     if engine == "pallas":
@@ -495,7 +501,7 @@ def run_roi_pipeline(
             t0 = time.perf_counter()
             out_np = np.asarray(out)
             blocked = time.perf_counter() - t0
-        if auto_depth and blocked > 0.002 and depth_cur < depth_max:
+        if auto_depth and blocked > AUTO_DRAIN_BLOCK_S and depth_cur < depth_max:
             # the lagged download still blocked: the pipeline isn't deep
             # enough to hide the round trip — add a chunk of slack
             depth_cur += 1
@@ -847,7 +853,7 @@ def run_multi_roi_pipeline(
             t0 = time.perf_counter()
             out_np = np.asarray(out)
             blocked = time.perf_counter() - t0
-        if auto_depth and blocked > 0.002 and depth_cur < depth_max:
+        if auto_depth and blocked > AUTO_DRAIN_BLOCK_S and depth_cur < depth_max:
             depth_cur += 1
         if mode == "predict" and not contained(out_np, origins, k):
             replay([entry] + list(pending))

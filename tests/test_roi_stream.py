@@ -290,3 +290,26 @@ def test_auto_depth_batch_and_multi_identical(tmp_path):
     _, mwant = track_multi(f, [IJ(60, 60)], **kw)
     _, mgot = track_multi(f, [IJ(60, 60)], pipeline_depth="auto", **kw)
     np.testing.assert_array_equal(mgot, mwant)
+
+
+def test_batch_engine_kwarg_reaches_selector(tmp_path, monkeypatch):
+    """Regression: a local once shadowed the `engine` kwarg in track_batch, so
+    the measured batch engine selection silently never ran. Pin that the
+    STRING reaches _select_batched_bounded."""
+    from pawsometracker_tpu import batch as batch_mod
+    from pawsometracker_tpu import pipeline
+
+    rng = np.random.default_rng(63)
+    _, tra = helpers.build_trajectory(20, 24, (60, 60), rng)
+    f = helpers.trajectory2video(tra, str(tmp_path), 24, 140, 140, 10, True)
+    seen = []
+    orig = pipeline._select_batched_bounded
+
+    def spy(tracker, roi_spec, k, b, fill, engine):
+        seen.append(engine)
+        return orig(tracker, roi_spec, k, b, fill, engine)
+
+    monkeypatch.setattr(pipeline, "_select_batched_bounded", spy)
+    batch_mod.track_batch([f], start_location=IJ(60, 60), fps=24, target_width=10,
+                          stream="roi", engine="xla")
+    assert seen == ["xla"]
