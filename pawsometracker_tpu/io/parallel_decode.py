@@ -65,7 +65,7 @@ def parallel_ok(info, fps: float) -> bool:
 
 
 class _Span:
-    __slots__ = ("idx", "frames", "pos", "event", "error")
+    __slots__ = ("idx", "frames", "pos", "event", "error", "entry_check")
 
     def __init__(self, idx: int):
         self.idx = idx
@@ -73,6 +73,11 @@ class _Span:
         self.pos = 0  # frames already consumed
         self.event = threading.Event()
         self.error: BaseException | None = None
+        #: for idx > 0: this worker's decode of the PREVIOUS span's last slot.
+        #: The consumer byte-compares it against the frame it actually served
+        #: there — a runtime proof that the mid-stream entry reproduced the
+        #: sequential stream (catches pathological VFR past the CFR guard).
+        self.entry_check: np.ndarray | None = None
 
 
 class ParallelNativeSource:
@@ -154,6 +159,7 @@ class ParallelNativeSource:
         self._budget = threading.Semaphore(W + 2)
         self._consumed_until = 0  # absolute frames fully consumed
         self._cur: _Span | None = None
+        self._prev_tail: np.ndarray | None = None  # last served frame (view)
         self._threads = [
             threading.Thread(target=self._worker, daemon=True) for _ in range(W)
         ]
@@ -212,6 +218,9 @@ class ParallelNativeSource:
         if want == 0:
             span.frames = np.empty((0,) + self.info.frame_shape, np.uint8)
             return 0
+        # non-first spans enter ONE slot early: the extra frame re-decodes the
+        # previous span's last slot for the consumer's boundary verification
+        lead = 1 if span.idx > 0 else 0
         # GLOBAL (start, stop) + slot offset: the decoder keeps the single
         # stream's slot grid (no per-worker start rounding) and seeks to the
         # keyframe before slot a's time — bit-exact mid-stream entry. The
@@ -223,12 +232,15 @@ class ParallelNativeSource:
             fps=self.fps,
             prefetch=0,  # synchronous ring-less decode inside this thread
             threads=self._threads_per_worker,
-            slot0=a,
+            slot0=a - lead,
         )
         try:
-            chunk = src.read_chunk(want)
+            chunk = src.read_chunk(want + lead)
         finally:
             src.close()
+        if lead:
+            span.entry_check = chunk[0] if chunk.shape[0] else None
+            chunk = chunk[1:]
         span.frames = chunk
         return chunk.shape[0]
 
@@ -274,13 +286,17 @@ class ParallelNativeSource:
         """Advance the in-order stream by up to ``n`` frames, handing each
         contiguous block to ``sink`` as a numpy view (the view keeps its span
         buffer alive, so retaining it is safe)."""
-        if self._seq is not None:
-            chunk = self._seq.read_chunk(n)  # fresh array: safe to retain
-            if chunk.shape[0]:
-                sink(chunk)
-            return int(chunk.shape[0])
         got = 0
         while got < n:
+            if self._seq is not None:
+                chunk = self._seq.read_chunk(n - got)  # fresh array: retainable
+                if chunk.shape[0]:
+                    sink(chunk)
+                    self._prev_tail = chunk[-1]
+                got += int(chunk.shape[0])
+                if chunk.shape[0] < n - (got - chunk.shape[0]):
+                    break  # EOF
+                continue
             span = self._cur
             if span is None or span.pos >= span.frames.shape[0]:
                 if span is not None:
@@ -292,13 +308,56 @@ class ParallelNativeSource:
                 span = self._next_span()
                 if span is None:
                     break
+                # boundary verification: the worker re-decoded the previous
+                # span's last slot on its way in; byte-equality with the frame
+                # we actually served there PROVES the mid-stream entry
+                # reproduced the sequential stream. Any divergence (VFR gap
+                # past the CFR guard, container oddity) falls back to an
+                # exact sequential decode — slower once, never wrong.
+                if (
+                    span.idx > 0
+                    and self._prev_tail is not None
+                    and (
+                        span.entry_check is None
+                        or not np.array_equal(span.entry_check, self._prev_tail)
+                    )
+                ):
+                    self._go_sequential()
+                    continue
                 self._cur = span
             take = min(n - got, span.frames.shape[0] - span.pos)
-            sink(span.frames[span.pos : span.pos + take])
+            blk = span.frames[span.pos : span.pos + take]
+            sink(blk)
+            self._prev_tail = blk[-1]
             span.pos += take
             self._consumed_until += take
             got += take
         return got
+
+    def _go_sequential(self):
+        """Verified divergence at a span boundary: stop the workers and
+        continue through ONE sequential decoder fast-forwarded from the
+        stream start to the consumer position."""
+        with self._lock:
+            self._stop_flag = True
+        for _ in self._threads:
+            self._budget.release()
+        for t in self._threads:
+            t.join()
+        self._spans.clear()
+        self._cur = None
+        seq = self._src_cls(
+            self.path, start=self.start, stop=self.stop, fps=self.fps, prefetch=0
+        )
+        skip = self._consumed_until
+        H, W = self.info.frame_shape
+        buf = np.empty((min(64, max(skip, 1)), H, W), np.uint8)
+        while skip > 0:
+            k = seq.read_chunk(min(64, skip), out=buf).shape[0]
+            if k == 0:
+                break
+            skip -= k
+        self._seq = seq
 
     def read_chunk(self, n: int, out: np.ndarray | None = None) -> np.ndarray:
         if self._retained:  # mirror pawsio: no plain reads over a live window

@@ -228,3 +228,37 @@ def test_mispredict_replay_over_parallel_source(tmp_path, monkeypatch):
     _, got = track(f, stream="roi", roi_frames=4, pipeline_depth=2, **kw)
     np.testing.assert_array_equal(got, want)
     assert pipeline.replay_count > before
+
+
+def test_vfr_gap_divergence_detected_and_fixed(tmp_path):
+    """A VFR clip with an inter-frame gap wider than one average interval at a
+    span boundary: the worker's entry loses the held frame, the consumer's
+    boundary verification catches the byte mismatch, and the source falls
+    back to an exact sequential decode — output equals workers=1."""
+    path = str(tmp_path / "vfr.mp4")
+    w = native_io.NativeVFRWriter(path, 96, 64)
+    t = 0.0
+    k = 0
+    while t < 4.0:
+        img = np.full((64, 96), 128, np.uint8)
+        img[:16, :16] = (k * 7) % 256
+        w.write(img, t)
+        k += 1
+        # a 1.2 s dead gap after t=1.0 (camera stalled)
+        t += 1.2 if abs(t - 1.0) < 1e-9 else 1 / 24
+    w.release()
+
+    with native_io.NativeFrameSource(path, fps=24) as ref:
+        want = _all_frames(ref)
+    par = ParallelNativeSource(path, fps=24, workers=3, span_frames=10)
+    try:
+        got = _all_frames(par)
+        fell_back = par._seq is not None
+    finally:
+        par.close()
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+    # the clip must have actually exercised the divergence path (if the CFR
+    # pre-guard already rejected it, the test is vacuous)
+    if par.workers > 1:
+        assert fell_back, "expected the boundary verification to trip on the gap"
