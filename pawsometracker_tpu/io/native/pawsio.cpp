@@ -74,6 +74,11 @@ struct Decoder {
   // slot0 = a reproduces the single decoder's slots a.. bit-exactly (same
   // integer grid, no per-worker rounding of the start time)
   int64_t slot0 = 0;
+  // explicit keep-threshold (seconds past `start`) for hinted keyframe-aligned
+  // entries: the target keyframe may claim slot0 from slightly more than half
+  // an input interval early, so the generic slot0-derived discard rule could
+  // drop it; the planner knows the exact keyframe time and passes it.
+  double keep_from = -1e30;
   bool demux_eof = false;
   bool force_sws = false;  // PAWSIO_EXACT_GRAY=1: always use swscale
 
@@ -133,7 +138,9 @@ struct Decoder {
         double t = (pts == AV_NOPTS_VALUE) ? 0.0 : pts * tb;
         double tp = t - start;
         av_frame_make_writable(frame);
-        if (tp < slot0 / fps - 0.5 / native_fps) {
+        double keep_thresh =
+            keep_from > -1e29 ? keep_from : slot0 / fps - 0.5 / native_fps;
+        if (tp < keep_thresh) {
           av_frame_unref(frame);
           continue;  // pre-window: decode-and-discard (accurate -ss)
         }
@@ -367,6 +374,44 @@ int pawsio_probe(const char *path, PawsInfo *info) {
   return 0;
 }
 
+// Demux-only keyframe index: presentation times (seconds) of key packets on
+// the best video stream, no decode. Multi-segment parallel decode uses this
+// to place span boundaries exactly at keyframes (zero decode-discard entry).
+// Returns the number written to out_sec (at most cap), or <0 on error.
+long long pawsio_keyframes(const char *path, double *out_sec, long long cap) {
+  AVFormatContext *fmt = nullptr;
+  int ret = avformat_open_input(&fmt, path, nullptr, nullptr);
+  if (ret < 0) {
+    set_averror("open_input", ret);
+    return -1;
+  }
+  ret = avformat_find_stream_info(fmt, nullptr);
+  if (ret < 0) {
+    set_averror("find_stream_info", ret);
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  int si = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (si < 0) {
+    set_error("no video stream");
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  double tb = av_q2d(fmt->streams[si]->time_base);
+  AVPacket *pkt = av_packet_alloc();
+  long long n = 0;
+  while (n < cap && av_read_frame(fmt, pkt) >= 0) {
+    if (pkt->stream_index == si && (pkt->flags & AV_PKT_FLAG_KEY)) {
+      int64_t pts = pkt->pts != AV_NOPTS_VALUE ? pkt->pts : pkt->dts;
+      if (pts != AV_NOPTS_VALUE) out_sec[n++] = pts * tb;
+    }
+    av_packet_unref(pkt);
+  }
+  av_packet_free(&pkt);
+  avformat_close_input(&fmt);
+  return n;
+}
+
 // threads < 0: libav default (PAWSIO_THREADS env or auto-sized pool).
 // threads >= 0: explicit codec thread count for THIS decoder — multi-segment
 // parallel decode opens one decoder per worker and pins each to 1 thread so
@@ -375,8 +420,11 @@ int pawsio_probe(const char *path, PawsInfo *info) {
 // `start` (seek lands at the keyframe before start + slot0/fps) — the
 // mid-stream entry point for multi-segment parallel decode, bit-exact with a
 // slot0=0 decoder's slots slot0.. because the slot grid is shared.
+// seek_hint >= 0: explicit demux seek target (seconds) — the keyframe-aligned
+// span planner passes the exact keyframe time so BACKWARD seek cannot round
+// down past it onto the previous keyframe. < 0: derive from slot0.
 static void *open_impl(const char *path, double start, double stop, double fps,
-                       long long slot0, int threads, PawsInfo *info) {
+                       long long slot0, int threads, double seek_hint, PawsInfo *info) {
   auto d = new Decoder();
   d->start = start;
   d->duration = stop - start;
@@ -446,7 +494,8 @@ static void *open_impl(const char *path, double start, double stop, double fps,
   d->pkt = av_packet_alloc();
   const char *eg = getenv("PAWSIO_EXACT_GRAY");
   d->force_sws = eg && eg[0] == '1';
-  double seek_t = start + (slot0 > 0 ? slot0 / fps : 0.0);
+  double seek_t = seek_hint >= 0 ? seek_hint : start + (slot0 > 0 ? slot0 / fps : 0.0);
+  if (seek_hint >= 0) d->keep_from = seek_hint - start - 1e-6;
   if (seek_t > 0) {
     int64_t ts = (int64_t)(seek_t / d->tb);
     if (av_seek_frame(d->fmt, d->stream_idx, ts, AVSEEK_FLAG_BACKWARD) < 0) {
@@ -469,17 +518,22 @@ static void *open_impl(const char *path, double start, double stop, double fps,
 }
 
 void *pawsio_open(const char *path, double start, double stop, double fps, PawsInfo *info) {
-  return open_impl(path, start, stop, fps, 0, -1, info);
+  return open_impl(path, start, stop, fps, 0, -1, -1.0, info);
 }
 
 void *pawsio_open2(const char *path, double start, double stop, double fps, int threads,
                    PawsInfo *info) {
-  return open_impl(path, start, stop, fps, 0, threads, info);
+  return open_impl(path, start, stop, fps, 0, threads, -1.0, info);
 }
 
 void *pawsio_open_span(const char *path, double start, double stop, double fps,
                        long long slot0, int threads, PawsInfo *info) {
-  return open_impl(path, start, stop, fps, slot0, threads, info);
+  return open_impl(path, start, stop, fps, slot0, threads, -1.0, info);
+}
+
+void *pawsio_open_span2(const char *path, double start, double stop, double fps,
+                        long long slot0, int threads, double seek_sec, PawsInfo *info) {
+  return open_impl(path, start, stop, fps, slot0, threads, seek_sec, info);
 }
 
 int pawsio_start_prefetch(void *h, int depth) {

@@ -97,6 +97,23 @@ def _load():
                 ctypes.POINTER(_PawsInfo),
             ]
             lib.pawsio_open_span.restype = ctypes.c_void_p
+            lib.pawsio_open_span2.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_double,
+                ctypes.c_double,
+                ctypes.c_double,
+                ctypes.c_longlong,
+                ctypes.c_int,
+                ctypes.c_double,
+                ctypes.POINTER(_PawsInfo),
+            ]
+            lib.pawsio_open_span2.restype = ctypes.c_void_p
+            lib.pawsio_keyframes.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_longlong,
+            ]
+            lib.pawsio_keyframes.restype = ctypes.c_longlong
         except AttributeError:
             pass
         lib.pawsio_read.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
@@ -222,6 +239,20 @@ def native_probe(path: str) -> VideoInfo:
     )
 
 
+def native_keyframes(path: str, cap: int = 1 << 18) -> np.ndarray:
+    """Demux-only keyframe index: presentation times (s) of key packets on
+    the video stream. Empty array when the native layer (or entry point) is
+    unavailable or on demux error — callers fall back to fixed spans."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "pawsio_keyframes"):
+        return np.empty(0)
+    buf = (ctypes.c_double * cap)()
+    n = lib.pawsio_keyframes(str(path).encode(), buf, cap)
+    if n <= 0:
+        return np.empty(0)
+    return np.array(buf[: int(n)])
+
+
 class NativeFrameSource:
     """Drop-in for OpenCVFrameSource backed by the C++ libav decoder."""
 
@@ -235,6 +266,7 @@ class NativeFrameSource:
         prefetch: int = 8,
         threads: int = -1,
         slot0: int = 0,
+        seek_hint: float = -1.0,
     ):
         lib = _load()
         if lib is None:
@@ -249,11 +281,19 @@ class NativeFrameSource:
             if not hasattr(lib, "pawsio_open_span"):
                 raise RuntimeError("libpawsio.so predates pawsio_open_span — rebuild")
             # mid-stream entry on the GLOBAL slot grid (bit-exact with a
-            # slot0=0 decoder's later slots; see parallel_decode.py)
-            self._h = lib.pawsio_open_span(
-                self.path.encode(), self.start, self.stop, self.fps, int(slot0),
-                int(threads), ctypes.byref(info),
-            )
+            # slot0=0 decoder's later slots; see parallel_decode.py).
+            # seek_hint >= 0: exact demux seek target (the keyframe-aligned
+            # planner passes the keyframe time itself)
+            if seek_hint >= 0 and hasattr(lib, "pawsio_open_span2"):
+                self._h = lib.pawsio_open_span2(
+                    self.path.encode(), self.start, self.stop, self.fps, int(slot0),
+                    int(threads), float(seek_hint), ctypes.byref(info),
+                )
+            else:
+                self._h = lib.pawsio_open_span(
+                    self.path.encode(), self.start, self.stop, self.fps, int(slot0),
+                    int(threads), ctypes.byref(info),
+                )
         elif threads >= 0 and hasattr(lib, "pawsio_open2"):
             self._h = lib.pawsio_open2(
                 self.path.encode(), self.start, self.stop, self.fps, int(threads),

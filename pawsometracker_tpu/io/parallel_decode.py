@@ -6,12 +6,17 @@ multi-core host the tracker is decode-bound at 1080p (the device scan is >10x
 faster than one core can decode), so this module parallelizes decode of ONE
 video across cores:
 
-- The output frame grid is split into fixed *spans* of ``span_frames``
-  consecutive output slots. Workers pull span indices from a shared counter
-  (dynamic load balancing) and decode each span with its OWN native decoder
-  opened at ``start + first_slot/fps`` — libav seeks to the keyframe at/before
-  that time and decode-discards up to the span start (accurate ``-ss``), then
-  produces exactly the span's slots.
+- The output frame grid is split into *spans* of consecutive output slots.
+  Span boundaries are planned from a demux-only keyframe index
+  (``pawsio_keyframes``): a boundary sits at ``slot(keyframe) + 1`` so each
+  worker's entry — including its verification lead frame at the keyframe's
+  own slot — starts decoding exactly AT a keyframe, with zero decode-discard
+  (mid-GOP entries would otherwise decode and throw away up to a whole GOP
+  per span). Tiny spans are coalesced, GOPs longer than ``span_frames`` are
+  split (interior entries pay the usual keyframe-seek discard), and fixed
+  spans continue past the last keyframe or when no index is available.
+  Workers pull span indices from a shared counter (dynamic load balancing)
+  and decode each span with their OWN native decoder.
 - Completed spans land in a bounded reorder buffer; the consumer reads frames
   strictly in order. Flow control: at most ``workers + 2`` spans may be open
   (decoding or buffered) at once, and they are always the lowest unconsumed
@@ -104,6 +109,7 @@ class ParallelNativeSource:
         workers: int = 2,
         span_frames: int = DEFAULT_SPAN_FRAMES,
         threads_per_worker: int = 1,
+        keyframe_align: bool = True,
     ):
         from .native_io import NativeFrameSource, native_probe
 
@@ -149,6 +155,17 @@ class ParallelNativeSource:
         else:
             self._slot_limit = None
 
+        # span plan: boundaries at keyframes when an index is available (each
+        # worker's entry — including its verification lead frame at the
+        # keyframe's own slot — then decodes with ZERO pre-window discard).
+        # Oversized GOPs are split into fixed-size interior spans (those pay
+        # the usual keyframe-seek discard); past the last keyframe, fixed
+        # spans continue at span_frames.
+        self._starts = [0]
+        self._hints = [-1.0]
+        if self.workers > 1 and keyframe_align:
+            self._plan_spans()
+
         self._lock = threading.Lock()
         self._error: BaseException | None = None
         self._spans: dict[int, _Span] = {}
@@ -166,6 +183,52 @@ class ParallelNativeSource:
         for t in self._threads:
             t.start()
 
+    def _plan_spans(self):
+        """Build keyframe-aligned span boundaries: ``slot(kf) + 1`` per
+        keyframe (so the entry lead frame at ``slot(kf)`` decodes from the
+        keyframe itself, zero discard), tiny spans coalesced, giant GOPs
+        split at ``span_frames``. Fixed spans continue past the last
+        keyframe; on any probe failure the fixed plan stands."""
+        from .native_io import native_keyframes
+
+        try:
+            kfs = native_keyframes(self.path)
+        except Exception:
+            return
+        if kfs.size < 2:
+            return
+        S = self._span_frames
+        min_span = max(4, S // 4)
+        starts, hints = self._starts, self._hints
+        for t_kf in kfs:
+            a = int(round((t_kf - self.start) * self.fps)) + 1
+            if a - starts[-1] < min_span:
+                continue  # coalesce (also skips keyframes before `start`)
+            if self._slot_limit is not None and a >= self._slot_limit:
+                break
+            while a - starts[-1] > S:  # split a giant GOP at span_frames
+                starts.append(starts[-1] + S)
+                hints.append(-1.0)
+            if a > starts[-1]:
+                starts.append(a)
+                hints.append(float(t_kf))
+
+    def _span_start(self, ticket: int) -> int:
+        if ticket < len(self._starts):
+            return self._starts[ticket]
+        return self._starts[-1] + (ticket - len(self._starts) + 1) * self._span_frames
+
+    def _span_hint(self, ticket: int) -> float:
+        return self._hints[ticket] if ticket < len(self._hints) else -1.0
+
+    def _ticket_of(self, slot: int) -> int:
+        """The span ticket covering output ``slot``."""
+        import bisect
+
+        if slot < self._starts[-1]:
+            return bisect.bisect_right(self._starts, slot) - 1
+        return len(self._starts) - 1 + (slot - self._starts[-1]) // self._span_frames
+
     # ---- worker side -----------------------------------------------------
 
     def _claim(self) -> _Span | None:
@@ -173,7 +236,7 @@ class ParallelNativeSource:
         with self._lock:
             if self._stop_flag:
                 return None
-            a = self._next_ticket * self._span_frames
+            a = self._span_start(self._next_ticket)
             if self._eof_slot is not None and a >= self._eof_slot:
                 return None
             if self._slot_limit is not None and a >= self._slot_limit:
@@ -200,20 +263,20 @@ class ParallelNativeSource:
             span.event.set()
             if got < self._span_count(span.idx):
                 with self._lock:
-                    first = span.idx * self._span_frames + got
+                    first = self._span_start(span.idx) + got
                     if self._eof_slot is None or first < self._eof_slot:
                         self._eof_slot = first
 
     def _span_count(self, idx: int) -> int:
         """Requested output slots for span ``idx`` (the last span is short)."""
-        a = idx * self._span_frames
-        n = self._span_frames
+        a = self._span_start(idx)
+        n = self._span_start(idx + 1) - a
         if self._slot_limit is not None:
             n = min(n, self._slot_limit - a)
         return max(0, n)
 
     def _decode_span(self, span: _Span) -> int:
-        a = span.idx * self._span_frames
+        a = self._span_start(span.idx)
         want = self._span_count(span.idx)
         if want == 0:
             span.frames = np.empty((0,) + self.info.frame_shape, np.uint8)
@@ -233,6 +296,9 @@ class ParallelNativeSource:
             prefetch=0,  # synchronous ring-less decode inside this thread
             threads=self._threads_per_worker,
             slot0=a - lead,
+            # keyframe-aligned spans: seek to the keyframe ITSELF (its slot is
+            # a-1, the lead frame) — zero decode-discard on entry
+            seek_hint=self._span_hint(span.idx) if lead else -1.0,
         )
         try:
             chunk = src.read_chunk(want + lead)
@@ -251,7 +317,7 @@ class ParallelNativeSource:
         import time
 
         while True:
-            idx = self._consumed_until // self._span_frames
+            idx = self._ticket_of(self._consumed_until)
             with self._lock:
                 if self._stop_flag:
                     return None
@@ -289,12 +355,13 @@ class ParallelNativeSource:
         got = 0
         while got < n:
             if self._seq is not None:
-                chunk = self._seq.read_chunk(n - got)  # fresh array: retainable
+                want = n - got
+                chunk = self._seq.read_chunk(want)  # fresh array: retainable
                 if chunk.shape[0]:
                     sink(chunk)
                     self._prev_tail = chunk[-1]
                 got += int(chunk.shape[0])
-                if chunk.shape[0] < n - (got - chunk.shape[0]):
+                if chunk.shape[0] < want:
                     break  # EOF
                 continue
             span = self._cur

@@ -262,3 +262,68 @@ def test_vfr_gap_divergence_detected_and_fixed(tmp_path):
     # pre-guard already rejected it, the test is vacuous)
     if par.workers > 1:
         assert fell_back, "expected the boundary verification to trip on the gap"
+
+
+@pytest.fixture(scope="module")
+def long_gop_clip(tmp_path_factory):
+    """600 frames, native x264 (GOP 12): dozens of keyframes for the span
+    planner, with keyframe spacing larger than small test spans (exercising
+    both the aligned boundaries and the giant-GOP split path)."""
+    d = tmp_path_factory.mktemp("plan")
+    path = str(d / "long.mp4")
+    w = native_io.NativeVideoWriter(path, 96, 64, 24)
+    for t in range(600):
+        img = np.full((64, 96), 128, np.uint8)
+        img[:16, :16] = (t * 3) % 256
+        img[40:48, (t * 2) % 88 : (t * 2) % 88 + 8] = 30
+        w.write(img)
+    w.release()
+    return path
+
+
+@pytest.mark.parametrize("span", [8, 10, 24, 64])
+def test_keyframe_aligned_parity(long_gop_clip, span):
+    with native_io.NativeFrameSource(long_gop_clip, fps=24) as ref:
+        want = _all_frames(ref)
+    par = ParallelNativeSource(long_gop_clip, fps=24, workers=3, span_frames=span)
+    try:
+        assert len(par._starts) > 1  # the keyframe plan actually engaged
+        got = _all_frames(par)
+        assert par._seq is None  # no boundary-verification fallback happened
+    finally:
+        par.close()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_keyframe_plan_boundaries_land_after_keyframes(long_gop_clip):
+    par = ParallelNativeSource(long_gop_clip, fps=24, workers=2, span_frames=24)
+    try:
+        kfs = native_io.native_keyframes(long_gop_clip)
+        kf_slots = {int(round(t * 24)) + 1 for t in kfs}
+        aligned = [a for a, h in zip(par._starts, par._hints) if h >= 0]
+        assert aligned, "no aligned boundaries in the plan"
+        assert all(a in kf_slots for a in aligned)
+        # hints name the keyframe one slot before the boundary
+        for a, h in zip(par._starts, par._hints):
+            if h >= 0:
+                assert int(round(h * 24)) == a - 1
+    finally:
+        par.close()
+
+
+def test_keyframe_align_off_still_exact(long_gop_clip):
+    with native_io.NativeFrameSource(long_gop_clip, fps=24) as ref:
+        want = _all_frames(ref)
+    with ParallelNativeSource(long_gop_clip, fps=24, workers=3, span_frames=16,
+                              keyframe_align=False) as par:
+        got = _all_frames(par)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_keyframe_aligned_sub_window_and_resample(long_gop_clip):
+    kw = dict(start=3.3, stop=14.8, fps=18)
+    with native_io.NativeFrameSource(long_gop_clip, **kw) as ref:
+        want = _all_frames(ref)
+    with ParallelNativeSource(long_gop_clip, workers=3, span_frames=16, **kw) as par:
+        got = _all_frames(par)
+    np.testing.assert_array_equal(got, want)
