@@ -35,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument("--stream", default="auto", choices=["auto", "roi", "full"])
     p.add_argument("--pipeline-depth", type=lambda s: s if s == "auto" else int(s),
-                   default=1,
+                   default="auto",
                    help="chunks the host runs ahead of the device (0 = synchronous; "
                         "'auto' adapts from the measured drain latency)")
     p.add_argument("--speculate", default="predict", choices=["predict", "contain"],

@@ -116,8 +116,12 @@ def _scan_fn_for(spec, engine: str):
 #: where K shrinks to keep the crop size constant — see _resolve_roi_frames)
 DEFAULT_ROI_FRAMES = None
 
-#: chunks the host may run ahead of the device (see pipeline.run_roi_pipeline)
-DEFAULT_PIPELINE_DEPTH = 1
+#: chunks the host may run ahead of the device. "auto" adapts at runtime from
+#: the measured drain latency (pipeline.run_roi_pipeline): identical results
+#: at every depth, deepens only while the round trip isn't hidden — so it is
+#: better-or-equal to any fixed depth in every environment (PCIe stays
+#: shallow, high-RTT links deepen to AUTO_DEPTH_MAX)
+DEFAULT_PIPELINE_DEPTH = "auto"
 
 
 def _resolve_roi_frames(roi_frames, pipeline_depth: int, speculate: str = "predict") -> int:
@@ -184,6 +188,10 @@ def _track_one(
     # otherwise keep the small default ring and its memory footprint)
     # "auto": the ROI pipeline adapts depth at runtime from the measured drain
     # latency (pipeline.run_roi_pipeline); gates/sizing here use the cap
+    if pipeline_depth == "auto" and speculate == "contain":
+        # contain-mode crops GROW with depth (no validation/replay machinery
+        # to lean on), so auto stays at the conservative fixed depth
+        pipeline_depth = 1
     if pipeline_depth == "auto":
         from .pipeline import AUTO_DEPTH_MAX
 
