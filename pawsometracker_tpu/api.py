@@ -167,7 +167,7 @@ def _track_one(
     engine: str = "auto",
     stream: str = "auto",
     roi_frames: int | None = DEFAULT_ROI_FRAMES,
-    pipeline_depth: int = DEFAULT_PIPELINE_DEPTH,
+    pipeline_depth: int | str = DEFAULT_PIPELINE_DEPTH,
     speculate: str = "predict",
     subpixel: bool = False,
 ):
@@ -336,7 +336,7 @@ def track(
     engine: str = "auto",
     stream: str = "auto",
     roi_frames: int | None = DEFAULT_ROI_FRAMES,
-    pipeline_depth: int = DEFAULT_PIPELINE_DEPTH,
+    pipeline_depth: int | str = DEFAULT_PIPELINE_DEPTH,
     speculate: str = "predict",
     subpixel: bool = False,
 ):

@@ -62,7 +62,7 @@ def track_batch(
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     stream: str = "auto",
     roi_frames: int | None = None,
-    pipeline_depth="auto",
+    pipeline_depth: int | str = "auto",
     diagnostic_files=None,
     engine: str = "auto",
     subpixel: bool = False,
@@ -156,7 +156,7 @@ def _track_batch_uniform(
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     stream: str = "auto",
     roi_frames: int | None = None,
-    pipeline_depth="auto",
+    pipeline_depth: int | str = "auto",
     diagnostic_files=None,
     engine: str = "auto",
     subpixel: bool = False,

@@ -88,6 +88,11 @@ struct Decoder {
   int pending_slot = 0;
   bool has_pending = false, has_prev = false, flushed = false;
   int emit_slot = 0;
+  // shifted pts (ticks past `start`) of the input frames in pending/prev and
+  // of the most recently EMITTED output — the parallel-decode span chain
+  // verifies boundary alignment by holder pts (valid for synchronous,
+  // ring-less reads; the prefetch thread runs ahead of the consumer)
+  int64_t pending_pts = INT64_MIN, prev_pts = INT64_MIN, last_emit_pts = INT64_MIN;
 
   // background prefetch: fixed ring of in-place slots (no per-frame allocs).
   // Slots [head, head+read) are RETAINED (read but not yet released — the
@@ -216,6 +221,7 @@ struct Decoder {
         emit_slot++;
         if ((emit_slot - 1) / fps >= duration) return 0;
         std::memcpy(dst, src, nb);
+        last_emit_pts = has_prev ? prev_pts : pending_pts;
         return 1;
       }
       double tp = 0;
@@ -228,6 +234,7 @@ struct Decoder {
           emit_slot = std::max(emit_slot, pending_slot) + 1;
           if ((emit_slot - 1) / fps >= duration) return 0;
           std::memcpy(dst, pending.data(), nb);
+          last_emit_pts = pending_pts;
           return 1;
         }
         return 0;
@@ -235,6 +242,7 @@ struct Decoder {
       int slot = slot_of(ptss);
       if (!has_pending) {
         std::swap(pending, scratch);
+        pending_pts = ptss;
         pending_slot = std::max(slot, (int)slot0);
         emit_slot = pending_slot;
         has_pending = true;
@@ -244,19 +252,23 @@ struct Decoder {
       if (slot <= pending_slot) {
         // zero output slots for the pending frame: the newer one takes over
         std::swap(pending, scratch);
+        pending_pts = ptss;
         continue;
       }
       // pending frame covers [pending_slot, slot): emit it now, duplicates
       // (if any) flow from the top of the loop via `prev`
       std::swap(prev, pending);
+      prev_pts = pending_pts;
       has_prev = true;
       std::swap(pending, scratch);
+      pending_pts = ptss;
       int old_slot = pending_slot;
       pending_slot = slot;
       if (emit_slot == old_slot) {
         emit_slot++;
         if ((emit_slot - 1) / fps >= duration) return 0;
         std::memcpy(dst, prev.data(), nb);
+        last_emit_pts = prev_pts;
         return 1;
       }
     }
@@ -378,6 +390,13 @@ int pawsio_probe(const char *path, PawsInfo *info) {
 // the best video stream, no decode. Multi-segment parallel decode uses this
 // to place span boundaries exactly at keyframes (zero decode-discard entry).
 // Returns the number written to out_sec (at most cap), or <0 on error.
+// Shifted pts (stream ticks past `start`) of the input frame behind the most
+// recently emitted output — INT64_MIN before any emission. Meaningful for
+// synchronous (ring-less) reads; parallel-decode span-chain verification.
+long long pawsio_last_pts(void *h) {
+  return (long long)static_cast<Decoder *>(h)->last_emit_pts;
+}
+
 long long pawsio_keyframes(const char *path, double *out_sec, long long cap) {
   AVFormatContext *fmt = nullptr;
   int ret = avformat_open_input(&fmt, path, nullptr, nullptr);
@@ -397,9 +416,26 @@ long long pawsio_keyframes(const char *path, double *out_sec, long long cap) {
     avformat_close_input(&fmt);
     return -1;
   }
-  double tb = av_q2d(fmt->streams[si]->time_base);
-  AVPacket *pkt = av_packet_alloc();
+  AVStream *st = fmt->streams[si];
+  double tb = av_q2d(st->time_base);
   long long n = 0;
+#if LIBAVFORMAT_VERSION_INT >= AV_VERSION_INT(59, 0, 100)
+  // fast path: the demuxer's own index (built at header open for mp4 et al)
+  // — no packet reads. Index timestamps are typically DTS; the span planner
+  // adds a decode-delay margin so boundaries stay safe with B-frames.
+  int nidx = avformat_index_get_entries_count(st);
+  for (int i = 0; i < nidx && n < cap; i++) {
+    const AVIndexEntry *e = avformat_index_get_entry(st, i);
+    if (e && (e->flags & AVINDEX_KEYFRAME) && e->timestamp != AV_NOPTS_VALUE)
+      out_sec[n++] = e->timestamp * tb;
+  }
+  if (n >= 2) {
+    avformat_close_input(&fmt);
+    return n;
+  }
+  n = 0;  // absent/sparse index (e.g. mkv cues): packet walk below
+#endif
+  AVPacket *pkt = av_packet_alloc();
   while (n < cap && av_read_frame(fmt, pkt) >= 0) {
     if (pkt->stream_index == si && (pkt->flags & AV_PKT_FLAG_KEY)) {
       int64_t pts = pkt->pts != AV_NOPTS_VALUE ? pkt->pts : pkt->dts;
@@ -496,8 +532,12 @@ static void *open_impl(const char *path, double start, double stop, double fps,
   d->force_sws = eg && eg[0] == '1';
   double seek_t = seek_hint >= 0 ? seek_hint : start + (slot0 > 0 ? slot0 / fps : 0.0);
   if (seek_hint >= 0) d->keep_from = seek_hint - start - 1e-6;
+  bool exact_seek = seek_hint >= 0;
   if (seek_t > 0) {
-    int64_t ts = (int64_t)(seek_t / d->tb);
+    // hinted targets are keyframe pts round-tripped through doubles: truncate
+    // and a 1-ulp-low value seeks one tick below the keyframe — BACKWARD then
+    // lands a whole GOP early. llrint recovers the exact tick.
+    int64_t ts = exact_seek ? (int64_t)llrint(seek_t / d->tb) : (int64_t)(seek_t / d->tb);
     if (av_seek_frame(d->fmt, d->stream_idx, ts, AVSEEK_FLAG_BACKWARD) < 0) {
       // fall back to decoding from the beginning (decode-and-discard)
       av_seek_frame(d->fmt, d->stream_idx, 0, AVSEEK_FLAG_BACKWARD);

@@ -114,6 +114,8 @@ def _load():
                 ctypes.c_longlong,
             ]
             lib.pawsio_keyframes.restype = ctypes.c_longlong
+            lib.pawsio_last_pts.argtypes = [ctypes.c_void_p]
+            lib.pawsio_last_pts.restype = ctypes.c_longlong
         except AttributeError:
             pass
         lib.pawsio_read.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
@@ -406,6 +408,16 @@ class NativeFrameSource:
         if got < 0:
             raise IOError(f"recrop error: {_last_error(self._lib)}")
         return out[:got]
+
+    @property
+    def last_pts(self) -> int:
+        """Shifted pts (stream ticks past ``start``) of the input frame
+        behind the most recently read output; INT64_MIN before any read.
+        Meaningful for synchronous (ring-less) sources — the parallel-decode
+        span chain verifies boundary alignment with it."""
+        if not hasattr(self._lib, "pawsio_last_pts"):
+            return -(1 << 63)
+        return int(self._lib.pawsio_last_pts(self._h))
 
     def advance_retained(self, n: int) -> int:
         """Decode up to ``n`` frames into the retained window WITHOUT

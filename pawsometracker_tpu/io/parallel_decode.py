@@ -70,7 +70,8 @@ def parallel_ok(info, fps: float) -> bool:
 
 
 class _Span:
-    __slots__ = ("idx", "frames", "pos", "event", "error", "entry_check")
+    __slots__ = ("idx", "frames", "pos", "event", "error", "entry_check",
+                 "lead_pts", "tail_pts")
 
     def __init__(self, idx: int):
         self.idx = idx
@@ -79,10 +80,14 @@ class _Span:
         self.event = threading.Event()
         self.error: BaseException | None = None
         #: for idx > 0: this worker's decode of the PREVIOUS span's last slot.
-        #: The consumer byte-compares it against the frame it actually served
-        #: there — a runtime proof that the mid-stream entry reproduced the
-        #: sequential stream (catches pathological VFR past the CFR guard).
+        #: The consumer verifies the mid-stream entry reproduced the
+        #: sequential stream TWO ways: the holder pts of that slot must equal
+        #: the previous span's tail holder pts (catches grid shifts even
+        #: through byte-identical static frames), and the pixels must match
+        #: (belt and braces). Any divergence falls back to sequential decode.
         self.entry_check: np.ndarray | None = None
+        self.lead_pts: int | None = None
+        self.tail_pts: int | None = None
 
 
 class ParallelNativeSource:
@@ -177,6 +182,7 @@ class ParallelNativeSource:
         self._consumed_until = 0  # absolute frames fully consumed
         self._cur: _Span | None = None
         self._prev_tail: np.ndarray | None = None  # last served frame (view)
+        self._prev_tail_pts: int | None = None  # its holder pts (span chain)
         self._threads = [
             threading.Thread(target=self._worker, daemon=True) for _ in range(W)
         ]
@@ -189,6 +195,8 @@ class ParallelNativeSource:
         keyframe itself, zero discard), tiny spans coalesced, giant GOPs
         split at ``span_frames``. Fixed spans continue past the last
         keyframe; on any probe failure the fixed plan stands."""
+        import math as _math
+
         from .native_io import native_keyframes
 
         try:
@@ -200,8 +208,21 @@ class ParallelNativeSource:
         S = self._span_frames
         min_span = max(4, S // 4)
         starts, hints = self._starts, self._hints
+        # boundary margin past the keyframe timestamp: index timestamps are
+        # typically DTS (pts = dts + B-frame delay), and a boundary whose
+        # lead-slot holder PREDATES the keyframe would trip verification on
+        # every span. Pushing the boundary ~half an output slot plus a few
+        # input intervals later keeps the holder at/after the keyframe; the
+        # worker still enters AT the keyframe (seek hint), so the only cost
+        # is a few decoded-and-replaced frames, never a discard.
+        native = max(self.info.fps, self.fps)
+        margin = 0.5 / self.fps + 4.5 / native
         for t_kf in kfs:
-            a = int(round((t_kf - self.start) * self.fps)) + 1
+            x = (t_kf + margin - self.start) * self.fps
+            # ties-away-from-zero like the C++ resampler's AV_ROUND_NEAR_INF
+            # (Python round() is banker's and misplaces every exact half-slot
+            # boundary, e.g. all of them on 48->24 content)
+            a = int(_math.floor(x + 0.5 + 1e-9)) + 1
             if a - starts[-1] < min_span:
                 continue  # coalesce (also skips keyframes before `start`)
             if self._slot_limit is not None and a >= self._slot_limit:
@@ -301,12 +322,14 @@ class ParallelNativeSource:
             seek_hint=self._span_hint(span.idx) if lead else -1.0,
         )
         try:
-            chunk = src.read_chunk(want + lead)
+            if lead:
+                head = src.read_chunk(1)
+                span.entry_check = head[0] if head.shape[0] else None
+                span.lead_pts = src.last_pts if head.shape[0] else None
+            chunk = src.read_chunk(want)
+            span.tail_pts = src.last_pts if chunk.shape[0] else span.lead_pts
         finally:
             src.close()
-        if lead:
-            span.entry_check = chunk[0] if chunk.shape[0] else None
-            chunk = chunk[1:]
         span.frames = chunk
         return chunk.shape[0]
 
@@ -368,6 +391,7 @@ class ParallelNativeSource:
             if span is None or span.pos >= span.frames.shape[0]:
                 if span is not None:
                     short = span.frames.shape[0] < self._span_count(span.idx)
+                    self._prev_tail_pts = span.tail_pts
                     self._release_span(span)
                     self._cur = None
                     if short:
@@ -376,21 +400,25 @@ class ParallelNativeSource:
                 if span is None:
                     break
                 # boundary verification: the worker re-decoded the previous
-                # span's last slot on its way in; byte-equality with the frame
-                # we actually served there PROVES the mid-stream entry
-                # reproduced the sequential stream. Any divergence (VFR gap
-                # past the CFR guard, container oddity) falls back to an
-                # exact sequential decode — slower once, never wrong.
-                if (
-                    span.idx > 0
-                    and self._prev_tail is not None
-                    and (
-                        span.entry_check is None
-                        or not np.array_equal(span.entry_check, self._prev_tail)
+                # span's last slot on its way in. Two independent equalities
+                # must hold against what we actually served there: the HOLDER
+                # PTS (catches slot-grid shifts even when frames are
+                # byte-identical — static scenes, camera stalls) and the
+                # pixels. Any divergence (VFR gap past the CFR guard,
+                # container oddity) falls back to an exact sequential decode
+                # — slower once, never wrong.
+                if span.idx > 0 and self._prev_tail is not None:
+                    pts_ok = (
+                        span.lead_pts is not None
+                        and self._prev_tail_pts is not None
+                        and span.lead_pts == self._prev_tail_pts
                     )
-                ):
-                    self._go_sequential()
-                    continue
+                    pix_ok = span.entry_check is not None and np.array_equal(
+                        span.entry_check, self._prev_tail
+                    )
+                    if not (pts_ok and pix_ok):
+                        self._go_sequential()
+                        continue
                 self._cur = span
             take = min(n - got, span.frames.shape[0] - span.pos)
             blk = span.frames[span.pos : span.pos + take]

@@ -39,7 +39,7 @@ def track_multi(
     chunk_size: int = 16,
     stream: str = "auto",
     roi_frames: int | None = None,
-    pipeline_depth="auto",
+    pipeline_depth: int | str = "auto",
     engine: str = "auto",
     subpixel: bool = False,
 ):

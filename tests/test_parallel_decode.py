@@ -298,15 +298,14 @@ def test_keyframe_aligned_parity(long_gop_clip, span):
 def test_keyframe_plan_boundaries_land_after_keyframes(long_gop_clip):
     par = ParallelNativeSource(long_gop_clip, fps=24, workers=2, span_frames=24)
     try:
-        kfs = native_io.native_keyframes(long_gop_clip)
-        kf_slots = {int(round(t * 24)) + 1 for t in kfs}
-        aligned = [a for a, h in zip(par._starts, par._hints) if h >= 0]
+        aligned = [(a, h) for a, h in zip(par._starts, par._hints) if h >= 0]
         assert aligned, "no aligned boundaries in the plan"
-        assert all(a in kf_slots for a in aligned)
-        # hints name the keyframe one slot before the boundary
-        for a, h in zip(par._starts, par._hints):
-            if h >= 0:
-                assert int(round(h * 24)) == a - 1
+        # each boundary sits a small decode-delay margin past ITS keyframe
+        # (hint = the keyframe time the worker seeks to); margin is
+        # 0.5/fps + 4.5/native -> at most ~6 slots here
+        for a, h in aligned:
+            slot_kf = int(np.floor(h * 24 + 0.5 + 1e-9))
+            assert slot_kf + 1 <= a <= slot_kf + 8, (a, h)
     finally:
         par.close()
 
@@ -327,3 +326,57 @@ def test_keyframe_aligned_sub_window_and_resample(long_gop_clip):
     with ParallelNativeSource(long_gop_clip, workers=3, span_frames=16, **kw) as par:
         got = _all_frames(par)
     np.testing.assert_array_equal(got, want)
+
+
+def test_static_scene_stall_caught_by_pts_chain(tmp_path):
+    """A VFR stall during a STATIC scene: the misaligned worker's boundary
+    frame is byte-identical to the held frame, so pixel comparison alone
+    would pass and a slot-shifted span would be served. The holder-PTS chain
+    catches it; output must equal the sequential decode."""
+    path = str(tmp_path / "static_stall.mp4")
+    w = native_io.NativeVFRWriter(path, 96, 64)
+    t, k = 0.0, 0
+    while t < 4.0:
+        img = np.full((64, 96), 128, np.uint8)
+        if t < 0.8 or t > 2.4:  # motion only away from the stall window
+            img[:16, :16] = (k * 7) % 256
+        w.write(img, t)
+        k += 1
+        t += 1.2 if abs(t - 1.0) < 1e-9 else 1 / 24
+    w.release()
+
+    with native_io.NativeFrameSource(path, fps=24) as ref:
+        want = _all_frames(ref)
+    par = ParallelNativeSource(path, fps=24, workers=3, span_frames=10,
+                               keyframe_align=False)
+    try:
+        got = _all_frames(par)
+    finally:
+        par.close()
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
+def test_half_slot_keyframes_48_to_24(tmp_path):
+    """48 fps content decoded at 24: keyframes land exactly on half-slots, so
+    banker's rounding in the planner would misplace EVERY boundary by one
+    slot and permanently trip the fallback (regression: the planner must
+    round ties away from zero like the C++ resampler's AV_ROUND_NEAR_INF)."""
+    path = str(tmp_path / "fps48.mp4")
+    w = native_io.NativeVideoWriter(path, 96, 64, 48)
+    for t in range(480):  # 10 s at 48 fps, GOP 12 -> keyframes every 0.25 s
+        img = np.full((64, 96), 128, np.uint8)
+        img[:16, :16] = (t * 3) % 256
+        w.write(img)
+    w.release()
+    with native_io.NativeFrameSource(path, fps=24) as ref:
+        want = _all_frames(ref)
+    par = ParallelNativeSource(path, fps=24, workers=3, span_frames=16)
+    try:
+        assert len(par._starts) > 1
+        got = _all_frames(par)
+        fell_back = par._seq is not None
+    finally:
+        par.close()
+    np.testing.assert_array_equal(got, want)
+    assert not fell_back, "boundary verification tripped on aligned spans"
