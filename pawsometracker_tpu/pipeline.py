@@ -285,6 +285,12 @@ def _pick_engine_measured(roi_spec, k_frames: int, fill: int, batch: int | None)
         _session_engine_cache[key] = info
         return "xla", info
     _session_engine_cache[key] = info
+    # a decision timed during a WEDGED link (remote-attached TPUs stall for
+    # minutes at a time) is noise — keep it for this process but don't pin
+    # the environment to it; the next process re-measures in a better phase
+    if min(info.get("pallas_ms", 0.0), info.get("xla_ms", 0.0)) > 500.0:
+        info["transient"] = "degraded-link measurement, not persisted"
+        return info["engine"], info
     cache[key] = info
     try:
         _save_engine_cache(cache)
