@@ -380,3 +380,40 @@ def test_half_slot_keyframes_48_to_24(tmp_path):
         par.close()
     np.testing.assert_array_equal(got, want)
     assert not fell_back, "boundary verification tripped on aligned spans"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_property_random_vfr_streams(tmp_path, seed):
+    """Property: for ARBITRARY pts streams (random jitter, stalls, bursts),
+    the parallel source equals the sequential decode bit-for-bit — via
+    aligned spans when safe, via verified fallback otherwise."""
+    rng = np.random.default_rng(100 + seed)
+    path = str(tmp_path / f"prop{seed}.mp4")
+    w = native_io.NativeVFRWriter(path, 96, 64)
+    t = 0.0
+    k = 0
+    while t < 5.0 and k < 200:
+        img = np.full((64, 96), 128, np.uint8)
+        img[:16, :16] = (k * 11) % 256
+        if rng.random() < 0.7:  # sometimes static frames around gaps
+            img[40:56, 40:56] = (k * 5) % 256
+        w.write(img, t)
+        k += 1
+        r = rng.random()
+        if r < 0.05:
+            t += rng.uniform(0.3, 1.0)  # stall
+        elif r < 0.2:
+            t += rng.uniform(0.001, 0.01)  # burst
+        else:
+            t += rng.uniform(0.02, 0.08)  # jittery ~12-50 fps
+    w.release()
+
+    fps = float(rng.choice([12, 24, 30]))
+    with native_io.NativeFrameSource(path, fps=fps) as ref:
+        want = _all_frames(ref)
+    span = int(rng.integers(5, 20))
+    workers = int(rng.integers(2, 5))
+    with ParallelNativeSource(path, fps=fps, workers=workers, span_frames=span) as par:
+        got = _all_frames(par)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_array_equal(got, want)
