@@ -26,8 +26,10 @@ __all__ = ["track_multi"]
 
 def track_multi(
     file,
-    start_locations,
+    start_locations=None,
     *,
+    n_targets: int | None = None,
+    min_distance: int | None = None,
     start: float = 0.0,
     stop: float | None = None,
     target_width: float = 25,
@@ -43,15 +45,18 @@ def track_multi(
     engine: str = "auto",
     subpixel: bool = False,
 ):
-    """Track ``len(start_locations)`` targets in one video.
+    """Track N targets in one video.
 
-    Each entry of ``start_locations`` is an ``IJ`` or display ``(x, y)``
-    (auto-detect is not meaningful for multiple targets — locations are
-    required). Returns ``(ts, positions)`` with ``positions int [T, N, 2]``
-    (float with ``subpixel=True``: integer recurrence + parabolic
-    response-peak refinement, exactly like :func:`.api.track`).
-    ``engine="auto"`` makes the measured pallas/xla choice for the batched
-    bounded ROI scan.
+    Each entry of ``start_locations`` is an ``IJ`` or display ``(x, y)``.
+    Alternatively pass ``start_locations=None`` with ``n_targets=N`` to
+    AUTO-DETECT the N strongest DoG-response peaks in frame 1
+    (:func:`.parallel.mesh.global_detect_peaks`; ``min_distance`` sets the
+    non-maximum-suppression radius, default the search-window extent) —
+    targets are then ordered strongest-first. Returns ``(ts, positions)``
+    with ``positions int [T, N, 2]`` (float with ``subpixel=True``: integer
+    recurrence + parabolic response-peak refinement, exactly like
+    :func:`.api.track`). ``engine="auto"`` makes the measured pallas/xla
+    choice for the batched bounded ROI scan.
 
     Large frames stream as N per-target drift-bounded crops through the
     speculative ROI pipeline (see :mod:`.pipeline`) — with the native decoder
@@ -59,13 +64,20 @@ def track_multi(
     """
     import jax.numpy as jnp
 
-    if not start_locations:
-        raise ValueError("start_locations must name at least one target")
-    if any(loc is None for loc in start_locations):
-        raise ValueError(
-            "every target needs an explicit start location (IJ or (x, y)); "
-            "auto-detect is single-target only — use track() for that"
-        )
+    autodetect = start_locations is None
+    if autodetect:
+        if not n_targets or int(n_targets) < 1:
+            raise ValueError(
+                "give start_locations, or n_targets>=1 for multi-target auto-detect"
+            )
+    else:
+        if not start_locations:
+            raise ValueError("start_locations must name at least one target")
+        if any(loc is None for loc in start_locations):
+            raise ValueError(
+                "every target needs an explicit start location (IJ or (x, y)), "
+                "or pass start_locations=None with n_targets=N to auto-detect"
+            )
     stop = DEFAULT_MAX_DURATION_SECONDS if stop is None else float(stop)
     if window_size is None:
         window_size = guess_window_size(target_width)
@@ -104,10 +116,17 @@ def track_multi(
         spec = make_spec(frame_shape, window_size, target_width, darker_target)
         fns = tracker_fns(spec)
 
-        guesses = np.array(
-            [_resolve_guess(loc, sar_val, frame_shape) for loc in start_locations], np.int32
-        )
         fill_dev = np.uint8(fill)
+        if autodetect:
+            from .parallel.mesh import global_detect_peaks
+
+            peaks = global_detect_peaks(spec, int(n_targets), min_distance)
+            guesses = np.asarray(peaks(jnp.asarray(frame0), fill_dev), np.int32)
+        else:
+            guesses = np.array(
+                [_resolve_guess(loc, sar_val, frame_shape) for loc in start_locations],
+                np.int32,
+            )
         if subpixel:
             pos, off0 = fns.snap_multi_sub(jnp.asarray(frame0), jnp.asarray(guesses), fill_dev)
             offs = [np.asarray(off0)[None]]

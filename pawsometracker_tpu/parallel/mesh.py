@@ -34,6 +34,7 @@ __all__ = [
     "batch_sharding",
     "ShardedBatchTracker",
     "global_detect_batch",
+    "global_detect_peaks",
 ]
 
 
@@ -121,6 +122,74 @@ def global_detect_batch(spec: TrackerSpec, mesh: Mesh | None = None):
     )
     out_sh = NamedSharding(mesh, P("data", None))
     return jax.jit(detect, in_shardings=in_sh, out_shardings=out_sh)
+
+
+def global_detect_peaks(spec: TrackerSpec, n_targets: int, min_distance: int | None = None):
+    """Top-``n_targets`` DoG-response peaks in ONE frame, with non-maximum
+    suppression — multi-target auto-detection (framework extension; the
+    reference auto-detects a single target in a quarter-frame window,
+    src/PawsomeTracker.jl:99-107).
+
+    Peaks are returned strongest-first; each peak suppresses a disk of radius
+    ``min_distance`` (default: the search-window extent, so two targets are
+    never the same blob). Ties break column-major like the tracker. If the
+    frame holds fewer real targets than requested, the trailing entries land
+    on background noise — callers should request the number of targets they
+    KNOW are present.
+
+    Returns a jitted ``fn(frame_u8 [H, W], fill_u8) -> int32 [n_targets, 2]``.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.filters import argmax_colmajor
+
+    gc_np, gs_np, direction, L = dog_kernel_separable(spec.sigma, spec.darker_target)
+    gc = jnp.asarray(gc_np, jnp.float32)
+    gs = jnp.asarray(gs_np, jnp.float32)
+    half = L // 2
+    H, W = spec.frame_shape
+    N = int(n_targets)
+    if min_distance is None:
+        min_distance = max(2 * spec.radii[0] + 1, 2 * spec.radii[1] + 1)
+    r2 = float(min_distance) ** 2
+
+    def detect(frame_u8, fill_u8):
+        x = frame_u8.astype(jnp.float32)
+        fill = jnp.asarray(fill_u8, jnp.float32)
+        x = jnp.pad(x, ((half, half), (half, half)), constant_values=0.0)
+        mask = jnp.pad(jnp.ones((H, W), jnp.float32), ((half, half), (half, half)))
+        x = x * mask + fill * (1.0 - mask)
+
+        def corr(g):
+            r = jax.lax.conv_general_dilated(
+                x[None, None], g[None, None, :, None], (1, 1), "VALID",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return jax.lax.conv_general_dilated(
+                r, g[None, None, None, :], (1, 1), "VALID",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        resp = (direction * (corr(gc) - corr(gs)))[0, 0]  # [H, W]
+        ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+
+        def body(k, carry):
+            resp_c, out = carry
+            idx = argmax_colmajor(resp_c)
+            out = out.at[k].set(idx)
+            hit = ((ii - idx[0]) ** 2 + (jj - idx[1]) ** 2).astype(jnp.float32) <= r2
+            resp_c = jnp.where(hit, -jnp.inf, resp_c)
+            return resp_c, out
+
+        _, out = jax.lax.fori_loop(0, N, body, (resp, jnp.zeros((N, 2), jnp.int32)))
+        return out
+
+    return jax.jit(detect)
 
 
 class ShardedBatchTracker:

@@ -72,3 +72,44 @@ def test_track_multi_roi_matches_full(tmp_path, depth):
     for k, p in enumerate(paths):
         err = np.linalg.norm(pos_roi[:, k, :] - np.asarray(p), axis=1)
         assert np.sqrt(np.mean(err**2)) < 1.0, f"target {k}"
+
+
+def test_multi_autodetect_peaks(tmp_path):
+    """start_locations=None + n_targets: the N strongest DoG peaks seed the
+    trackers (strongest-first), and tracking matches an explicit-locations
+    run on the same clip."""
+    import cv2
+
+    from pawsometracker_tpu.multi import track_multi
+
+    h, w, T = 140, 200, 30
+    starts = [(30, 40), (100, 150), (70, 100)]
+    frames = []
+    for t in range(T):
+        f = np.full((h, w), 128, np.uint8)
+        for s, (i0, j0) in enumerate(starts):
+            cv2.circle(f, (j0 + t, i0 + (t if s % 2 else -t) // 2), 5, 0, -1)
+        frames.append(f)
+    path = helpers.write_video(frames, str(tmp_path / "auto"), 24, codec="FFV1")
+
+    ts, pos = track_multi(path, n_targets=3, target_width=10, fps=24)
+    assert pos.shape[1] == 3
+    # every seeded track starts on one of the true blobs (within a couple px)
+    first = {tuple(p) for p in pos[0]}
+    for i0, j0 in starts:
+        assert any(abs(a - i0) <= 2 and abs(b - j0) <= 2 for a, b in first), (i0, j0)
+    # equality with explicit locations (same order as detected)
+    from pawsometracker_tpu import IJ
+
+    locs = [IJ(int(a), int(b)) for a, b in pos[0]]
+    ts2, pos2 = track_multi(path, locs, target_width=10, fps=24)
+    np.testing.assert_array_equal(pos2, pos)
+
+
+def test_multi_autodetect_requires_n(tmp_path):
+    from pawsometracker_tpu.multi import track_multi
+
+    frames = [np.full((64, 96), 128, np.uint8)] * 5
+    path = helpers.write_video(frames, str(tmp_path / "x"), 24, codec="FFV1")
+    with pytest.raises(ValueError):
+        track_multi(path)
