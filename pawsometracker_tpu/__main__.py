@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--roi-frames", type=int, default=None, help="frames per ROI mini-chunk")
     p.add_argument("--subpixel", action="store_true",
                    help="parabolic peak refinement (float positions)")
+    p.add_argument("--decode-workers", type=int, default=None,
+                   help="cooperating native decoders per video (bit-identical; "
+                        "default: the PAWSIO_DECODE_WORKERS env var)")
     p.add_argument("--checkpoint", default=None, help="checkpoint path for resumable tracking")
     p.add_argument("--out", default=None, help="write results to this .npz instead of CSV stdout")
     p.add_argument("--format", default="csv", choices=["csv", "json"], help="stdout format")
@@ -80,6 +83,7 @@ def main(argv=None) -> int:
         speculate=args.speculate,
         roi_frames=args.roi_frames,
         subpixel=args.subpixel,
+        decode_workers=args.decode_workers,
     )
     try:
         if args.checkpoint:

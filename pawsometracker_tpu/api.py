@@ -170,6 +170,7 @@ def _track_one(
     pipeline_depth: int | str = DEFAULT_PIPELINE_DEPTH,
     speculate: str = "predict",
     subpixel: bool = False,
+    decode_workers: int | None = None,
 ):
     """Track one file (reference pipeline: src/PawsomeTracker.jl:148-174)."""
     import jax.numpy as jnp
@@ -206,7 +207,10 @@ def _track_one(
         and isinstance(dia, Dont)
     )
     ring = (depth_gate + 2) * roi_frames + 8 if retention_possible else None
-    src = open_source(file, start=start, stop=stop, fps=fps, backend=backend, prefetch=ring)
+    src = open_source(
+        file, start=start, stop=stop, fps=fps, backend=backend, prefetch=ring,
+        workers=decode_workers,
+    )
     prefetchers: list[ChunkPrefetcher] = []  # joined in finally BEFORE src.close()
     try:
         if sar is None:
@@ -339,6 +343,7 @@ def track(
     pipeline_depth: int | str = DEFAULT_PIPELINE_DEPTH,
     speculate: str = "predict",
     subpixel: bool = False,
+    decode_workers: int | None = None,
 ):
     """Track a blob-like target in a video ``file`` (or list of segment files).
 
@@ -357,7 +362,10 @@ def track(
     pipeline (see :mod:`.pipeline`; depth 0 = synchronous, ``"auto"`` adapts
     at runtime from the measured drain latency — identical results either
     way); ``chunk_size`` tunes full-frame streaming granularity; ``subpixel``
-    adds parabolic peak refinement to the returned (float) positions.
+    adds parabolic peak refinement to the returned (float) positions;
+    ``decode_workers`` (default: the ``PAWSIO_DECODE_WORKERS`` env var)
+    decodes with that many cooperating native decoders — bit-identical
+    frames, for multi-core hosts (see :mod:`.io.parallel_decode`).
 
     For a list of ``file``s the per-file ``start``/``stop``/``start_location``
     may be lists of the same length; a ``None`` start_location in segment k>0
@@ -388,6 +396,7 @@ def track(
             pipeline_depth=pipeline_depth,
             speculate=speculate,
             subpixel=subpixel,
+            decode_workers=decode_workers,
         )
 
     start = 0.0 if start is None else float(start)
@@ -412,6 +421,7 @@ def track(
             pipeline_depth=pipeline_depth,
             speculate=speculate,
             subpixel=subpixel,
+            decode_workers=decode_workers,
         )
 
 
@@ -435,6 +445,7 @@ def _track_many(
     pipeline_depth,
     speculate,
     subpixel,
+    decode_workers=None,
 ):
     """Segmented videos: chain each segment's start from the previous
     segment's final position (reference: src/PawsomeTracker.jl:181-214)."""
@@ -476,6 +487,7 @@ def _track_many(
                 pipeline_depth=pipeline_depth,
                 speculate=speculate,
                 subpixel=subpixel,
+                decode_workers=decode_workers,
             )
             tss.append(ts_i)
             ijs.append(ij_i)

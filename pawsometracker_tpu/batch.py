@@ -66,6 +66,7 @@ def track_batch(
     diagnostic_files=None,
     engine: str = "auto",
     subpixel: bool = False,
+    decode_workers: int | None = None,
 ):
     """Track one target in each of ``files`` concurrently on the device.
 
@@ -134,6 +135,7 @@ def track_batch(
             diagnostic_files=[dias_in[i] for i in idxs],
             engine=engine,
             subpixel=subpixel,
+            decode_workers=decode_workers,
         )
         for i, r in zip(idxs, sub):
             results[i] = r
@@ -160,6 +162,7 @@ def _track_batch_uniform(
     diagnostic_files=None,
     engine: str = "auto",
     subpixel: bool = False,
+    decode_workers: int | None = None,
 ):
     """One-bucket core of :func:`track_batch`: all videos share a resolution
     and tracker configuration."""
@@ -202,7 +205,8 @@ def _track_batch_uniform(
     try:
         for f, t0, t1 in zip(files, starts, stops):
             sources.append(
-                open_source(f, start=t0, stop=t1, fps=fps, backend=backend, prefetch=ring)
+                open_source(f, start=t0, stop=t1, fps=fps, backend=backend,
+                            prefetch=ring, workers=decode_workers)
             )
 
         shapes = {s.info.frame_shape for s in sources}

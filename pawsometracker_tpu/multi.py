@@ -44,6 +44,7 @@ def track_multi(
     pipeline_depth: int | str = "auto",
     engine: str = "auto",
     subpixel: bool = False,
+    decode_workers: int | None = None,
 ):
     """Track N targets in one video.
 
@@ -104,7 +105,10 @@ def track_multi(
     # EVERY depth (contain mode included), so size the ring whenever ROI
     # streaming is possible
     ring = (depth_gate + 2) * roi_frames + 8 if stream != "full" else None
-    src = open_source(file, start=start, stop=stop, fps=fps, backend=backend, prefetch=ring)
+    src = open_source(
+        file, start=start, stop=stop, fps=fps, backend=backend, prefetch=ring,
+        workers=decode_workers,
+    )
     prefetchers = []  # joined in finally BEFORE src.close()
     try:
         sar_val = float(sar) if sar is not None else src.info.sar

@@ -417,3 +417,19 @@ def test_property_random_vfr_streams(tmp_path, seed):
         got = _all_frames(par)
     assert got.shape == want.shape, (got.shape, want.shape)
     np.testing.assert_array_equal(got, want)
+
+
+def test_decode_workers_kwarg(h264_clip):
+    """decode_workers as a first-class kwarg (no env var) on track/batch/multi."""
+    from pawsometracker_tpu import IJ, track
+    from pawsometracker_tpu.batch import track_batch
+    from pawsometracker_tpu.multi import track_multi
+
+    kw = dict(start_location=IJ(60, 80), target_width=12)
+    _, want = track(h264_clip, **kw)
+    _, got = track(h264_clip, decode_workers=3, **kw)
+    np.testing.assert_array_equal(got, want)
+    res = track_batch([h264_clip], decode_workers=2, **kw)
+    np.testing.assert_array_equal(res[0][1], want)
+    _, multi = track_multi(h264_clip, [IJ(60, 80)], target_width=12, decode_workers=2)
+    np.testing.assert_array_equal(multi[:, 0], want)
