@@ -87,23 +87,42 @@ def _clip(d):
 
 
 def stage_e2e(d):
-    """End-to-end tracked fps, median of REPS full passes."""
+    """End-to-end tracked fps, median of REPS full passes.
+
+    Degraded-phase protection: the tunnel-attached TPU can wedge to ~3 fps
+    for long stretches; a fixed 3x480-frame plan would then blow the stage
+    timeout and record NOTHING. A timed 32-frame probe right after warm-up
+    sizes the measured passes so the stage always lands a number (flagged
+    via e2e_degraded when the probe was slow)."""
     from pawsometracker_tpu import IJ, track
 
     path, truth = _clip(d)
     p0 = IJ(int(truth[0][0]), int(truth[0][1]))
     kw = dict(start_location=p0, target_width=TARGET_WIDTH, window_size=WINDOW)
     track(path, stop=32 / FPS, **kw)  # warm-up / compile
+    t0 = time.perf_counter()
+    track(path, stop=32 / FPS, **kw)  # warm probe: phase speed estimate
+    probe_fps = 32 / max(time.perf_counter() - t0, 1e-9)
+    reps, stop, degraded = REPS, None, False
+    if probe_fps < 8:  # fully wedged: one short pass is all the budget allows
+        reps, stop, degraded = 1, 96 / FPS, True
+    elif probe_fps < 40:
+        reps, degraded = 1, True
     fpss, rmse, n = [], None, 0
-    for _ in range(REPS):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        ts, ij = track(path, **kw)
+        ts, ij = track(path, **kw) if stop is None else track(path, stop=stop, **kw)
         dt = time.perf_counter() - t0
         err = np.linalg.norm(np.asarray(ij) - truth[: len(ij)], axis=1)
         rmse, n = float(np.sqrt(np.mean(err**2))), len(ij)
         fpss.append(n / dt)
     s = _stats(fpss)
     out = {"e2e_fps": s["med"], "e2e_spread": s, "rmse_px": round(rmse, 3), "frames": n}
+    if degraded:
+        out["e2e_degraded"] = (
+            f"probe {probe_fps:.1f} fps: tunnel-wedged phase, shortened plan "
+            f"({reps} rep(s), {n} frames) — treat e2e_fps as a lower bound"
+        )
     try:  # report which scan engine the measured auto-selection picked
         from pawsometracker_tpu.models.dog_tracker import make_spec
         from pawsometracker_tpu.pipeline import pick_bounded_engine, roi_geometry
@@ -285,21 +304,35 @@ def stage_batch(d):
     p0 = IJ(int(truth[0][0]), int(truth[0][1]))
     kw = dict(start_location=p0, target_width=TARGET_WIDTH, window_size=WINDOW)
     track_batch([path] * B, stop=32 / FPS, **kw)  # warm-up
+    t0 = time.perf_counter()
+    track_batch([path] * B, stop=32 / FPS, **kw)  # warm probe (see stage_e2e)
+    probe_fps = B * 32 / max(time.perf_counter() - t0, 1e-9)
+    reps, stop, degraded = REPS, None, False
+    if probe_fps < 16:
+        reps, stop, degraded = 1, 96 / FPS, True
+    elif probe_fps < 80:
+        reps, degraded = 1, True
     fpss, rmse = [], None
-    for _ in range(REPS):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        results = track_batch([path] * B, **kw)
+        results = (
+            track_batch([path] * B, **kw) if stop is None
+            else track_batch([path] * B, stop=stop, **kw)
+        )
         dt = time.perf_counter() - t0
         total = sum(len(ij) for _, ij in results)
         err = np.linalg.norm(np.asarray(results[0][1]) - truth[: len(results[0][1])], axis=1)
         rmse = float(np.sqrt(np.mean(err**2)))
         fpss.append(total / dt)
     s = _stats(fpss)
-    return {
+    out = {
         "batch4_aggregate_fps": s["med"],
         "batch4_spread": s,
         "batch4_rmse_px": round(rmse, 3),
     }
+    if degraded:
+        out["batch4_degraded"] = f"probe {probe_fps:.1f} fps aggregate: shortened plan"
+    return out
 
 
 STAGES = {
@@ -358,7 +391,14 @@ def main():
     with tempfile.TemporaryDirectory() as d:
         synthesize_clip(d)
         for name, (_, timeout) in STAGES.items():
-            detail.update(_run_stage_subprocess(name, d, timeout))
+            result = _run_stage_subprocess(name, d, timeout)
+            if f"{name}_error" in result and name in ("e2e", "batch"):
+                # the headline stages get one retry — a second subprocess often
+                # lands in a better tunnel phase
+                retry = _run_stage_subprocess(name, d, timeout)
+                if f"{name}_error" not in retry:
+                    result = retry
+            detail.update(result)
 
     fps_e2e = detail.get("e2e_fps", 0.0)
     fps_1t = detail.get("cpu_1t_fps") or 1.0
