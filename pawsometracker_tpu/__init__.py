@@ -17,7 +17,12 @@ from .batch import track_batch
 from .checkpoint import load_checkpoint, track_resumable
 from .multi import track_multi
 from .diagnose import Diagnose, Dont, diagnose
-from .parallel.mesh import ShardedBatchTracker, global_detect_batch, make_mesh
+from .parallel.mesh import (
+    ShardedBatchTracker,
+    global_detect_batch,
+    global_detect_peaks,
+    make_mesh,
+)
 from .models.dog_tracker import TrackerSpec, autodetect_spec, make_spec, tracker_fns
 from .ops.dog_kernel import (
     dog_kernel_2d,
@@ -37,6 +42,7 @@ __all__ = [
     "make_mesh",
     "ShardedBatchTracker",
     "global_detect_batch",
+    "global_detect_peaks",
     "IJ",
     "DEFAULT_MAX_DURATION_SECONDS",
     "TrackerSpec",
