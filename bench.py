@@ -86,6 +86,17 @@ def _clip(d):
     return os.path.join(d, "bench1080.mp4"), np.load(os.path.join(d, "truth.npy"))
 
 
+def _degraded_plan(probe_fps: float, wedged_below: float, slow_below: float):
+    """Shared wedge-phase plan sizing for the headline stages: returns
+    ``(reps, stop_seconds_or_None, degraded)`` — full plan on a healthy
+    probe, one rep when slow, one short pass when fully wedged."""
+    if probe_fps < wedged_below:
+        return 1, 96 / FPS, True
+    if probe_fps < slow_below:
+        return 1, None, True
+    return REPS, None, False
+
+
 def stage_e2e(d):
     """End-to-end tracked fps, median of REPS full passes.
 
@@ -103,11 +114,7 @@ def stage_e2e(d):
     t0 = time.perf_counter()
     track(path, stop=32 / FPS, **kw)  # warm probe: phase speed estimate
     probe_fps = 32 / max(time.perf_counter() - t0, 1e-9)
-    reps, stop, degraded = REPS, None, False
-    if probe_fps < 8:  # fully wedged: one short pass is all the budget allows
-        reps, stop, degraded = 1, 96 / FPS, True
-    elif probe_fps < 40:
-        reps, degraded = 1, True
+    reps, stop, degraded = _degraded_plan(probe_fps, wedged_below=8, slow_below=40)
     fpss, rmse, n = [], None, 0
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -307,11 +314,7 @@ def stage_batch(d):
     t0 = time.perf_counter()
     track_batch([path] * B, stop=32 / FPS, **kw)  # warm probe (see stage_e2e)
     probe_fps = B * 32 / max(time.perf_counter() - t0, 1e-9)
-    reps, stop, degraded = REPS, None, False
-    if probe_fps < 16:
-        reps, stop, degraded = 1, 96 / FPS, True
-    elif probe_fps < 80:
-        reps, degraded = 1, True
+    reps, stop, degraded = _degraded_plan(probe_fps, wedged_below=16, slow_below=80)
     fpss, rmse = [], None
     for _ in range(reps):
         t0 = time.perf_counter()

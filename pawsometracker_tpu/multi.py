@@ -72,6 +72,11 @@ def track_multi(
                 "give start_locations, or n_targets>=1 for multi-target auto-detect"
             )
     else:
+        if n_targets is not None or min_distance is not None:
+            raise ValueError(
+                "n_targets/min_distance configure auto-detection and conflict "
+                "with explicit start_locations — pass one or the other"
+            )
         if not start_locations:
             raise ValueError("start_locations must name at least one target")
         if any(loc is None for loc in start_locations):
@@ -126,6 +131,15 @@ def track_multi(
 
             peaks = global_detect_peaks(spec, int(n_targets), min_distance)
             guesses = np.asarray(peaks(jnp.asarray(frame0), fill_dev), np.int32)
+            # exhausted suppression repeats the last peak — reject instead of
+            # seeding duplicate trackers pinned to the same blob
+            if len({tuple(g) for g in guesses}) < len(guesses):
+                raise ValueError(
+                    f"auto-detect found fewer than n_targets={n_targets} "
+                    "separable peaks (frame too small for min_distance, or "
+                    "fewer targets present) — lower n_targets/min_distance "
+                    "or pass explicit start_locations"
+                )
         else:
             guesses = np.array(
                 [_resolve_guess(loc, sar_val, frame_shape) for loc in start_locations],

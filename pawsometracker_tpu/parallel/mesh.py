@@ -59,30 +59,26 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
-def global_detect_batch(spec: TrackerSpec, mesh: Mesh | None = None):
-    """Whole-frame target detection, batched and (optionally) spatially sharded.
-
-    Framework extension beyond the reference's quarter-frame auto-detect
-    (reference: src/PawsomeTracker.jl:99-107): computes the DoG response over
-    the ENTIRE frame and returns the argmax per batch element. With a mesh, the
-    frame row axis is sharded over ``space`` and the batch over ``data``; XLA
-    inserts halo exchanges for the valid correlation.
-
-    Returns a jitted ``fn(frames_u8 [B, H, W], fills_u8 [B]) -> int32 [B, 2]``.
-    """
+def _batch_frame_response(spec: TrackerSpec):
+    """Shared whole-frame DoG response: ``fn(frames_u8 [B,H,W], fills [B])
+    -> float32 [B,H,W]`` — pad with each frame's mode fill, then the
+    separable HIGHEST-precision correlation with the signed kernel. Both
+    whole-frame detectors build on this so they can never disagree."""
     gc_np, gs_np, direction, L = dog_kernel_separable(spec.sigma, spec.darker_target)
     gc = jnp.asarray(gc_np, jnp.float32)
     gs = jnp.asarray(gs_np, jnp.float32)
     half = L // 2
-    H, W = spec.frame_shape
 
-    def detect(frames, fills):
+    def response(frames, fills):
         x = frames.astype(jnp.float32)  # [B, H, W]
         fill = fills.astype(jnp.float32)[:, None, None]
         x = jnp.pad(x, ((0, 0), (half, half), (half, half)))  # constant 0, fixed below
         # restore the constant fill on the apron (jnp.pad with per-batch
         # constants isn't expressible directly)
-        mask = jnp.pad(jnp.ones((frames.shape[1], frames.shape[2]), jnp.float32), ((half, half), (half, half)))
+        mask = jnp.pad(
+            jnp.ones((frames.shape[1], frames.shape[2]), jnp.float32),
+            ((half, half), (half, half)),
+        )
         x = x * mask + fill * (1.0 - mask)
         lhs = x[:, None, :, :]
 
@@ -106,8 +102,27 @@ def global_detect_batch(spec: TrackerSpec, mesh: Mesh | None = None):
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-        resp = direction * (corr(gc) - corr(gs))  # [B, 1, H, W]
-        resp = resp[:, 0]
+        return direction * (corr(gc) - corr(gs))[:, 0]  # [B, H, W]
+
+    return response
+
+
+def global_detect_batch(spec: TrackerSpec, mesh: Mesh | None = None):
+    """Whole-frame target detection, batched and (optionally) spatially sharded.
+
+    Framework extension beyond the reference's quarter-frame auto-detect
+    (reference: src/PawsomeTracker.jl:99-107): computes the DoG response over
+    the ENTIRE frame and returns the argmax per batch element. With a mesh, the
+    frame row axis is sharded over ``space`` and the batch over ``data``; XLA
+    inserts halo exchanges for the valid correlation.
+
+    Returns a jitted ``fn(frames_u8 [B, H, W], fills_u8 [B]) -> int32 [B, 2]``.
+    """
+    H, W = spec.frame_shape
+    response = _batch_frame_response(spec)
+
+    def detect(frames, fills):
+        resp = response(frames, fills)  # [B, H, W]
         # column-major first-max to match the tracker's tie-break
         k = jnp.argmax(resp.transpose(0, 2, 1).reshape(resp.shape[0], -1), axis=1)
         col = k // H
@@ -132,55 +147,34 @@ def global_detect_peaks(spec: TrackerSpec, n_targets: int, min_distance: int | N
 
     Peaks are returned strongest-first; each peak suppresses a disk of radius
     ``min_distance`` (default: the search-window extent, so two targets are
-    never the same blob). Ties break column-major like the tracker. If the
-    frame holds fewer real targets than requested, the trailing entries land
-    on background noise — callers should request the number of targets they
-    KNOW are present.
+    never the same blob). Ties break column-major like the tracker. If
+    suppression exhausts the frame before N peaks are found, the remaining
+    entries REPEAT the last valid peak — callers (track_multi) reject
+    duplicate peaks with a clear error instead of seeding bogus trackers.
 
     Returns a jitted ``fn(frame_u8 [H, W], fill_u8) -> int32 [n_targets, 2]``.
     """
-    import jax.numpy as jnp
-
     from ..ops.filters import argmax_colmajor
 
-    gc_np, gs_np, direction, L = dog_kernel_separable(spec.sigma, spec.darker_target)
-    gc = jnp.asarray(gc_np, jnp.float32)
-    gs = jnp.asarray(gs_np, jnp.float32)
-    half = L // 2
     H, W = spec.frame_shape
     N = int(n_targets)
     if min_distance is None:
         min_distance = max(2 * spec.radii[0] + 1, 2 * spec.radii[1] + 1)
     r2 = float(min_distance) ** 2
+    response = _batch_frame_response(spec)
 
     def detect(frame_u8, fill_u8):
-        x = frame_u8.astype(jnp.float32)
-        fill = jnp.asarray(fill_u8, jnp.float32)
-        x = jnp.pad(x, ((half, half), (half, half)), constant_values=0.0)
-        mask = jnp.pad(jnp.ones((H, W), jnp.float32), ((half, half), (half, half)))
-        x = x * mask + fill * (1.0 - mask)
-
-        def corr(g):
-            r = jax.lax.conv_general_dilated(
-                x[None, None], g[None, None, :, None], (1, 1), "VALID",
-                dimension_numbers=("NCHW", "OIHW", "NCHW"),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            return jax.lax.conv_general_dilated(
-                r, g[None, None, None, :], (1, 1), "VALID",
-                dimension_numbers=("NCHW", "OIHW", "NCHW"),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-
-        resp = (direction * (corr(gc) - corr(gs)))[0, 0]  # [H, W]
+        resp = response(frame_u8[None], jnp.asarray(fill_u8)[None])[0]  # [H, W]
         ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
 
         def body(k, carry):
             resp_c, out = carry
             idx = argmax_colmajor(resp_c)
+            # suppression exhausted the frame: repeat the previous peak (the
+            # caller detects duplicates) instead of argmaxing an all -inf map
+            exhausted = ~jnp.isfinite(resp_c[idx[0], idx[1]]) & (k > 0)
+            idx = jnp.where(exhausted, out[jnp.maximum(k - 1, 0)], idx)
             out = out.at[k].set(idx)
             hit = ((ii - idx[0]) ** 2 + (jj - idx[1]) ** 2).astype(jnp.float32) <= r2
             resp_c = jnp.where(hit, -jnp.inf, resp_c)

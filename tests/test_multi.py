@@ -113,3 +113,32 @@ def test_multi_autodetect_requires_n(tmp_path):
     path = helpers.write_video(frames, str(tmp_path / "x"), 24, codec="FFV1")
     with pytest.raises(ValueError):
         track_multi(path)
+
+
+def test_multi_autodetect_conflicting_args_rejected(tmp_path):
+    from pawsometracker_tpu import IJ
+    from pawsometracker_tpu.multi import track_multi
+
+    frames = [np.full((64, 96), 128, np.uint8)] * 5
+    path = helpers.write_video(frames, str(tmp_path / "x"), 24, codec="FFV1")
+    with pytest.raises(ValueError):
+        track_multi(path, [IJ(10, 10)], n_targets=3)
+    with pytest.raises(ValueError):
+        track_multi(path, [IJ(10, 10)], min_distance=40)
+
+
+def test_multi_autodetect_exhausted_peaks_rejected(tmp_path):
+    """min_distance covering the whole frame cannot yield 3 separable peaks:
+    a clear error instead of duplicate corner-pinned trackers."""
+    import cv2
+
+    from pawsometracker_tpu.multi import track_multi
+
+    frames = []
+    for t in range(5):
+        f = np.full((64, 96), 128, np.uint8)
+        cv2.circle(f, (48, 32), 5, 0, -1)
+        frames.append(f)
+    path = helpers.write_video(frames, str(tmp_path / "one"), 24, codec="FFV1")
+    with pytest.raises(ValueError, match="separable peaks"):
+        track_multi(path, n_targets=3, min_distance=200, target_width=10)
