@@ -212,3 +212,26 @@ def test_cfr_still_uses_exact_counter(counter_video):
         while src.read() is not None:
             pass
         assert not src._pts_mode
+
+
+def test_track_opencv_backend_matches_native(tmp_path):
+    """End-to-end track() parity between the decode backends (the OpenCV
+    fallback must produce the same positions as the C++ layer)."""
+    import cv2
+
+    from pawsometracker_tpu import IJ, track
+    from pawsometracker_tpu.io.native_io import native_available
+
+    if not native_available():
+        pytest.skip("native layer not built")
+    path = str(tmp_path / "b.avi")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"FFV1"), 24, (200, 150), isColor=False)
+    for t in range(60):
+        f = np.full((150, 200), 128, np.uint8)
+        cv2.circle(f, (40 + 2 * t, 75 + int(20 * np.sin(t / 6))), 6, 0, -1)
+        vw.write(f)
+    vw.release()
+    kw = dict(start_location=IJ(75, 40), target_width=12, fps=24)
+    _, a = track(path, backend="native", **kw)
+    _, b = track(path, backend="opencv", **kw)
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
