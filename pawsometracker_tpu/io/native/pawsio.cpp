@@ -93,6 +93,11 @@ struct Decoder {
   // verifies boundary alignment by holder pts (valid for synchronous,
   // ring-less reads; the prefetch thread runs ahead of the consumer)
   int64_t pending_pts = INT64_MIN, prev_pts = INT64_MIN, last_emit_pts = INT64_MIN;
+  // global output slot of the most recent emitted frame. Streams whose first
+  // kept input claims a slot > slot0 SKIP the leading slots (ffmpeg
+  // semantics); the parallel-decode planner probes this to detect delivery-
+  // index-vs-slot misalignment (leading VFR gap) and fall back.
+  int64_t last_emit_slot = INT64_MIN;
 
   // background prefetch: fixed ring of in-place slots (no per-frame allocs).
   // Slots [head, head+read) are RETAINED (read but not yet released — the
@@ -222,6 +227,7 @@ struct Decoder {
         if ((emit_slot - 1) / fps >= duration) return 0;
         std::memcpy(dst, src, nb);
         last_emit_pts = has_prev ? prev_pts : pending_pts;
+        last_emit_slot = emit_slot - 1;
         return 1;
       }
       double tp = 0;
@@ -235,6 +241,7 @@ struct Decoder {
           if ((emit_slot - 1) / fps >= duration) return 0;
           std::memcpy(dst, pending.data(), nb);
           last_emit_pts = pending_pts;
+          last_emit_slot = emit_slot - 1;
           return 1;
         }
         return 0;
@@ -269,6 +276,7 @@ struct Decoder {
         if ((emit_slot - 1) / fps >= duration) return 0;
         std::memcpy(dst, prev.data(), nb);
         last_emit_pts = prev_pts;
+        last_emit_slot = emit_slot - 1;
         return 1;
       }
     }
@@ -395,6 +403,12 @@ int pawsio_probe(const char *path, PawsInfo *info) {
 // synchronous (ring-less) reads; parallel-decode span-chain verification.
 long long pawsio_last_pts(void *h) {
   return (long long)static_cast<Decoder *>(h)->last_emit_pts;
+}
+
+// Global output slot of the most recent emitted frame; INT64_MIN before any
+// emission. Synchronous (ring-less) reads only.
+long long pawsio_last_slot(void *h) {
+  return (long long)static_cast<Decoder *>(h)->last_emit_slot;
 }
 
 long long pawsio_keyframes(const char *path, double *out_sec, long long cap) {

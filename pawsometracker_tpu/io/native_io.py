@@ -116,6 +116,8 @@ def _load():
             lib.pawsio_keyframes.restype = ctypes.c_longlong
             lib.pawsio_last_pts.argtypes = [ctypes.c_void_p]
             lib.pawsio_last_pts.restype = ctypes.c_longlong
+            lib.pawsio_last_slot.argtypes = [ctypes.c_void_p]
+            lib.pawsio_last_slot.restype = ctypes.c_longlong
         except AttributeError:
             pass
         lib.pawsio_read.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
@@ -418,6 +420,14 @@ class NativeFrameSource:
         if not hasattr(self._lib, "pawsio_last_pts"):
             return -(1 << 63)
         return int(self._lib.pawsio_last_pts(self._h))
+
+    @property
+    def last_slot(self) -> int:
+        """Global output slot of the most recently read frame; INT64_MIN
+        before any read. Synchronous (ring-less) sources only."""
+        if not hasattr(self._lib, "pawsio_last_slot"):
+            return -(1 << 63)
+        return int(self._lib.pawsio_last_slot(self._h))
 
     def advance_retained(self, n: int) -> int:
         """Decode up to ``n`` frames into the retained window WITHOUT

@@ -152,11 +152,35 @@ class ParallelNativeSource:
             )
             return
 
-        # request cap in output slots (exact: same formula the callers use).
+        # Probe the stream's FIRST output slot: when the first kept input
+        # claims a slot > 0 (a leading VFR gap past `start`), the decoder
+        # SKIPS the leading slots, so delivery index != slot number and the
+        # span bookkeeping would stitch misaligned spans — invisibly to the
+        # boundary checks, because the skipped-start worker shows the same
+        # held frame. Detected here once (decodes up to the first kept input)
+        # and handled by staying sequential. first==0 for any stream with a
+        # frame at/before `start`, i.e. all normal content.
+        probe = NativeFrameSource(
+            self.path, start=self.start, stop=self.stop, fps=self.fps, prefetch=0, threads=1
+        )
+        try:
+            first = probe.read_chunk(1)
+            first_slot = probe.last_slot if first.shape[0] else 0
+        finally:
+            probe.close()
+        if first.shape[0] and first_slot != 0:
+            self._seq = NativeFrameSource(
+                self.path, start=self.start, stop=self.stop, fps=self.fps, prefetch=0
+            )
+            return
+
+        # request cap in output slots — the C++ emit rule is
+        # "(emit_slot - 1)/fps >= duration stops", i.e. ceil(fps*d) outputs
+        # (round() undercounts fractional stops by one frame).
         # True EOF is discovered from short spans; speculative claims past EOF
         # are bounded by the open-span budget (at most workers+2 wasted opens).
         if math.isfinite(stop):
-            self._slot_limit = max(0, int(np.round(self.fps * (stop - start))))
+            self._slot_limit = max(0, int(math.ceil(self.fps * (stop - start) - 1e-9)))
         else:
             self._slot_limit = None
 

@@ -433,3 +433,48 @@ def test_decode_workers_kwarg(h264_clip):
     np.testing.assert_array_equal(res[0][1], want)
     _, multi = track_multi(h264_clip, [IJ(60, 80)], target_width=12, decode_workers=2)
     np.testing.assert_array_equal(multi[:, 0], want)
+
+
+def test_leading_gap_skipped_slots_fall_back(tmp_path):
+    """A leading VFR gap past `start` makes the decoder SKIP output slots
+    (delivery index != slot number) — the first-slot probe must detect it and
+    stay sequential (regression: spans stitched duplicated frames with both
+    boundary checks passing, because the skipped-start worker shows the same
+    held frame)."""
+    path = str(tmp_path / "gap.mp4")
+    w = native_io.NativeVFRWriter(path, 64, 48)
+    for k, t in enumerate([0.0, 0.02, 0.05, 0.1, 0.15, 1.5, 1.51, 2.7, 2.72]):
+        img = np.full((48, 64), 128, np.uint8)
+        img[:12, :12] = (k * 13) % 256
+        w.write(img, t)
+    w.release()
+    for start in (0.25, 0.5):
+        with native_io.NativeFrameSource(path, start=start, fps=10) as ref:
+            want = _all_frames(ref)
+        for span in (5, 9):
+            with ParallelNativeSource(path, start=start, fps=10, workers=3,
+                                      span_frames=span, keyframe_align=False) as par:
+                got = _all_frames(par)
+            assert got.shape == want.shape, (start, span, got.shape, want.shape)
+            np.testing.assert_array_equal(got, want)
+
+
+def test_fractional_stop_count_matches_decoder(tmp_path):
+    """stop*fps fractional: the C++ emit rule yields ceil(fps*d) outputs; the
+    parallel slot limit must not undercount by one (regression)."""
+    import cv2
+
+    path = str(tmp_path / "frac.mp4")
+    w = native_io.NativeVideoWriter(path, 64, 48, 24)
+    for t in range(80):
+        img = np.full((48, 64), 128, np.uint8)
+        img[:12, :12] = (t * 3) % 256
+        w.write(img)
+    w.release()
+    for stop in (1.605, 2.04, 29 / 24):
+        with native_io.NativeFrameSource(path, stop=stop, fps=12) as ref:
+            want = _all_frames(ref)
+        with ParallelNativeSource(path, stop=stop, fps=12, workers=3, span_frames=7) as par:
+            got = _all_frames(par)
+        assert got.shape == want.shape, (stop, got.shape, want.shape)
+        np.testing.assert_array_equal(got, want)
