@@ -195,6 +195,62 @@ def stage_device(d):
     return {"device_scan_fps": s["med"], "device_scan_spread": s}
 
 
+def stage_device_roi(d):
+    """Device-resident ROI scan throughput — the hot-loop replacement number.
+
+    The reference's hot loop is the multithreaded CPU FIR step
+    (src/PawsomeTracker.jl:55-62); its TPU replacement is the bounded ROI
+    chunk scan. This stage stages the crops on device ONCE and times chained
+    scans only (no decode, no frame bytes on the wire), so
+    device_roi_fps / cpu_mt_fps approximates the filtering-engine speedup.
+    Each chained call still costs one dispatch over the link — on the
+    tunnel-attached dev chip that RPC dominates (the flag below marks it);
+    on direct-attached hardware this approaches pure device compute."""
+    import jax
+    import jax.numpy as jnp
+
+    from pawsometracker_tpu.models.dog_tracker import make_spec, tracker_fns
+    from pawsometracker_tpu.pipeline import make_chained, roi_geometry
+
+    spec = make_spec((H, W), WINDOW, TARGET_WIDTH, True)
+    K = 8
+    ch, cw, margin = roi_geometry(spec, K, 1, "predict")
+    roi_spec = make_spec((ch, cw), WINDOW, TARGET_WIDTH, True)
+    fns = tracker_fns(roi_spec)
+    chain = make_chained(fns.scan_bounded)
+
+    rng = np.random.default_rng(0)
+    crops = jnp.asarray(rng.integers(0, 255, size=(K, ch, cw)).astype(np.uint8))
+    crops = jax.device_put(crops).block_until_ready()
+    pos = jnp.asarray(np.array([ch // 2, cw // 2], np.int32))
+    lo = jnp.zeros(2, jnp.int32)
+    hi = jnp.asarray(np.array([ch - 1, cw - 1], np.int32))
+    delta = jnp.zeros(2, jnp.int32)
+    fill = np.uint8(128)
+
+    out = fns.scan_bounded(crops, pos, fill, lo, hi)
+    out = chain(crops, out, delta, fill, lo, hi)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = chain(crops, out, delta, fill, lo, hi)
+    jax.block_until_ready(out)
+    probe = time.perf_counter() - t0  # per-dispatch cost incl. link latency
+    rounds = 5 if probe > 0.1 else 25  # keep the stage inside its timeout
+    fpss = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        o = out
+        for _ in range(rounds):
+            o = chain(crops, o, delta, fill, lo, hi)
+        jax.block_until_ready(o)
+        fpss.append(rounds * K / (time.perf_counter() - t0))
+    s = _stats(fpss)
+    out_d = {"device_roi_fps": s["med"], "device_roi_spread": s}
+    if probe > 0.1:
+        out_d["device_roi_degraded"] = f"per-dispatch probe {probe*1e3:.0f} ms (link-bound)"
+    return out_d
+
+
 def stage_pallas(d):
     import jax
 
@@ -343,6 +399,7 @@ STAGES = {
     "batch": (stage_batch, 900),
     "decode": (stage_decode, 300),
     "pdecode": (stage_pdecode, 420),
+    "device_roi": (stage_device_roi, 420),
     "device": (stage_device, 420),
     "pallas": (stage_pallas, 420),
     "cpu": (stage_cpu, 420),
@@ -408,6 +465,9 @@ def main():
     fps_mt = detail.get("cpu_mt_fps") or fps_1t
     detail["vs_baseline_1t"] = round(fps_e2e / fps_1t, 2)
     detail["vs_baseline_mt"] = round(fps_e2e / fps_mt, 2)
+    if detail.get("device_roi_fps"):
+        # hot-loop vs hot-loop: device-resident ROI scan vs the CPU FIR step
+        detail["hotloop_vs_cpu_mt"] = round(detail["device_roi_fps"] / fps_mt, 1)
     result = {
         "metric": "tracked frames/sec/chip, end-to-end 1080p (decode+track)",
         "value": fps_e2e,
