@@ -160,3 +160,27 @@ def test_track_batch_diagnostics(tmp_path):
         # frames 2..n (the initial snap frame only sets the ratio)
         assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 29
         cap.release()
+
+
+def test_track_batch_mesh_subpixel_matches_single(tmp_path, mesh8):
+    """Sharded batch + subpixel (the new scan_sub shardings): equals the
+    unsharded per-video subpixel track()."""
+    import helpers
+    from pawsometracker_tpu import IJ, track
+    from pawsometracker_tpu.batch import track_batch
+
+    rng = np.random.default_rng(9)
+    files = []
+    for b in range(4):
+        _, tra = helpers.build_trajectory(20, 24, (50, 50), rng)
+        f = helpers.trajectory2video(tra, str(tmp_path), 24, 100, 100, 10, True)
+        import os
+
+        f2 = str(tmp_path / f"s{b}.avi")
+        os.rename(f, f2)
+        files.append(f2)
+    kw = dict(start_location=IJ(50, 50), target_width=10, fps=24, subpixel=True)
+    results = track_batch(files, mesh=mesh8, **kw)
+    for f, (ts, ij) in zip(files, results):
+        _, want = track(f, **kw)
+        np.testing.assert_allclose(ij, want, atol=1e-9)
