@@ -368,8 +368,11 @@ class ParallelNativeSource:
             with self._lock:
                 if self._stop_flag:
                     return None
-                if self._eof_slot is not None and self._consumed_until >= self._eof_slot:
-                    return None
+                # NOTE: worker-declared _eof_slot is deliberately NOT checked
+                # here — a span that missed its held frame can report a bogus
+                # early EOF, so EOF authority comes only from a span whose
+                # boundary the consumer has VERIFIED (see _consume). Workers
+                # still use _eof_slot to stop claiming further spans.
                 if self._slot_limit is not None and self._consumed_until >= self._slot_limit:
                     return None
                 span = self._spans.get(idx)
@@ -386,8 +389,6 @@ class ParallelNativeSource:
                 continue  # periodic re-check of eof/stop
             if span.error is not None:
                 raise span.error
-            if span.frames.shape[0] == 0:
-                return None
             return span
 
     def _release_span(self, span: _Span):
@@ -430,7 +431,9 @@ class ParallelNativeSource:
                 # byte-identical — static scenes, camera stalls) and the
                 # pixels. Any divergence (VFR gap past the CFR guard,
                 # container oddity) falls back to an exact sequential decode
-                # — slower once, never wrong.
+                # — slower once, never wrong. Runs for EMPTY spans too: an
+                # entry that missed the held frame entirely produces a bogus
+                # early EOF, so a span only gains EOF authority by verifying.
                 if span.idx > 0 and self._prev_tail is not None:
                     pts_ok = (
                         span.lead_pts is not None
@@ -443,6 +446,8 @@ class ParallelNativeSource:
                     if not (pts_ok and pix_ok):
                         self._go_sequential()
                         continue
+                if span.frames.shape[0] == 0:
+                    break  # VERIFIED empty span: genuine EOF
                 self._cur = span
             take = min(n - got, span.frames.shape[0] - span.pos)
             blk = span.frames[span.pos : span.pos + take]

@@ -478,3 +478,29 @@ def test_fractional_stop_count_matches_decoder(tmp_path):
             got = _all_frames(par)
         assert got.shape == want.shape, (stop, got.shape, want.shape)
         np.testing.assert_array_equal(got, want)
+
+
+def test_empty_span_cannot_declare_unverified_eof(tmp_path):
+    """A worker whose entry missed the held frame can produce an EMPTY span
+    (first kept input claims a slot at/after the stream end) — a bogus early
+    EOF. EOF authority requires the span's boundary to VERIFY first
+    (regression: fuzz seed 90020 lost a frame to an unverified empty span)."""
+    path = str(tmp_path / "tail.mp4")
+    w = native_io.NativeVFRWriter(path, 64, 48)
+    # input 0 before start; input 1 just after; input 2 held for a long run;
+    # final input claims the last slot — a mid-stream span entry discards the
+    # held input 2 and sees only the final input (or nothing)
+    for k, t in enumerate([1.38, 1.52, 1.55, 2.95]):
+        img = np.full((48, 64), 128, np.uint8)
+        img[:12, :12] = (k * 13) % 256
+        w.write(img, t)
+    w.release()
+    kw = dict(start=1.4344552919193405, stop=2.960500602196178, fps=10)
+    with native_io.NativeFrameSource(path, **kw) as ref:
+        want = _all_frames(ref)
+    for span in (5, 8, 13):
+        with ParallelNativeSource(path, workers=3, span_frames=span,
+                                  keyframe_align=False, **kw) as par:
+            got = _all_frames(par)
+        assert got.shape == want.shape, (span, got.shape, want.shape)
+        np.testing.assert_array_equal(got, want)
