@@ -71,7 +71,7 @@ def parallel_ok(info, fps: float) -> bool:
 
 class _Span:
     __slots__ = ("idx", "frames", "pos", "event", "error", "entry_check",
-                 "lead_pts", "tail_pts")
+                 "lead_pts", "tail_pts", "tail_slot")
 
     def __init__(self, idx: int):
         self.idx = idx
@@ -88,6 +88,10 @@ class _Span:
         self.entry_check: np.ndarray | None = None
         self.lead_pts: int | None = None
         self.tail_pts: int | None = None
+        #: global output slot of the span's last frame — the consumer checks
+        #: span 0's grid alignment with it (a leading VFR gap past `start`
+        #: makes the decoder SKIP slots, so delivery index != slot number)
+        self.tail_slot: int | None = None
 
 
 class ParallelNativeSource:
@@ -132,7 +136,10 @@ class ParallelNativeSource:
         if W > 1:
             from .native_io import _load
 
-            if not hasattr(_load(), "pawsio_open_span"):
+            lib = _load()
+            # the span machinery needs BOTH the slot0 entry point and the
+            # slot/pts introspection used by boundary + grid verification
+            if not (hasattr(lib, "pawsio_open_span") and hasattr(lib, "pawsio_last_slot")):
                 W = 1  # stale prebuilt .so: degrade at open, not mid-stream
         self.workers = W
         #: retained-ROI window: numpy frame views into span buffers (a span's
@@ -152,35 +159,19 @@ class ParallelNativeSource:
             )
             return
 
-        # Probe the stream's FIRST output slot: when the first kept input
-        # claims a slot > 0 (a leading VFR gap past `start`), the decoder
-        # SKIPS the leading slots, so delivery index != slot number and the
-        # span bookkeeping would stitch misaligned spans — invisibly to the
-        # boundary checks, because the skipped-start worker shows the same
-        # held frame. Detected here once (decodes up to the first kept input)
-        # and handled by staying sequential. first==0 for any stream with a
-        # frame at/before `start`, i.e. all normal content.
-        probe = NativeFrameSource(
-            self.path, start=self.start, stop=self.stop, fps=self.fps, prefetch=0, threads=1
-        )
-        try:
-            first = probe.read_chunk(1)
-            first_slot = probe.last_slot if first.shape[0] else 0
-        finally:
-            probe.close()
-        if first.shape[0] and first_slot != 0:
-            self._seq = NativeFrameSource(
-                self.path, start=self.start, stop=self.stop, fps=self.fps, prefetch=0
-            )
-            return
-
-        # request cap in output slots — the C++ emit rule is
-        # "(emit_slot - 1)/fps >= duration stops", i.e. ceil(fps*d) outputs
-        # (round() undercounts fractional stops by one frame).
+        # request cap in output slots — derived with the DECODER'S OWN stop
+        # predicate ((emit_slot - 1)/fps >= duration, double math), so the
+        # two can never disagree by a ulp (round() undercounted fractional
+        # stops by one frame; a plain ceil-epsilon could still diverge on
+        # adversarial durations).
         # True EOF is discovered from short spans; speculative claims past EOF
         # are bounded by the open-span budget (at most workers+2 wasted opens).
         if math.isfinite(stop):
-            self._slot_limit = max(0, int(math.ceil(self.fps * (stop - start) - 1e-9)))
+            d_dur = self.stop - self.start
+            n = max(0, int(math.ceil(self.fps * d_dur)) + 2)
+            while n > 0 and (n - 1) / self.fps >= d_dur:
+                n -= 1
+            self._slot_limit = n
         else:
             self._slot_limit = None
 
@@ -207,6 +198,7 @@ class ParallelNativeSource:
         self._cur: _Span | None = None
         self._prev_tail: np.ndarray | None = None  # last served frame (view)
         self._prev_tail_pts: int | None = None  # its holder pts (span chain)
+        self._eof_confirmed = False  # a VERIFIED short/empty span ended the stream
         self._threads = [
             threading.Thread(target=self._worker, daemon=True) for _ in range(W)
         ]
@@ -352,6 +344,7 @@ class ParallelNativeSource:
                 span.lead_pts = src.last_pts if head.shape[0] else None
             chunk = src.read_chunk(want)
             span.tail_pts = src.last_pts if chunk.shape[0] else span.lead_pts
+            span.tail_slot = src.last_slot if chunk.shape[0] else None
         finally:
             src.close()
         span.frames = chunk
@@ -420,7 +413,10 @@ class ParallelNativeSource:
                     self._release_span(span)
                     self._cur = None
                     if short:
+                        self._eof_confirmed = True  # boundary verified at adoption
                         break  # EOF inside this span
+                if self._eof_confirmed:
+                    break  # don't wait on doomed past-EOF workers
                 span = self._next_span()
                 if span is None:
                     break
@@ -447,7 +443,18 @@ class ParallelNativeSource:
                         self._go_sequential()
                         continue
                 if span.frames.shape[0] == 0:
+                    self._eof_confirmed = True
+                    self._release_span(span)  # free its budget permit
                     break  # VERIFIED empty span: genuine EOF
+                # span 0 has no boundary to verify; its grid alignment is
+                # checked directly: with no skipped slots the last frame's
+                # slot equals start + count - 1 (the probe-free replacement
+                # for leading-gap detection)
+                if span.idx == 0 and span.tail_slot is not None:
+                    expect = self._span_start(0) + span.frames.shape[0] - 1
+                    if span.tail_slot != expect:
+                        self._go_sequential()
+                        continue
                 self._cur = span
             take = min(n - got, span.frames.shape[0] - span.pos)
             blk = span.frames[span.pos : span.pos + take]

@@ -153,7 +153,9 @@ def fuzz_params(seeds, base) -> int:
                 except (ValueError, EOFError):
                     pass
                 continue
-            depth = rng.choice([0, 1, 2, 3, "auto"])
+            # NB: rng.choice on a mixed-type list stringifies everything —
+            # draw the type first
+            depth = "auto" if rng.random() < 0.2 else int(rng.integers(0, 4))
             roi_kw = dict(
                 kw,
                 stream="roi",
@@ -199,7 +201,6 @@ def fuzz_retained(seeds, base) -> int:
                         if ring.advance_retained(n) != par.advance_retained(n):
                             bad = True
                             break
-                        retained = min(retained + n, retained + n)  # counts agree
                         retained = len(par._retained)
                     elif op == "crop":
                         n = int(rng.integers(1, 6))
