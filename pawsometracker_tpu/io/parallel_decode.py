@@ -37,8 +37,11 @@ the input frame "held" into the span's first slot is still decoded: the
 accurate-seek discard keeps frames up to half an input interval before the
 span window, which covers the holder whenever ``native_fps >= fps`` on CFR
 content (for upsampling or wildly VFR input the holder can predate the
-window), hence the CFR guard in :func:`parallel_ok`. Parity is enforced by
-tests on h264 B-frame content (tests/test_parallel_decode.py).
+window), hence the CFR pre-guard in :func:`parallel_ok` — and because the
+pre-guard cannot see local VFR gaps, every boundary is ALSO verified at
+runtime (holder pts + pixel equality, span 0 grid check) with an exact
+sequential fallback. Parity is enforced by tests on h264 B-frame content and
+randomized VFR streams (tests/test_parallel_decode.py, tools/fuzz.py).
 """
 
 from __future__ import annotations
@@ -61,11 +64,11 @@ def parallel_ok(info, fps: float) -> bool:
     holder guarantee needs the input rate at or above the output rate (see
     module docstring).
 
-    CAVEAT: ``info.fps`` is the container's guessed/average rate, so this
-    guard covers CFR content only. VFR input with a local inter-frame gap
-    wider than one average interval right before a span start can lose the
-    held frame and diverge from the sequential decode — for VFR footage keep
-    ``workers=1`` (the PTS-true sequential paths handle VFR exactly)."""
+    NOTE: ``info.fps`` is the container's guessed/average rate, so this
+    pre-guard covers CFR content only. VFR that slips past it is still SAFE:
+    every span boundary is verified at runtime (holder pts + pixels, plus
+    span 0's grid check), and any divergence falls back to an exact
+    sequential decode — correct always, parallel only when provably aligned."""
     return info.fps + 1e-6 >= fps
 
 
