@@ -19,10 +19,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 CONFIGS = [
+    ("auto_default", {}),  # the shipped defaults (pipeline_depth="auto")
     ("predict_d1_k8", {"pipeline_depth": 1, "roi_frames": 8, "speculate": "predict"}),
-    ("predict_d2_k8", {"pipeline_depth": 2, "roi_frames": 8, "speculate": "predict"}),
     ("predict_d3_k8", {"pipeline_depth": 3, "roi_frames": 8, "speculate": "predict"}),
-    ("predict_d3_k4", {"pipeline_depth": 3, "roi_frames": 4, "speculate": "predict"}),
 ]
 TIMEOUT = 600
 RETRIES = 3
