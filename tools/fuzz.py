@@ -14,9 +14,12 @@ generated content and parameters (all CPU-runnable):
 - ``retained``: random interleavings of the retained-ROI protocol
   (advance/crop/recrop/release with random origins and crop shapes) — the
   C++ ring and the Python span retention must agree crop-for-crop.
+- ``batch``: random multi-video configurations — every ``track_batch`` result
+  must equal its per-video ``track()``, and ``track_multi`` over separated
+  targets must equal per-target single tracks.
 
 Usage:
-    python tools/fuzz.py [streams|params|retained|all] [--seeds N] [--base B]
+    python tools/fuzz.py [streams|params|retained|batch|all] [--seeds N] [--base B]
 
 Exits non-zero on any divergence, printing the seed for a deterministic repro.
 """
@@ -242,11 +245,84 @@ def fuzz_retained(seeds, base) -> int:
     return fails
 
 
+def fuzz_batch(seeds, base) -> int:
+    import cv2
+
+    from pawsometracker_tpu import IJ, track
+    from pawsometracker_tpu.batch import track_batch
+    from pawsometracker_tpu.multi import track_multi
+
+    fails = 0
+    for seed in range(seeds):
+        rng = np.random.default_rng(base + seed)
+        with tempfile.TemporaryDirectory() as d:
+            B = int(rng.integers(2, 5))
+            H, W = int(rng.integers(90, 200)), int(rng.integers(120, 280))
+            files, starts = [], []
+            for b in range(B):
+                T = int(rng.integers(8, 50))
+                i, j = int(rng.integers(10, H - 10)), int(rng.integers(10, W - 10))
+                starts.append((i, j))
+                path = os.path.join(d, f"v{b}.avi")
+                vw = cv2.VideoWriter(
+                    path, cv2.VideoWriter_fourcc(*"FFV1"), 24, (W, H), isColor=False
+                )
+                for _ in range(T):
+                    f = np.full((H, W), 128, np.uint8)
+                    cv2.circle(f, (j, i), 5, 0, -1)
+                    vw.write(f)
+                    i = int(np.clip(i + rng.integers(-6, 7), 0, H - 1))
+                    j = int(np.clip(j + rng.integers(-6, 7), 0, W - 1))
+                vw.release()
+                files.append(path)
+            kw = dict(target_width=10, fps=24)
+            if rng.random() < 0.3:
+                kw["subpixel"] = True
+            if rng.random() < 0.3:
+                kw["pipeline_depth"] = int(rng.integers(0, 4))
+            locs = [IJ(*s0) for s0 in starts]
+            results = track_batch(files, start_location=locs, **kw)
+            for f, loc, (ts, ij) in zip(files, locs, results):
+                _, want = track(f, start_location=loc, **kw)
+                if not np.array_equal(np.asarray(ij), np.asarray(want)):
+                    fails += 1
+                    print(f"batch seed {base + seed}: {f} != single {kw}")
+                    break
+            # multi: two separated targets in one frame must equal singles
+            if H >= 120 and W >= 160:
+                p1, p2 = (H // 4, W // 4), (3 * H // 4, 3 * W // 4)
+                path = os.path.join(d, "m.avi")
+                vw = cv2.VideoWriter(
+                    path, cv2.VideoWriter_fourcc(*"FFV1"), 24, (W, H), isColor=False
+                )
+                T = int(rng.integers(8, 40))
+                q1, q2 = list(p1), list(p2)
+                for _ in range(T):
+                    f = np.full((H, W), 128, np.uint8)
+                    cv2.circle(f, (q1[1], q1[0]), 5, 0, -1)
+                    cv2.circle(f, (q2[1], q2[0]), 5, 0, -1)
+                    vw.write(f)
+                    q1[0] = int(np.clip(q1[0] + rng.integers(-4, 5), 0, H // 2))
+                    q1[1] = int(np.clip(q1[1] + rng.integers(-4, 5), 0, W // 2))
+                    q2[0] = int(np.clip(q2[0] + rng.integers(-4, 5), H // 2, H - 1))
+                    q2[1] = int(np.clip(q2[1] + rng.integers(-4, 5), W // 2, W - 1))
+                vw.release()
+                mkw = dict(target_width=10, fps=24)
+                _, pos = track_multi(path, [IJ(*p1), IJ(*p2)], **mkw)
+                _, w1 = track(path, start_location=IJ(*p1), **mkw)
+                _, w2 = track(path, start_location=IJ(*p2), **mkw)
+                if not (np.array_equal(pos[:, 0], w1) and np.array_equal(pos[:, 1], w2)):
+                    fails += 1
+                    print(f"batch seed {base + seed}: multi != singles")
+    print(f"batch: {fails} failures / {seeds}")
+    return fails
+
+
 def main() -> int:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     seeds = int(sys.argv[sys.argv.index("--seeds") + 1]) if "--seeds" in sys.argv else 20
     base = int(sys.argv[sys.argv.index("--base") + 1]) if "--base" in sys.argv else 1000
-    if which in ("params", "all"):
+    if which in ("params", "batch", "all"):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
@@ -257,6 +333,8 @@ def main() -> int:
         total += fuzz_params(seeds, base)
     if which in ("retained", "all"):
         total += fuzz_retained(seeds, base)
+    if which in ("batch", "all"):
+        total += fuzz_batch(seeds, base)
     return 1 if total else 0
 
 
