@@ -30,7 +30,6 @@ import numpy as np
 from ..ops.dog_kernel import (
     dog_kernel_2d,
     dog_kernel_separable,
-    fix_window_size,
     get_sigma,
 )
 from ..ops.filters import argmax_colmajor, separable_correlate_valid
@@ -309,10 +308,23 @@ def tracker_fns(spec: TrackerSpec) -> TrackerFns:
 
 
 def make_spec(frame_shape, window_size, target_width, darker_target) -> TrackerSpec:
-    """Build a spec from user-facing arguments (normalizes window size)."""
+    """Build a spec.
+
+    ``window_size`` is a scalar edge length or an ALREADY-NORMALIZED
+    ``(rows, cols)`` pair. The single point of the reference's ``(w, h)`` ->
+    ``(h, w)`` reversal is :func:`fix_window_size`, applied exactly once at
+    the public API boundary (reference: src/PawsomeTracker.jl:70-72,44);
+    ``make_spec`` must NOT reverse again, or rectangular windows transpose.
+    """
+    if isinstance(window_size, (tuple, list)):
+        if len(window_size) != 2:
+            raise ValueError(f"window_size must be an int or (rows, cols), got {window_size!r}")
+        ws = (int(window_size[0]), int(window_size[1]))
+    else:
+        ws = (int(window_size), int(window_size))
     return TrackerSpec(
         frame_shape=(int(frame_shape[0]), int(frame_shape[1])),
-        window_size=fix_window_size(window_size),
+        window_size=ws,
         target_width=float(target_width),
         darker_target=bool(darker_target),
     )

@@ -136,7 +136,13 @@ def fuzz_params(seeds, base) -> int:
             kw = dict(
                 start_location=IJ(*start_ij),
                 target_width=tw,
-                window_size=int(rng.choice([17, 21, 31, 41])),
+                # scalar and rectangular (w, h) windows — rectangular shapes
+                # pin the single-point (w, h)->(rows, cols) normalization
+                window_size=(
+                    (int(rng.choice([17, 31, 41])), int(rng.choice([9, 21, 31])))
+                    if rng.random() < 0.4
+                    else int(rng.choice([17, 21, 31, 41]))
+                ),
                 darker_target=dark,
                 fps=float(rng.choice([12, 24, 48])),
             )
