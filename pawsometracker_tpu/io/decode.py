@@ -26,11 +26,14 @@ constant-frame-rate, and switches permanently to the container's per-frame pts
 by more than half an input interval (variable-frame-rate content). The native
 backend always uses real per-frame pts and is authoritative for VFR: OpenCV's
 own demux layer can duplicate/drop frames around irregular timestamps, so the
-fallback is best-effort there (tested to agree on resampling *structure*).
+fallback is best-effort there (tested to agree on resampling *structure*), and
+it emits a one-time ``logging`` warning per source when VFR content activates
+pts mode, pointing at the native backend.
 """
 
 from __future__ import annotations
 
+import logging
 import math
 import os
 import queue
@@ -39,6 +42,8 @@ from dataclasses import dataclass
 from fractions import Fraction
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 __all__ = [
     "VideoInfo",
@@ -163,6 +168,20 @@ class OpenCVFrameSource:
                     # constant-frame-rate counter — VFR content; trust pts
                     # from here on (sticky so the timeline stays consistent)
                     self._pts_mode = True
+                    # the OpenCV backend is BEST-EFFORT on VFR content:
+                    # cv2's demux layer can duplicate/drop frames around
+                    # irregular timestamps, so frame selection may diverge
+                    # from ffmpeg `-vf fps` semantics. The native libav
+                    # decoder is authoritative — tell the user once.
+                    logger.warning(
+                        "%s: variable-frame-rate timestamps detected; the "
+                        "OpenCV fallback decoder is best-effort on VFR "
+                        "content and may select different frames than "
+                        "ffmpeg's fps filter. Build the native libav "
+                        "backend (pawsometracker_tpu/io/native) for exact "
+                        "VFR frame selection.",
+                        self.path,
+                    )
                 t = t_pts if self._pts_mode else t_count
             else:
                 t = t_count

@@ -190,6 +190,22 @@ def test_vfr_opencv_fallback_is_pts_true(vfr_video):
     assert rmse < 1.5, rmse
 
 
+def test_vfr_opencv_fallback_warns_once(vfr_video, caplog):
+    """Selecting the best-effort cv2 backend for VFR content must WARN the
+    user and name the native backend (the guarantee matrix is enforced, not
+    just documented)."""
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="pawsometracker_tpu.io.decode"):
+        with OpenCVFrameSource(vfr_video, fps=24) as src:
+            while src.read() is not None:
+                pass
+            assert src._pts_mode
+    warnings = [r for r in caplog.records if "best-effort on VFR" in r.getMessage()]
+    assert len(warnings) == 1, f"expected exactly one VFR warning, got {len(warnings)}"
+    assert "native" in warnings[0].getMessage()
+
+
 def test_vfr_backends_agree(vfr_video):
     """Native (authoritative pts) and cv2 fallback must produce the same
     resampling structure; content may differ on a frame or two where cv2's

@@ -84,6 +84,44 @@ def test_packaging_metadata():
     assert "pawsio.cpp" in native_data and "Makefile" in native_data
 
 
+def test_generated_api_reference_is_current():
+    """docs/reference.md is generated from the live docstrings and must not
+    rot (reference analog: the Documenter build, docs/make.jl:61-70)."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "build_docs.py"), "--check"],
+        capture_output=True,
+        text=True,
+        timeout=240,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_license_and_citation_shipped():
+    """LICENSE and CITATION.cff files exist and match the metadata — the
+    reference ships both (reference: LICENSE:1, CITATION.cff:1), and wheel
+    metadata needs a real license file to be distributable."""
+    import os
+    import tomllib
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lic = os.path.join(root, "LICENSE")
+    assert os.path.exists(lic)
+    with open(lic) as f:
+        assert "MIT License" in f.read()
+    cff = os.path.join(root, "CITATION.cff")
+    assert os.path.exists(cff)
+    with open(cff) as f:
+        cff_text = f.read()
+    assert f"version: {pkg.__version__}" in cff_text
+    assert "license: MIT" in cff_text
+    with open(os.path.join(root, "pyproject.toml"), "rb") as f:
+        meta = tomllib.load(f)
+    assert meta["project"]["license"] == {"file": "LICENSE"}
+
+
 def test_api_signature_stability():
     sig = inspect.signature(pkg.track)
     expected = {
