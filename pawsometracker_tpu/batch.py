@@ -10,8 +10,6 @@ prefetch thread per video, assembling lockstep ``[B, T, H, W]`` chunks.
 
 from __future__ import annotations
 
-import time
-
 import numpy as np
 
 from .api import DEFAULT_CHUNK_SIZE, DEFAULT_MAX_DURATION_SECONDS, IJ, _resolve_guess
@@ -268,26 +266,27 @@ def _track_batch_uniform(
             dias.append(d)
 
         # ROI streaming (mirrors api._track_one): ship only drift-bounded
-        # crops per video instead of full frames, speculatively PIPELINED
-        # (see pipeline.py): crops are aimed by velocity prediction with the
-        # synchronous margin + slack, chunk scans chain their start positions
-        # on device, results are containment-validated at (lagged) drain time
-        # and replayed on a mispredict — the batch never blocks on a per-chunk
-        # host<->device round trip and bytes/frame stay at synchronous levels.
+        # crops per video instead of full frames, speculatively PIPELINED by
+        # the ONE shared controller (pipeline.SpeculativePipeline): crops are
+        # aimed by velocity prediction with the synchronous margin + slack,
+        # chunk scans chain their start positions on device, results are
+        # containment-validated at (lagged) drain time and replayed on a
+        # mispredict — the batch never blocks on a per-chunk host<->device
+        # round trip and bytes/frame stay at synchronous levels.
         from .pipeline import (
-            AUTO_DRAIN_BLOCK_S,
-            _crop_with_fill,
+            PerVideoSource,
+            SpeculativePipeline,
+            _BatchedEngine,
             _select_batched_bounded,
-            _to_host_async,
-            make_chained_batch,
+            _select_sharded_bounded,
             roi_geometry,
         )
+        from .utils.profiling import Timer
 
         ch, cw, margin = roi_geometry(spec, roi_frames, depth_gate, mode)
         use_roi = stream == "roi" or (
             stream == "auto" and ch * cw * 2 < frame_shape[0] * frame_shape[1]
         )
-        RETAINED = "native-retained"
         if use_roi:
             chunk_size = roi_frames
             roi_spec = make_spec((ch, cw), window_size, target_width, darker_target)
@@ -299,8 +298,11 @@ def _track_batch_uniform(
                     roi_engine, roi_spec, roi_frames, B, int(fills[0]), engine
                 )
             else:
-                scan_bounded = roi_engine.scan_bounded  # sharded path stays vmapped XLA
-            scan_chain = make_chained_batch(scan_bounded)
+                # sharded path: measured fused-Pallas-per-chip via shard_map
+                # when it wins (and B divides the data axis), else vmapped XLA
+                scan_bounded = _select_sharded_bounded(
+                    roi_engine, roi_spec, roi_frames, B, int(fills[0]), engine, mesh
+                )
         # native retained mode: every source crops (and replays) in C++ —
         # full frames never enter Python for the whole batch
         nat_retained = (
@@ -314,218 +316,66 @@ def _track_batch_uniform(
         )
         if nat_retained:
             prefetcher_objs = []
-            left = [n - 1 for n in ns]  # frames still to track per video
         else:
             prefetcher_objs = [
                 ChunkPrefetcher(s, chunk_size, max_frames=n - 1) for s, n in zip(sources, ns)
             ]
-            prefetchers = [iter(p) for p in prefetcher_objs]
-        active = [True] * B
-        last_frames = [frames0[b] for b in range(B)]
         pos_host = np.array(pos)  # newest DOWNLOADED positions per video
-        H, W = frame_shape
-
-        def _gather():
-            """One chunk per active video; marks EOF videos inactive."""
-            valid = np.zeros(B, np.int64)
-            chunks = [None] * B
-            if nat_retained:
-                for b in range(B):
-                    if active[b]:
-                        k = sources[b].advance_retained(min(chunk_size, left[b]))
-                        if k == 0:
-                            active[b] = False
-                        else:
-                            valid[b] = k
-                            chunks[b] = RETAINED
-                            left[b] -= k
-                            if k < chunk_size or left[b] == 0:
-                                active[b] = False
-                return valid, chunks
-            for b in range(B):
-                if active[b]:
-                    try:
-                        chunk = next(prefetchers[b])
-                    except StopIteration:
-                        chunk = None
-                    if chunk is None or chunk.shape[0] == 0:
-                        active[b] = False
-                    else:
-                        k = chunk.shape[0]
-                        valid[b] = k
-                        chunks[b] = chunk
-                        if k < chunk_size:
-                            active[b] = False
-            return valid, chunks
 
         if use_roi:
-            from collections import deque
+            timer = Timer()
 
-            # rotating crop buffers: reused only after the chunk's result is
-            # drained, so in-flight transfers never read a mutated buffer
-            free_bufs = [
-                np.empty((B, chunk_size, ch, cw), np.uint8)
-                for _ in range(depth_gate + 2)
-            ]
-            pending: deque = deque()
-            prev_out = None
-            prev_origins = None
-            depth_cur = 1 if auto_depth else depth_gate
-
-
-
-            vel = np.zeros((B, 2))  # px/frame per video, for crop aiming
-            rh = np.array(spec.radii) + spec.kernel_len // 2
-            frame_max = np.array([H - 1, W - 1])
-
-            def crop_all(chunks_e, valid_e, origins_e, buf, bases=None):
+            def sink(abs_pos, valid_e, off_np):
                 for b in range(B):
                     k = int(valid_e[b])
                     if k > 0:
-                        if chunks_e[b] is RETAINED:
-                            base = 0 if bases is None else int(bases[b])
-                            sources[b].recrop(
-                                base, k, origins_e[b], ch, cw, int(fills[b]), out=buf[b]
-                            )
-                        else:
-                            for i in range(k):
-                                _crop_with_fill(
-                                    chunks_e[b][i], origins_e[b], ch, cw, int(fills[b]), out=buf[b, i]
-                                )
-                        for i in range(k, chunk_size):
-                            buf[b, i] = buf[b, k - 1]
-                    else:
-                        buf[b] = fills[b]
-
-            def run_scan(buf, origins_e, pos0=None):
-                nonlocal prev_out, prev_origins
-                lo = np.maximum(-origins_e, 0).astype(np.int32)
-                hi = np.minimum(
-                    [[ch - 1, cw - 1]] * B, frame_max[None] - origins_e
-                ).astype(np.int32)
-                if pos0 is not None or prev_out is None:
-                    p0 = pos_host if pos0 is None else pos0
-                    out = scan_bounded(
-                        roi_engine.shard_chunk(buf),
-                        jnp.asarray((p0 - origins_e).astype(np.int32)),
-                        fills_dev,
-                        roi_engine.shard_chunk(lo),
-                        roi_engine.shard_chunk(hi),
-                    )
-                else:
-                    out = scan_chain(
-                        roi_engine.shard_chunk(buf),
-                        prev_out,
-                        jnp.asarray((prev_origins - origins_e).astype(np.int32)),
-                        fills_dev,
-                        roi_engine.shard_chunk(lo),
-                        roi_engine.shard_chunk(hi),
-                    )
-                if subpixel:
-                    out, off = out
-                    _to_host_async(out, off)
-                else:
-                    off = None
-                    _to_host_async(out)
-                # the chained scan needs only the POSITIONS device handle
-                prev_out, prev_origins = out, origins_e
-                return out, off
-
-            def accept(out_np, off, origins_e, valid_e, chunks_e, buf):
-                off_np = None if off is None else np.asarray(off)  # one D2H, not B
-                for b in range(B):
-                    k = int(valid_e[b])
-                    if k > 0:
-                        abs_b = out_np[b, :k].astype(np.int64) + origins_e[b]
-                        positions[b].append(abs_b)
+                        positions[b].append(abs_pos[b, :k])
                         if off_np is not None:
                             offsets[b].append(off_np[b, :k])
                         counts[b] += k
-                        if k > 1:
-                            vel[b] = (abs_b[-1] - abs_b[0]) / (k - 1)
-                        pos_host[b] = abs_b[-1]
-                        if chunks_e[b] is RETAINED:
-                            sources[b].release(k)
-                        else:
-                            for i in range(k):
-                                dias[b](chunks_e[b][i], abs_b[i])
-                    if chunks_e[b] is not None and chunks_e[b] is not RETAINED:
-                        prefetcher_objs[b].recycle(chunks_e[b])
-                if buf is not None:
-                    free_bufs.append(buf)
 
-            def contained(out_np, origins_e, valid_e):
-                """Every window each video's scan read must lie inside its
-                crop (reads past the true frame edge hit the same fill)."""
-                for b in range(B):
-                    k = int(valid_e[b])
-                    if k == 0:
-                        continue
-                    seq = np.concatenate(
-                        [pos_host[b][None].astype(np.int64),
-                         out_np[b, :k].astype(np.int64) + origins_e[b]]
-                    )
-                    if not (
-                        (np.maximum(seq - rh, 0) >= origins_e[b]).all()
-                        and (np.minimum(seq + rh, frame_max) <= origins_e[b] + [ch - 1, cw - 1]).all()
-                    ):
-                        return False
-                return True
-
-            def replay(entries):
-                """Any video mispredicted: re-run every in-flight chunk round
-                synchronously with exact origins (containment guaranteed)."""
-                nonlocal prev_out, prev_origins, depth_cur
-                if auto_depth:
-                    depth_cur = 1
-                prev_out = None
-                prev_origins = None
-                for _, _, _, valid_e, chunks_e, buf in entries:
-                    origins_e = pos_host.astype(np.int64) - np.asarray(margin)
-                    rbuf = np.empty((B, chunk_size, ch, cw), np.uint8)
-                    crop_all(chunks_e, valid_e, origins_e, rbuf)
-                    out, off = run_scan(rbuf, origins_e, pos0=pos_host.astype(np.int64))
-                    accept(np.asarray(out), off, origins_e, valid_e, chunks_e, buf)
-
-            def drain_one():
-                nonlocal depth_cur
-                entry = pending.popleft()
-                out, off, origins_e, valid_e, chunks_e, buf = entry
-                t0 = time.perf_counter()
-                out_np = np.asarray(out)  # lagged; transfer started at dispatch
-                blocked = time.perf_counter() - t0
-                if auto_depth and blocked > AUTO_DRAIN_BLOCK_S and depth_cur < depth_gate:
-                    depth_cur += 1
-                if mode == "predict" and not contained(out_np, origins_e, valid_e):
-                    replay([entry] + list(pending))
-                    pending.clear()
-                    return
-                accept(out_np, off, origins_e, valid_e, chunks_e, buf)
-
-            while any(active):
-                while len(pending) > depth_cur:
-                    drain_one()
-                valid, chunks = _gather()
-                if valid.sum() == 0:
-                    break
-                if mode == "predict":
-                    stale = sum(int(v.max()) for _, _, _, v, _, _ in pending)
-                    pred = pos_host.astype(np.float64) + vel * stale
-                    origins = np.round(pred).astype(np.int64) - np.asarray(margin)
-                else:
-                    origins = pos_host.astype(np.int64) - np.asarray(margin)
-                buf = free_bufs.pop()
-                bases = (
-                    [sum(int(v[b]) for _, _, _, v, _, _ in pending) for b in range(B)]
-                    if nat_retained
-                    else None
-                )
-                crop_all(chunks, valid, origins, buf, bases=bases)
-                out, off = run_scan(buf, origins)
-                pending.append((out, off, origins, valid, chunks, buf))
-            while pending:
-                drain_one()
+            pipe = SpeculativePipeline(
+                L=B,
+                K=roi_frames,
+                crop_shape=(ch, cw),
+                margin=margin,
+                spec=spec,
+                mode=mode,
+                depth="auto" if auto_depth else depth_gate,
+                engine=_BatchedEngine(
+                    scan_bounded, (ch, cw), frame_shape, fills_dev, subpixel,
+                    timer, shard=roi_engine.shard_chunk,
+                ),
+                source=PerVideoSource(
+                    sources, K=roi_frames, ch=ch, cw=cw, fills=fills, dias=dias,
+                    ns=ns, nat_retained=nat_retained, prefetcher_objs=prefetcher_objs,
+                ),
+                sink=sink,
+                timer=timer,
+            )
+            pipe.run(pos_host.astype(np.int64), max(ns) - 1)
         else:
+            active = [True] * B
+            last_frames = [frames0[b] for b in range(B)]
+            prefetch_iters = [iter(p) for p in prefetcher_objs]
+
+            def _gather():
+                """One chunk per active video; marks EOF videos inactive."""
+                valid = np.zeros(B, np.int64)
+                chunks = [None] * B
+                for b in range(B):
+                    if active[b]:
+                        chunk = next(prefetch_iters[b], None)
+                        if chunk is None or chunk.shape[0] == 0:
+                            active[b] = False
+                        else:
+                            k = chunk.shape[0]
+                            valid[b] = k
+                            chunks[b] = chunk
+                            if k < chunk_size:
+                                active[b] = False
+                return valid, chunks
+
             batch = np.empty((B, chunk_size) + frame_shape, np.uint8)
             if subpixel:
                 lo_full = jnp.zeros((B, 2), jnp.int32)

@@ -33,6 +33,7 @@ __all__ = [
     "make_mesh",
     "batch_sharding",
     "ShardedBatchTracker",
+    "sharded_pallas_bounded",
     "global_detect_batch",
     "global_detect_peaks",
 ]
@@ -184,6 +185,37 @@ def global_detect_peaks(spec: TrackerSpec, n_targets: int, min_distance: int | N
         return out
 
     return jax.jit(detect)
+
+
+def sharded_pallas_bounded(spec: TrackerSpec, mesh: Mesh, *, interpret: bool = False):
+    """The fused Pallas bounded scan under a device mesh: ``shard_map`` over
+    the ``data`` axis so EACH chip runs the ``grid=(B/chips, T)`` fused kernel
+    on its shard of the batch — the multi-chip path gets the same measured
+    engine as single-chip instead of falling back to vmapped XLA.
+
+    The batch axis must divide the mesh's ``data`` extent (callers fall back
+    to the vmapped XLA scan otherwise). Signature matches the batched bounded
+    scan: ``fn(frames [B,T,ch,cw], pos0 [B,2], fills [B], lo [B,2], hi [B,2])
+    -> positions int32 [B,T,2]``. ``interpret=True`` runs the kernel in Pallas
+    interpret mode (used by the CPU-mesh equality tests).
+    """
+    from ..ops.pallas_tracker import pallas_scan_fn
+
+    pal = pallas_scan_fn(spec, batched=True, bounded=True, interpret=interpret)
+    fn = jax.shard_map(
+        pal,
+        mesh=mesh,
+        in_specs=(
+            P("data", None, None, None),  # frames [B, T, ch, cw]
+            P("data", None),  # pos0 [B, 2]
+            P("data"),  # fills [B]
+            P("data", None),  # lo [B, 2]
+            P("data", None),  # hi [B, 2]
+        ),
+        out_specs=P("data", None, None),
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 class ShardedBatchTracker:

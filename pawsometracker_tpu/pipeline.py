@@ -34,6 +34,17 @@ complementary mechanisms (always bit-identical results — tests enforce it):
 
 ``depth=0`` with ``contain`` reproduces the synchronous round-1 behavior
 exactly (same crops, same margins).
+
+**One controller, three frontends.** The dispatch/contain/replay/auto-depth
+state machine exists ONCE — :class:`SpeculativePipeline`, generic over a lane
+axis ``L >= 1`` — with pluggable frame delivery (:class:`SingleVideoSource`
+for one video/one target, :class:`FanoutSource` for N targets in one stream,
+:class:`PerVideoSource` for B independent videos) and pluggable engines
+(:class:`_SingleEngine` wraps the unbatched measured kernels so the L=1 path
+keeps its engine byte-for-byte; :class:`_BatchedEngine` wraps the batched /
+sharded scans). ``run_roi_pipeline`` / ``run_multi_roi_pipeline`` /
+``track_batch`` are thin compositions of these pieces, so a tuning or
+correctness change cannot silently diverge between them.
 """
 
 from __future__ import annotations
@@ -46,7 +57,8 @@ from .io.decode import ChunkPrefetcher
 from .models.dog_tracker import make_spec, tracker_fns
 
 __all__ = ["roi_geometry", "make_chained", "make_chained_batch", "run_roi_pipeline",
-           "pick_bounded_engine", "pick_bounded_engine_batch"]
+           "pick_bounded_engine", "pick_bounded_engine_batch", "SpeculativePipeline",
+           "SingleVideoSource", "FanoutSource", "PerVideoSource"]
 
 #: mispredict replays since import (observability: tests + debugging)
 replay_count = 0
@@ -56,9 +68,11 @@ replay_count = 0
 AUTO_DEPTH_MAX = 3
 
 #: pipeline_depth="auto" deepens when the lagged drain blocks longer than
-#: this — shared by the single/multi/batch drain controllers so a tuning
-#: change cannot silently diverge between the three pipelines
+#: this — one constant because there is one drain controller
 AUTO_DRAIN_BLOCK_S = 0.002
+
+#: sentinel: a chunk's frames live in the native decoder's C++ retained ring
+RETAINED = "native-retained"
 
 
 def _predict_slack(k_frames: int, depth: int, r: int) -> int:
@@ -313,6 +327,31 @@ def _select_batched_bounded(tracker, roi_spec, k_frames: int, batch: int, fill: 
     return tracker.scan_bounded
 
 
+def _select_sharded_bounded(tracker, roi_spec, k_frames: int, batch: int, fill: int,
+                            engine: str, mesh):
+    """Mesh analog of :func:`_select_batched_bounded`: when the measured
+    choice picks the fused kernel and the batch divides the mesh's ``data``
+    axis, each chip runs the ``grid=(B/chips, T)`` fused Pallas kernel on its
+    shard via ``shard_map`` (parallel.mesh.sharded_pallas_bounded); otherwise
+    the sharded vmapped XLA scan. The measurement runs at the PER-SHARD batch
+    size — that is the grid each chip actually executes."""
+    data_size = mesh.shape.get("data", 1)
+    if engine == "pallas" and batch % data_size:
+        raise ValueError(
+            f"engine='pallas' under a mesh needs the batch ({batch}) divisible "
+            f"by the mesh data axis ({data_size})"
+        )
+    if engine == "auto" and batch % data_size == 0:
+        engine, _ = pick_bounded_engine_batch(
+            roi_spec, k_frames, max(batch // data_size, 1), fill
+        )
+    if engine == "pallas":
+        from .parallel.mesh import sharded_pallas_bounded
+
+        return sharded_pallas_bounded(roi_spec, mesh)
+    return tracker.scan_bounded
+
+
 def _crop_with_fill(frame: np.ndarray, o, ch: int, cw: int, fill: int, out=None) -> np.ndarray:
     """Crop ``frame`` at origin ``o`` (may be out of bounds) to ``(ch, cw)``,
     filling out-of-frame cells with the mode fill value."""
@@ -336,6 +375,558 @@ def _to_host_async(*arrays):
             pass
 
 
+# ---------------------------------------------------------------------------
+# Engine adapters: hide the lane-axis shape difference between the unbatched
+# single-target kernels and the batched/sharded scans. Both own the on-device
+# position chain (prev handle + origin deltas) so the controller never touches
+# device arrays directly.
+# ---------------------------------------------------------------------------
+
+
+class _SingleEngine:
+    """Lane adapter for L=1 over the UNBATCHED scans — keeps the measured
+    single-target engine (fused Pallas or XLA) byte-for-byte."""
+
+    def __init__(self, scan_first, scan_chain, crop_shape, frame_shape, fill, subpixel, timer):
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        self.scan_first = scan_first
+        self.scan_chain = scan_chain
+        self.ch, self.cw = crop_shape
+        self.H, self.W = frame_shape
+        self.fill_dev = np.uint8(fill)
+        self.subpixel = subpixel
+        self.timer = timer
+        self.reset()
+
+    def reset(self):
+        """Invalidate the on-device chain (EOF of a replayed span)."""
+        self._prev = None
+        self._prev_origin = None
+
+    def dispatch(self, buf, origins, P_abs):
+        jnp = self._jnp
+        o = origins[0]
+        lo = np.maximum([-o[0], -o[1]], 0).astype(np.int32)
+        hi = np.minimum(
+            [self.ch - 1, self.cw - 1], [self.H - 1 - o[0], self.W - 1 - o[1]]
+        ).astype(np.int32)
+        with self.timer.section("device"):
+            if self._prev is None:
+                pos_rel = jnp.asarray((P_abs[0] - o).astype(np.int32))
+                out = self.scan_first(buf[0], pos_rel, self.fill_dev, lo, hi)
+            else:
+                delta = (self._prev_origin - o).astype(np.int32)
+                out = self.scan_chain(buf[0], self._prev, delta, self.fill_dev, lo, hi)
+        if self.subpixel:
+            pos, off = out
+            _to_host_async(pos, off)
+        else:
+            pos, off = out, None
+            _to_host_async(pos)
+        self._prev, self._prev_origin = pos, o
+        return (pos, off)
+
+    def to_host(self, handle):
+        pos, off = handle
+        pos_np = np.asarray(pos)[None]  # [1, K, 2]
+        off_np = None if off is None else np.asarray(off)[None]
+        return pos_np, off_np
+
+
+class _BatchedEngine:
+    """Lane adapter over the batched bounded scans ``fn([L,K,ch,cw], [L,2],
+    [L], [L,2], [L,2])`` — vmapped XLA, the grid=(L,T) fused Pallas kernel,
+    or the mesh-sharded variants (``shard`` places host arrays on the mesh)."""
+
+    def __init__(self, scan_bounded, crop_shape, frame_shape, fills_dev, subpixel, timer, shard=None):
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        self.scan = scan_bounded
+        self.chain = make_chained_batch(scan_bounded)
+        self.ch, self.cw = crop_shape
+        self.frame_max = np.array([frame_shape[0] - 1, frame_shape[1] - 1])
+        self.fills_dev = fills_dev
+        self.subpixel = subpixel
+        self.timer = timer
+        self.shard = shard if shard is not None else jnp.asarray
+        self.reset()
+
+    def reset(self):
+        self._prev = None
+        self._prev_origins = None
+
+    def dispatch(self, buf, origins, P_abs):
+        jnp = self._jnp
+        L = origins.shape[0]
+        lo = np.maximum(-origins, 0).astype(np.int32)
+        hi = np.minimum(
+            [[self.ch - 1, self.cw - 1]] * L, self.frame_max[None] - origins
+        ).astype(np.int32)
+        with self.timer.section("device"):
+            if self._prev is None:
+                out = self.scan(
+                    self.shard(buf),
+                    jnp.asarray((P_abs - origins).astype(np.int32)),
+                    self.fills_dev,
+                    self.shard(lo),
+                    self.shard(hi),
+                )
+            else:
+                out = self.chain(
+                    self.shard(buf),
+                    self._prev,
+                    jnp.asarray((self._prev_origins - origins).astype(np.int32)),
+                    self.fills_dev,
+                    self.shard(lo),
+                    self.shard(hi),
+                )
+        if self.subpixel:
+            pos, off = out
+            _to_host_async(pos, off)
+        else:
+            pos, off = out, None
+            _to_host_async(pos)
+        # the chained scan needs only the POSITIONS device handle
+        self._prev, self._prev_origins = pos, origins
+        return (pos, off)
+
+    def to_host(self, handle):
+        pos, off = handle
+        return np.asarray(pos), (None if off is None else np.asarray(off))
+
+
+# ---------------------------------------------------------------------------
+# Lane sources: pluggable frame delivery. Each fills a caller-provided crop
+# buffer ``buf[L, K, ch, cw]`` at given per-lane origins and later releases /
+# recycles / diagnoses the accepted frames. Tokens are opaque to the
+# controller (RETAINED sentinel, a shared numpy chunk, or a per-lane list).
+# ---------------------------------------------------------------------------
+
+
+class SingleVideoSource:
+    """One video, one target lane. Delivery: C++ retained ring (predict),
+    direct C++ ROI reads (contain), or a prefetched full-frame chunk cropped
+    in Python (with optional per-frame diagnostics)."""
+
+    def __init__(self, src, *, K, ch, cw, fill, dia, mode, native_roi, depth,
+                 n_rest, prefetchers):
+        from .diagnose import Dont
+
+        self.src = src
+        self.K, self.ch, self.cw, self.fill = K, ch, cw, fill
+        self.dia = dia
+        self.mode = mode
+        self.keep_for_dia = not isinstance(dia, Dont)
+        self.use_native_roi = native_roi and mode == "contain"
+        # retained reads DEADLOCK if the ring cannot hold the in-flight chunks
+        # plus one decoding chunk, so require a ring sized by the caller
+        self.use_native_retained = (
+            native_roi
+            and mode == "predict"
+            and hasattr(src, "read_roi_chunk_retained")
+            and getattr(src, "ring_frames", 0) >= (depth + 2) * K
+        )
+        self._pf = None
+        if not (self.use_native_roi or self.use_native_retained):
+            self._pf = ChunkPrefetcher(src, K, max_frames=n_rest)
+            prefetchers.append(self._pf)
+            self._it = iter(self._pf)
+
+    def acquire(self, remaining, origins, buf, timer):
+        o = origins[0]
+        if self.use_native_roi or self.use_native_retained:
+            reader = (
+                self.src.read_roi_chunk_retained
+                if self.use_native_retained
+                else self.src.read_roi_chunk
+            )
+            with timer.section("crop"):
+                got = reader(
+                    min(self.K, remaining), (int(o[0]), int(o[1])), self.ch, self.cw,
+                    self.fill, out=buf[0],
+                )
+            k = got.shape[0]
+            if k == 0:
+                return None
+            for i in range(k, self.K):
+                buf[0, i] = buf[0, k - 1]
+            return (RETAINED if self.use_native_retained else None, np.array([k]))
+        chunk = next(self._it, None)
+        if chunk is None or chunk.shape[0] == 0:
+            return None
+        k = chunk.shape[0]
+        with timer.section("crop"):
+            for i in range(k):
+                _crop_with_fill(chunk[i], o, self.ch, self.cw, self.fill, out=buf[0, i])
+        for i in range(k, self.K):
+            buf[0, i] = buf[0, k - 1]
+        # predict mode retains the frames for exact replay; diagnostics also
+        # need them — otherwise recycle immediately
+        if not (self.mode == "predict" or self.keep_for_dia):
+            self._pf.recycle(chunk)
+            chunk = None
+        return (chunk, np.array([k]))
+
+    def recrop(self, tokens, valid, origins, rbuf, timer):
+        k = int(valid[0])
+        o = origins[0]
+        with timer.section("crop"):
+            if tokens is RETAINED:
+                # each accept released its chunk, so this entry's frames are
+                # now the OLDEST retained: recrop window [0, k)
+                self.src.recrop(0, k, (int(o[0]), int(o[1])), self.ch, self.cw,
+                                self.fill, out=rbuf[0])
+            else:
+                for i in range(k):
+                    _crop_with_fill(tokens[i], o, self.ch, self.cw, self.fill, out=rbuf[0, i])
+            for i in range(k, self.K):
+                rbuf[0, i] = rbuf[0, k - 1]
+
+    def accept(self, tokens, valid, abs_pos, timer):
+        k = int(valid[0])
+        if tokens is RETAINED:
+            self.src.release(k)  # this chunk's frames are the oldest retained
+        elif tokens is not None:
+            with timer.section("diagnose"):
+                for i in range(k):
+                    self.dia(tokens[i], abs_pos[0, i])
+            self._pf.recycle(tokens)
+
+
+class FanoutSource:
+    """One video stream, N target lanes: each decoded chunk yields N per-lane
+    crops (C++ ``recrop`` from the retained ring when available, else Python
+    crops of a shared prefetched chunk)."""
+
+    def __init__(self, src, *, N, K, ch, cw, fill, mode, depth, n_rest, prefetchers):
+        self.src = src
+        self.N, self.K, self.ch, self.cw, self.fill = N, K, ch, cw, fill
+        self.mode = mode
+        # the fan-out crops per target via advance/recrop at EVERY depth
+        # (contain mode included) — the capability gate is the ring size
+        self.native = (
+            hasattr(src, "read_roi_chunk_retained")
+            and getattr(src, "ring_frames", 0) >= (depth + 2) * K
+        )
+        self._retained = 0  # frames advanced into the ring but not released
+        self._pf = None
+        if not self.native:
+            self._pf = ChunkPrefetcher(src, K, max_frames=n_rest)
+            prefetchers.append(self._pf)
+            self._it = iter(self._pf)
+
+    def _crop_lanes(self, frames, k, origins, buf, base, timer):
+        with timer.section("crop"):
+            for t in range(self.N):
+                o = origins[t]
+                if frames is RETAINED:
+                    self.src.recrop(base, k, (int(o[0]), int(o[1])), self.ch, self.cw,
+                                    self.fill, out=buf[t])
+                else:
+                    for i in range(k):
+                        _crop_with_fill(frames[i], o, self.ch, self.cw, self.fill, out=buf[t, i])
+                for i in range(k, self.K):
+                    buf[t, i] = buf[t, k - 1]
+
+    def acquire(self, remaining, origins, buf, timer):
+        if self.native:
+            base = self._retained
+            k = self.src.advance_retained(min(self.K, remaining))
+            if not k:
+                return None
+            self._retained += k
+            self._crop_lanes(RETAINED, k, origins, buf, base, timer)
+            return (RETAINED, np.full(self.N, k, np.int64))
+        chunk = next(self._it, None)
+        if chunk is None or chunk.shape[0] == 0:
+            return None
+        k = chunk.shape[0]
+        self._crop_lanes(chunk, k, origins, buf, 0, timer)
+        return (chunk, np.full(self.N, k, np.int64))
+
+    def recrop(self, tokens, valid, origins, rbuf, timer):
+        self._crop_lanes(tokens, int(valid[0]), origins, rbuf, 0, timer)
+
+    def accept(self, tokens, valid, abs_pos, timer):
+        k = int(valid[0])
+        if tokens is RETAINED:
+            self.src.release(k)
+            self._retained -= k
+        elif tokens is not None:
+            self._pf.recycle(tokens)
+
+
+class PerVideoSource:
+    """B independent videos, one lane each: per-lane EOF, fill values and
+    diagnostics; delivery per lane is the C++ retained ring or a per-video
+    prefetcher."""
+
+    def __init__(self, sources, *, K, ch, cw, fills, dias, ns, nat_retained,
+                 prefetcher_objs):
+        B = len(sources)
+        self.sources = sources
+        self.B, self.K, self.ch, self.cw = B, K, ch, cw
+        self.fills = fills
+        self.dias = dias
+        self.nat_retained = nat_retained
+        self.active = [True] * B
+        if nat_retained:
+            self._left = [n - 1 for n in ns]  # frames still to track per video
+            self._retained = [0] * B
+            self._pf = None
+        else:
+            self._pf = prefetcher_objs
+            self._its = [iter(p) for p in prefetcher_objs]
+
+    def acquire(self, remaining, origins, buf, timer):
+        valid = np.zeros(self.B, np.int64)
+        tokens = [None] * self.B
+        with timer.section("crop"):
+            for b in range(self.B):
+                k = 0
+                if self.active[b]:
+                    if self.nat_retained:
+                        base = self._retained[b]
+                        k = self.sources[b].advance_retained(min(self.K, self._left[b]))
+                        if k == 0:
+                            self.active[b] = False
+                        else:
+                            self._retained[b] += k
+                            self._left[b] -= k
+                            if k < self.K or self._left[b] == 0:
+                                self.active[b] = False
+                            tokens[b] = RETAINED
+                            o = origins[b]
+                            self.sources[b].recrop(
+                                base, k, (int(o[0]), int(o[1])), self.ch, self.cw,
+                                int(self.fills[b]), out=buf[b],
+                            )
+                    else:
+                        chunk = next(self._its[b], None)
+                        if chunk is None or chunk.shape[0] == 0:
+                            self.active[b] = False
+                        else:
+                            k = chunk.shape[0]
+                            tokens[b] = chunk
+                            if k < self.K:
+                                self.active[b] = False
+                            o = origins[b]
+                            for i in range(k):
+                                _crop_with_fill(chunk[i], o, self.ch, self.cw,
+                                                int(self.fills[b]), out=buf[b, i])
+                if k > 0:
+                    valid[b] = k
+                    for i in range(k, self.K):
+                        buf[b, i] = buf[b, k - 1]
+                else:
+                    buf[b] = self.fills[b]
+        if valid.sum() == 0:
+            return None
+        return (tokens, valid)
+
+    def recrop(self, tokens, valid, origins, rbuf, timer):
+        with timer.section("crop"):
+            for b in range(self.B):
+                k = int(valid[b])
+                if k > 0:
+                    o = origins[b]
+                    if tokens[b] is RETAINED:
+                        self.sources[b].recrop(0, k, (int(o[0]), int(o[1])), self.ch,
+                                               self.cw, int(self.fills[b]), out=rbuf[b])
+                    else:
+                        for i in range(k):
+                            _crop_with_fill(tokens[b][i], o, self.ch, self.cw,
+                                            int(self.fills[b]), out=rbuf[b, i])
+                    for i in range(k, self.K):
+                        rbuf[b, i] = rbuf[b, k - 1]
+                else:
+                    rbuf[b] = self.fills[b]
+
+    def accept(self, tokens, valid, abs_pos, timer):
+        for b in range(self.B):
+            k = int(valid[b])
+            if k > 0:
+                if tokens[b] is RETAINED:
+                    self.sources[b].release(k)
+                    self._retained[b] -= k
+                else:
+                    with timer.section("diagnose"):
+                        for i in range(k):
+                            self.dias[b](tokens[b][i], abs_pos[b, i])
+            if tokens[b] is not None and tokens[b] is not RETAINED:
+                self._pf[b].recycle(tokens[b])
+
+
+# ---------------------------------------------------------------------------
+# THE controller. Dispatch / drain / containment-validate / replay /
+# auto-depth exist exactly once, generic over the lane axis.
+# ---------------------------------------------------------------------------
+
+
+class SpeculativePipeline:
+    """The speculative ROI pipeline state machine, generic over ``L >= 1``
+    lanes (targets or videos).
+
+    Composition: a lane *source* delivers per-lane crops into rotating
+    ``[L, K, ch, cw]`` buffers (and can exactly re-crop retained frames for
+    replay); a lane *engine* owns the on-device position chain and the
+    jitted scans; a *sink* callback accumulates accepted absolute positions.
+    The controller owns everything the three original copies duplicated:
+    velocity-extrapolated crop aiming, the pending deque, the lagged drain
+    with ``AUTO_DRAIN_BLOCK_S`` auto-deepening, per-lane containment
+    validation, and synchronous mispredict replay (reference hot-loop drift
+    bound: src/PawsomeTracker.jl:55-62).
+    """
+
+    def __init__(self, *, L, K, crop_shape, margin, spec, mode, depth, engine,
+                 source, sink, timer):
+        self.L, self.K = L, K
+        self.ch, self.cw = crop_shape
+        self.margin = np.asarray(margin)
+        self.H, self.W = spec.frame_shape
+        # containment half-extent: window radii + kernel apron of the FULL
+        # spec (the windows the equivalent full-frame scan would read)
+        self.rh = np.array(spec.radii) + spec.kernel_len // 2
+        self.frame_max = np.array([self.H - 1, self.W - 1])
+        self.mode = mode
+        self.auto_depth = depth == "auto"
+        self.depth_max = AUTO_DEPTH_MAX if self.auto_depth else depth
+        self.depth_cur = 1 if self.auto_depth else depth
+        self.engine = engine
+        self.source = source
+        self.sink = sink
+        self.timer = timer
+        # rotating crop buffers: a buffer is reused only after its chunk's
+        # result is drained, so an in-flight device transfer never reads a
+        # mutated buffer
+        self._free = [np.empty((L, K, self.ch, self.cw), np.uint8)
+                      for _ in range(self.depth_max + 2)]
+        self._pending: deque = deque()  # (handle, origins, valid, tokens, buf)
+
+    # -- aiming -------------------------------------------------------------
+    def _aim(self):
+        if self.mode == "predict":
+            # per-lane staleness: frames in flight ahead of the newest
+            # downloaded position
+            stale = np.zeros(self.L, np.int64)
+            for _, _, valid, _, _ in self._pending:
+                stale += valid
+            pred = self.P + self.vel * stale[:, None]
+            return np.round(pred).astype(np.int64) - self.margin
+        return self.P - self.margin
+
+    # -- validation ---------------------------------------------------------
+    def _contained(self, pos_np, origins, valid):
+        """Every window each lane's scan read must lie inside its crop (reads
+        past the TRUE frame edge hit the same mode-fill in both the crop scan
+        and a full-frame scan)."""
+        for lane in range(self.L):
+            k = int(valid[lane])
+            if k == 0:
+                continue
+            seq = np.concatenate(
+                [self.P[lane][None].astype(np.int64),
+                 pos_np[lane, :k].astype(np.int64) + origins[lane]]
+            )
+            if not (
+                (np.maximum(seq - self.rh, 0) >= origins[lane]).all()
+                and (
+                    np.minimum(seq + self.rh, self.frame_max)
+                    <= origins[lane] + [self.ch - 1, self.cw - 1]
+                ).all()
+            ):
+                return False
+        return True
+
+    # -- accept / replay / drain -------------------------------------------
+    def _accept(self, pos_np, off_np, origins, valid, tokens, buf):
+        abs_pos = pos_np.astype(np.int64) + origins[:, None, :]  # [L, K, 2]
+        self.sink(abs_pos, valid, off_np)
+        self.source.accept(tokens, valid, abs_pos, self.timer)
+        for lane in range(self.L):
+            k = int(valid[lane])
+            if k > 1:
+                self.vel[lane] = (abs_pos[lane, k - 1] - abs_pos[lane, 0]) / (k - 1)
+            if k > 0:
+                self.P[lane] = abs_pos[lane, k - 1]
+        self.tracked += valid
+        if buf is not None:
+            self._free.append(buf)
+
+    def _replay(self, entries):
+        """Mispredict: every entry (oldest first) is re-cropped from retained
+        frames at its EXACT origin and re-run synchronously. The exact origin
+        plus the predict margin (>= K*r + L//2) restores the synchronous
+        containment guarantee, so a replayed chunk is always valid."""
+        global replay_count
+        replay_count += 1
+        if self.auto_depth:
+            # long speculation horizons don't pay for this motion
+            self.depth_cur = 1
+        self.engine.reset()  # the device chain past this point is invalid
+        for _, _, valid, tokens, buf in entries:
+            origins = self.P - self.margin
+            rbuf = np.empty((self.L, self.K, self.ch, self.cw), np.uint8)
+            self.source.recrop(tokens, valid, origins, rbuf, self.timer)
+            handle = self.engine.dispatch(rbuf, origins, self.P)
+            with self.timer.section("drain"):
+                pos_np, off_np = self.engine.to_host(handle)
+            self._accept(pos_np, off_np, origins, valid, tokens, buf)
+
+    def _drain_one(self):
+        import time
+
+        entry = self._pending.popleft()
+        handle, origins, valid, tokens, buf = entry
+        with self.timer.section("drain"):
+            t0 = time.perf_counter()
+            pos_np, off_np = self.engine.to_host(handle)
+            blocked = time.perf_counter() - t0
+        if self.auto_depth and blocked > AUTO_DRAIN_BLOCK_S and self.depth_cur < self.depth_max:
+            # the lagged download still blocked: the pipeline isn't deep
+            # enough to hide the round trip — add a chunk of slack
+            self.depth_cur += 1
+        if self.mode == "predict" and not self._contained(pos_np, origins, valid):
+            self._replay([entry] + list(self._pending))
+            self._pending.clear()
+            return
+        self._accept(pos_np, off_np, origins, valid, tokens, buf)
+
+    # -- main loop ----------------------------------------------------------
+    def run(self, pos0_abs, n_rest: int):
+        """Track up to ``n_rest`` frames per lane from absolute start
+        positions ``pos0_abs [L, 2]``. Returns per-lane tracked counts."""
+        self.P = np.asarray(pos0_abs, np.int64).reshape(self.L, 2).copy()
+        self.vel = np.zeros((self.L, 2))
+        self.tracked = np.zeros(self.L, np.int64)
+        self.engine.reset()
+        remaining = n_rest
+        while remaining > 0:
+            while len(self._pending) > self.depth_cur:
+                self._drain_one()
+            origins = self._aim()
+            buf = self._free.pop()
+            got = self.source.acquire(remaining, origins, buf, self.timer)
+            if got is None:
+                self._free.append(buf)
+                break
+            tokens, valid = got
+            handle = self.engine.dispatch(buf, origins, self.P)
+            self._pending.append((handle, origins, valid, tokens, buf))
+            remaining -= int(valid.max())
+        while self._pending:
+            self._drain_one()
+        return self.tracked
+
+
+# ---------------------------------------------------------------------------
+# Frontends
+# ---------------------------------------------------------------------------
+
+
 def run_roi_pipeline(
     src,
     spec,
@@ -344,7 +935,7 @@ def run_roi_pipeline(
     n_rest: int,
     *,
     roi_frames: int,
-    depth: int,
+    depth,
     engine: str,
     subpixel: bool,
     dia,
@@ -353,7 +944,9 @@ def run_roi_pipeline(
     prefetchers: list,
     speculate: str = "predict",
 ):
-    """Track ``n_rest`` frames of ``src`` by pipelined ROI streaming.
+    """Track ``n_rest`` frames of ``src`` by pipelined ROI streaming
+    (single video, single target — :class:`SpeculativePipeline` with L=1 and
+    the unbatched measured engine).
 
     Returns ``(position_arrays, offset_arrays, frames_tracked)`` where each
     array in ``position_arrays`` is an absolute int ``[k, 2]`` block.
@@ -369,18 +962,10 @@ def run_roi_pipeline(
     crop geometry is depth-independent, adapting costs no bytes and no
     recompiles.
     """
-    import time
-
-    import jax.numpy as jnp
-
-    H, W = spec.frame_shape
     K = roi_frames
-    auto_depth = depth == "auto"
-    depth_max = AUTO_DEPTH_MAX if auto_depth else depth
-    depth_cur = 1 if auto_depth else depth
-    depth = depth_max  # geometry/ring/buffer sizing below uses the max
-    mode = speculate if depth > 0 else "contain"
-    ch, cw, margin = roi_geometry(spec, K, depth, mode)
+    depth_max = AUTO_DEPTH_MAX if depth == "auto" else depth
+    mode = speculate if depth_max > 0 else "contain"
+    ch, cw, margin = roi_geometry(spec, K, depth_max, mode)
     roi_spec = make_spec((ch, cw), spec.window_size, spec.target_width, spec.darker_target)
     base = tracker_fns(roi_spec)
     if engine == "auto" and not subpixel:
@@ -397,209 +982,33 @@ def run_roi_pipeline(
     else:
         scan_first, scan_chain = base.scan_bounded, make_chained(base.scan_bounded)
 
-    fill_dev = np.uint8(fill)
-    rh = np.array(spec.radii) + spec.kernel_len // 2  # window + apron half-extent
-    # rotating crop buffers: a buffer is reused only after its chunk's result
-    # is drained, so an in-flight device transfer never reads a mutated buffer
-    free_bufs = [np.empty((K, ch, cw), np.uint8) for _ in range(depth + 2)]
-
     positions: list[np.ndarray] = []
     offsets: list[np.ndarray] = []
-    tracked = 0
-    P_abs = np.asarray(pos0_abs, np.int64)  # newest DOWNLOADED position
-    vel = np.zeros(2)  # px/frame, from the last accepted chunk (predict mode)
-    prev_out = None  # device handle: previous chunk's positions [K, 2]
-    prev_origin = None
-    pending: deque = deque()  # (out, off, origin, k, frames_for_dia, buf)
 
-    def bounds_for(origin):
-        lo = np.maximum([-origin[0], -origin[1]], 0).astype(np.int32)
-        hi = np.minimum([ch - 1, cw - 1], [H - 1 - origin[0], W - 1 - origin[1]]).astype(
-            np.int32
-        )
-        return lo, hi
+    def sink(abs_pos, valid, off_np):
+        k = int(valid[0])
+        positions.append(abs_pos[0, :k])
+        if off_np is not None:
+            offsets.append(off_np[0, :k])
 
-    def dispatch(buf, k, origin):
-        nonlocal prev_out, prev_origin
-        lo, hi = bounds_for(origin)
-        with timer.section("device"):
-            if prev_out is None:
-                pos_rel = jnp.asarray((P_abs - origin).astype(np.int32))
-                out = scan_first(buf, pos_rel, fill_dev, lo, hi)
-            else:
-                delta = (prev_origin - origin).astype(np.int32)
-                out = scan_chain(buf, prev_out, delta, fill_dev, lo, hi)
-        if subpixel:
-            out, off = out
-            _to_host_async(out, off)
-        else:
-            off = None
-            _to_host_async(out)
-        prev_out, prev_origin = out, origin
-        return out, off
-
-    def contained(seq_abs, origin):
-        """True iff every window the scan read around ``seq_abs`` positions
-        lies inside the crop (reads past the TRUE frame edge hit the same
-        mode-fill in both the crop scan and a full-frame scan)."""
-        lo_ok = np.maximum(seq_abs - rh, 0) >= origin
-        hi_ok = np.minimum(seq_abs + rh, np.array([H - 1, W - 1])) <= origin + np.array(
-            [ch - 1, cw - 1]
-        )
-        return bool(lo_ok.all() and hi_ok.all())
-
-    RETAINED = "native-retained"  # frames live in the C++ ring, not Python
-
-    def accept(out_np, off, origin, k, frames, buf):
-        nonlocal P_abs, tracked, vel
-        valid = out_np[:k].astype(np.int64) + origin
-        positions.append(valid)
-        if off is not None:
-            offsets.append(np.asarray(off)[:k])
-        if frames is RETAINED:
-            src.release(k)  # this chunk's frames are the oldest retained
-        elif frames is not None:
-            with timer.section("diagnose"):
-                for i in range(k):
-                    dia(frames[i], valid[i])
-            recycle(frames)
-        if k > 1:
-            vel = (valid[-1] - valid[0]) / (k - 1)
-        P_abs = valid[-1]
-        tracked += k
-        if buf is not None:
-            free_bufs.append(buf)
-
-    def replay(entries):
-        """Mispredict: every entry (oldest first) is re-cropped from retained
-        frames at its EXACT origin and re-run synchronously. The exact origin
-        plus the predict margin (>= K*r + L//2) restores the synchronous
-        containment guarantee, so a replayed chunk is always valid."""
-        nonlocal prev_out, prev_origin, depth_cur
-        global replay_count
-        replay_count += 1
-        if auto_depth:
-            depth_cur = 1  # long speculation horizons don't pay for this motion
-        prev_out = None  # the device chain past this point is invalid
-        prev_origin = None
-        for _, off_ignored, _, k, frames, buf in entries:
-            origin = np.array([P_abs[0] - margin[0], P_abs[1] - margin[1]], np.int64)
-            rbuf = np.empty((K, ch, cw), np.uint8)
-            with timer.section("crop"):
-                if frames is RETAINED:
-                    # each accept released its chunk, so this entry's frames
-                    # are now the OLDEST retained: recrop window [0, k)
-                    src.recrop(0, k, origin, ch, cw, fill, out=rbuf)
-                else:
-                    for i in range(k):
-                        _crop_with_fill(frames[i], origin, ch, cw, fill, out=rbuf[i])
-                for i in range(k, K):
-                    rbuf[i] = rbuf[k - 1]
-            out, off = dispatch(rbuf, k, origin)
-            with timer.section("drain"):
-                out_np = np.asarray(out)
-            accept(out_np, off, origin, k, frames, buf)
-
-    def drain_one():
-        nonlocal depth_cur
-        out, off, origin, k, frames, buf = pending.popleft()
-        with timer.section("drain"):
-            t0 = time.perf_counter()
-            out_np = np.asarray(out)
-            blocked = time.perf_counter() - t0
-        if auto_depth and blocked > AUTO_DRAIN_BLOCK_S and depth_cur < depth_max:
-            # the lagged download still blocked: the pipeline isn't deep
-            # enough to hide the round trip — add a chunk of slack
-            depth_cur += 1
-        if mode == "predict":
-            seq = np.concatenate(
-                [P_abs[None], out_np[:k].astype(np.int64) + origin], axis=0
-            )
-            if not contained(seq, origin):
-                replay([(out, off, origin, k, frames, buf)] + list(pending))
-                pending.clear()
-                return
-        accept(out_np, off, origin, k, frames, buf)
-
-    # frame delivery: with the native decoder and diagnostics off, crops are
-    # cut in C++ straight from the decode ring — full frames never enter
-    # Python. In predict mode the ring RETAINS each chunk's frames until its
-    # result is validated, so mispredict replays recrop in C++ too.
-    use_native_roi = native_roi and mode == "contain"
-    # retained reads DEADLOCK if the ring cannot hold the in-flight chunks
-    # plus one decoding chunk, so require a ring sized by the caller
-    use_native_retained = (
-        native_roi
-        and mode == "predict"
-        and hasattr(src, "read_roi_chunk_retained")
-        and getattr(src, "ring_frames", 0) >= (depth + 2) * K
+    pipe = SpeculativePipeline(
+        L=1,
+        K=K,
+        crop_shape=(ch, cw),
+        margin=margin,
+        spec=spec,
+        mode=mode,
+        depth=depth,
+        engine=_SingleEngine(scan_first, scan_chain, (ch, cw), spec.frame_shape,
+                             fill, subpixel, timer),
+        source=SingleVideoSource(src, K=K, ch=ch, cw=cw, fill=fill, dia=dia,
+                                 mode=mode, native_roi=native_roi, depth=depth_max,
+                                 n_rest=n_rest, prefetchers=prefetchers),
+        sink=sink,
+        timer=timer,
     )
-
-    def recycle(frames):
-        if roi_prefetch is not None and frames is not None and frames is not RETAINED:
-            roi_prefetch.recycle(frames)
-
-    roi_prefetch = None
-    if use_native_roi or use_native_retained:
-        remaining = n_rest
-        while remaining > 0:
-            while len(pending) > depth_cur:
-                drain_one()
-            if mode == "predict":
-                stale = sum(e[3] for e in pending)
-                pred = P_abs + vel * stale
-                origin = np.round(pred).astype(np.int64) - np.asarray(margin)
-            else:
-                origin = np.array([P_abs[0] - margin[0], P_abs[1] - margin[1]], np.int64)
-            buf = free_bufs.pop()
-            with timer.section("crop"):
-                reader = src.read_roi_chunk_retained if use_native_retained else src.read_roi_chunk
-                got = reader(
-                    min(K, remaining), (int(origin[0]), int(origin[1])), ch, cw, fill, out=buf
-                )
-            k = got.shape[0]
-            if k == 0:
-                free_bufs.append(buf)
-                break
-            for i in range(k, K):
-                buf[i] = buf[k - 1]
-            out, off = dispatch(buf, k, origin)
-            pending.append((out, off, origin, k, RETAINED if use_native_retained else None, buf))
-            remaining -= k
-    else:
-        from .diagnose import Dont
-
-        keep_for_dia = not isinstance(dia, Dont)
-        roi_prefetch = ChunkPrefetcher(src, K, max_frames=n_rest)
-        prefetchers.append(roi_prefetch)
-        for chunk in roi_prefetch:
-            while len(pending) > depth_cur:
-                drain_one()
-            k = chunk.shape[0]
-            if mode == "predict":
-                # extrapolate to the chunk's incoming position: P_abs is
-                # sum(pending ks) frames stale relative to it
-                stale = sum(e[3] for e in pending)
-                pred = P_abs + vel * stale
-                origin = np.round(pred).astype(np.int64) - np.asarray(margin)
-            else:
-                origin = np.array([P_abs[0] - margin[0], P_abs[1] - margin[1]], np.int64)
-            buf = free_bufs.pop()
-            with timer.section("crop"):
-                for i in range(k):
-                    _crop_with_fill(chunk[i], origin, ch, cw, fill, out=buf[i])
-            for i in range(k, K):
-                buf[i] = buf[k - 1]
-            out, off = dispatch(buf, k, origin)
-            retain = mode == "predict" or keep_for_dia
-            if not retain:
-                roi_prefetch.recycle(chunk)
-                chunk = None
-            pending.append((out, off, origin, k, chunk, buf))
-
-    while pending:
-        drain_one()
-    return positions, offsets, tracked
+    tracked = pipe.run(np.asarray(pos0_abs).reshape(1, 2), n_rest)
+    return positions, offsets, int(tracked[0])
 
 
 def make_chained_full(scan):
@@ -701,18 +1110,18 @@ def run_multi_roi_pipeline(
     n_rest: int,
     *,
     roi_frames: int,
-    depth: int,
+    depth,
     timer,
     prefetchers: list,
     engine: str = "auto",
     subpixel: bool = False,
 ):
-    """Speculative pipelined ROI streaming for N targets in ONE stream: each
+    """Speculative pipelined ROI streaming for N targets in ONE stream
+    (:class:`SpeculativePipeline` with L=N and :class:`FanoutSource`): each
     decoded frame yields N drift-bounded crops (bounded scans batched over the
     target axis), aimed per target by velocity prediction and validated /
     replayed exactly like the single-target pipeline. With the native decoder
-    the first target's crop comes from the retained read and the other N-1
-    from C++ ``recrop`` — full frames never enter Python.
+    the crops come from C++ ``recrop`` — full frames never enter Python.
 
     ``engine="auto"`` makes the measured pallas/xla choice for the batched
     bounded scan (grid ``(N, K)`` fused kernel vs vmapped XLA); ``subpixel``
@@ -722,20 +1131,14 @@ def run_multi_roi_pipeline(
     position array is ``[k, N, 2]`` absolute int (offsets ``[k, N, 2]``
     float, empty list unless ``subpixel``).
     """
-    import time
-
     import jax.numpy as jnp
 
     from .parallel.mesh import ShardedBatchTracker
 
-    H, W = spec.frame_shape
     K = roi_frames
-    auto_depth = depth == "auto"
-    depth_max = AUTO_DEPTH_MAX if auto_depth else depth
-    depth_cur = 1 if auto_depth else depth
-    depth = depth_max  # geometry/ring/buffer sizing uses the cap
-    mode = "predict" if depth > 0 else "contain"
-    ch, cw, margin = roi_geometry(spec, K, depth, mode)
+    depth_max = AUTO_DEPTH_MAX if depth == "auto" else depth
+    mode = "predict" if depth_max > 0 else "contain"
+    ch, cw, margin = roi_geometry(spec, K, depth_max, mode)
     roi_spec = make_spec((ch, cw), spec.window_size, spec.target_width, spec.darker_target)
     N = int(pos0_abs.shape[0])
     tracker = ShardedBatchTracker(roi_spec, None)
@@ -743,160 +1146,30 @@ def run_multi_roi_pipeline(
         scan_bounded = tracker.scan_sub  # XLA only (needs the response peak)
     else:
         scan_bounded = _select_batched_bounded(tracker, roi_spec, K, N, fill, engine)
-    scan_chain = make_chained_batch(scan_bounded)
-    fills_vec = jnp.asarray(np.full(N, fill, np.uint8))
-    rh = np.array(spec.radii) + spec.kernel_len // 2
-    frame_max = np.array([H - 1, W - 1])
-    free_bufs = [np.empty((N, K, ch, cw), np.uint8) for _ in range(depth + 2)]
 
     positions: list[np.ndarray] = []
     offsets: list[np.ndarray] = []
-    tracked = 0
-    P = np.asarray(pos0_abs, np.int64)  # [N, 2] newest downloaded
-    vel = np.zeros((N, 2))
-    prev_out = None
-    prev_origins = None
-    pending: deque = deque()  # (out, off, origins [N,2], k, frames_token, buf)
 
-    RETAINED = "native-retained"
-    native = (
-        hasattr(src, "read_roi_chunk_retained")
-        and getattr(src, "ring_frames", 0) >= (depth + 2) * K
+    def sink(abs_pos, valid, off_np):
+        k = int(valid[0])  # one stream: all lanes share the chunk length
+        positions.append(np.transpose(abs_pos[:, :k], (1, 0, 2)))  # [k, N, 2]
+        if off_np is not None:
+            offsets.append(np.transpose(off_np[:, :k], (1, 0, 2)))
+
+    pipe = SpeculativePipeline(
+        L=N,
+        K=K,
+        crop_shape=(ch, cw),
+        margin=margin,
+        spec=spec,
+        mode=mode,
+        depth=depth,
+        engine=_BatchedEngine(scan_bounded, (ch, cw), spec.frame_shape,
+                              jnp.asarray(np.full(N, fill, np.uint8)), subpixel, timer),
+        source=FanoutSource(src, N=N, K=K, ch=ch, cw=cw, fill=fill, mode=mode,
+                            depth=depth_max, n_rest=n_rest, prefetchers=prefetchers),
+        sink=sink,
+        timer=timer,
     )
-    roi_prefetch = None if native else ChunkPrefetcher(src, K, max_frames=n_rest)
-    if roi_prefetch is not None:
-        prefetchers.append(roi_prefetch)
-
-    def run_scan(buf, origins, pos0=None):
-        nonlocal prev_out, prev_origins
-        lo = np.maximum(-origins, 0).astype(np.int32)
-        hi = np.minimum([[ch - 1, cw - 1]] * N, frame_max[None] - origins).astype(np.int32)
-        with timer.section("device"):
-            if pos0 is not None or prev_out is None:
-                p0 = P if pos0 is None else pos0
-                out = scan_bounded(
-                    buf, jnp.asarray((p0 - origins).astype(np.int32)), fills_vec, lo, hi
-                )
-            else:
-                out = scan_chain(
-                    buf,
-                    prev_out,
-                    jnp.asarray((prev_origins - origins).astype(np.int32)),
-                    fills_vec,
-                    lo,
-                    hi,
-                )
-        if subpixel:
-            out, off = out
-            _to_host_async(out, off)
-        else:
-            off = None
-            _to_host_async(out)
-        prev_out, prev_origins = out, origins
-        return out, off
-
-    def crop_round(frames, k, origins, buf, retained_base=None):
-        """Fill buf[N, K] with per-target crops of this chunk's frames."""
-        with timer.section("crop"):
-            if frames is RETAINED:
-                for t in range(N):
-                    src.recrop(retained_base, k, origins[t], ch, cw, fill, out=buf[t])
-            else:
-                for t in range(N):
-                    for i in range(k):
-                        _crop_with_fill(frames[i], origins[t], ch, cw, fill, out=buf[t, i])
-            for t in range(N):
-                for i in range(k, K):
-                    buf[t, i] = buf[t, k - 1]
-
-    def accept(out_np, off, origins, k, frames, buf):
-        nonlocal P, vel, tracked
-        valid = out_np[:, :k].astype(np.int64) + origins[:, None, :]  # [N, k, 2]
-        positions.append(np.transpose(valid, (1, 0, 2)))  # [k, N, 2]
-        if off is not None:
-            offsets.append(np.transpose(np.asarray(off)[:, :k], (1, 0, 2)))
-        if frames is RETAINED:
-            src.release(k)
-        elif frames is not None:
-            roi_prefetch.recycle(frames)
-        if k > 1:
-            vel = (valid[:, -1] - valid[:, 0]) / (k - 1)
-        P = valid[:, -1]
-        tracked += k
-        if buf is not None:
-            free_bufs.append(buf)
-
-    def contained(out_np, origins, k):
-        seq = np.concatenate(
-            [P[:, None, :], out_np[:, :k].astype(np.int64) + origins[:, None, :]], axis=1
-        )
-        lo_ok = np.maximum(seq - rh, 0) >= origins[:, None, :]
-        hi_ok = np.minimum(seq + rh, frame_max) <= (origins + [ch - 1, cw - 1])[:, None, :]
-        return bool(lo_ok.all() and hi_ok.all())
-
-    def replay(entries):
-        nonlocal prev_out, prev_origins, depth_cur
-        global replay_count
-        replay_count += 1
-        if auto_depth:
-            depth_cur = 1
-        prev_out = None
-        prev_origins = None
-        for _, _, _, k, frames, buf in entries:
-            origins = P - np.asarray(margin)
-            rbuf = np.empty((N, K, ch, cw), np.uint8)
-            crop_round(frames, k, origins, rbuf, retained_base=0)
-            out, off = run_scan(rbuf, origins, pos0=P)
-            with timer.section("drain"):
-                out_np = np.asarray(out)
-            accept(out_np, off, origins, k, frames, buf)
-
-    def drain_one():
-        nonlocal depth_cur
-        entry = pending.popleft()
-        out, off, origins, k, frames, buf = entry
-        with timer.section("drain"):
-            t0 = time.perf_counter()
-            out_np = np.asarray(out)
-            blocked = time.perf_counter() - t0
-        if auto_depth and blocked > AUTO_DRAIN_BLOCK_S and depth_cur < depth_max:
-            depth_cur += 1
-        if mode == "predict" and not contained(out_np, origins, k):
-            replay([entry] + list(pending))
-            pending.clear()
-            return
-        accept(out_np, off, origins, k, frames, buf)
-
-    def next_chunk(remaining):
-        """Returns (frames_token, k, retained_base) or (None, 0, 0) at EOF."""
-        if native:
-            base = sum(e[3] for e in pending)
-            got = src.advance_retained(min(K, remaining))
-            return (RETAINED, got, base) if got else (None, 0, 0)
-        try:
-            chunk = next(prefetch_iter)
-        except StopIteration:
-            return None, 0, 0
-        return (chunk, chunk.shape[0], 0) if chunk.shape[0] else (None, 0, 0)
-
-    prefetch_iter = iter(roi_prefetch) if roi_prefetch is not None else None
-    remaining = n_rest
-    while remaining > 0:
-        while len(pending) > depth_cur:
-            drain_one()
-        frames, k, base = next_chunk(remaining)
-        if k == 0:
-            break
-        if mode == "predict":
-            stale = sum(e[3] for e in pending)
-            origins = np.round(P + vel * stale).astype(np.int64) - np.asarray(margin)
-        else:
-            origins = P - np.asarray(margin)
-        buf = free_bufs.pop()
-        crop_round(frames, k, origins, buf, retained_base=base)
-        out, off = run_scan(buf, origins)
-        pending.append((out, off, origins, k, frames, buf))
-        remaining -= k
-    while pending:
-        drain_one()
-    return positions, offsets, tracked
+    tracked = pipe.run(np.asarray(pos0_abs, np.int64), n_rest)
+    return positions, offsets, int(tracked[0])

@@ -53,6 +53,56 @@ def test_sharded_scan_matches_single_device(mesh8):
     np.testing.assert_array_equal(np.asarray(got), want)
 
 
+def test_sharded_pallas_bounded_matches_single_device(mesh8):
+    """The fused Pallas bounded kernel under shard_map (each device runs
+    grid=(B/devices, T) on its shard, interpret mode on CPU) must equal the
+    single-device vmapped XLA bounded scan bit-for-bit."""
+    from pawsometracker_tpu.parallel.mesh import sharded_pallas_bounded
+
+    h, w = 96, 96
+    B, T = 8, 6
+    rng = np.random.default_rng(3)
+    paths = [[(30 + t, 20 + 3 * b + 2 * t) for t in range(T)] for b in range(B)]
+    frames = np.stack(
+        [np.stack([draw_blob(h, w, ij, 3) for ij in p]) for p in paths]
+    )
+    spec = make_spec((h, w), 15, 6, True)
+    pos0 = np.array([p[0] for p in paths], np.int32)
+    fills = np.full((B,), 128, np.uint8)
+    lo = np.tile(np.array([[2, 1]], np.int32), (B, 1))
+    hi = np.tile(np.array([[h - 3, w - 2]], np.int32), (B, 1))
+
+    fns = tracker_fns(spec)
+    base1 = getattr(fns.scan_bounded, "__wrapped__", fns.scan_bounded)
+    want = np.asarray(
+        jax.jit(jax.vmap(base1))(
+            jnp.asarray(frames), jnp.asarray(pos0), jnp.asarray(fills),
+            jnp.asarray(lo), jnp.asarray(hi),
+        )
+    )
+
+    sharded = sharded_pallas_bounded(spec, mesh8, interpret=True)
+    f_dev = jax.device_put(frames, batch_sharding(mesh8, 4))
+    got = sharded(f_dev, jnp.asarray(pos0), jnp.asarray(fills), jnp.asarray(lo), jnp.asarray(hi))
+    assert got.sharding.spec[0] == "data"  # output stays batch-sharded
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_select_sharded_bounded_divisibility(mesh8):
+    """engine='pallas' under a mesh requires B % data == 0; 'auto'/'xla' fall
+    back to the sharded vmapped XLA scan."""
+    from pawsometracker_tpu.parallel.mesh import ShardedBatchTracker
+    from pawsometracker_tpu.pipeline import _select_sharded_bounded
+
+    spec = make_spec((64, 64), 15, 6, True)
+    tracker = ShardedBatchTracker(spec, mesh8)
+    with pytest.raises(ValueError, match="divisible"):
+        _select_sharded_bounded(tracker, spec, 4, 3, 128, "pallas", mesh8)
+    # explicit xla and auto-on-cpu both deliver the sharded XLA scan
+    assert _select_sharded_bounded(tracker, spec, 4, 8, 128, "xla", mesh8) is tracker.scan_bounded
+    assert _select_sharded_bounded(tracker, spec, 4, 8, 128, "auto", mesh8) is tracker.scan_bounded
+
+
 def test_global_detect_spatial_sharding(mesh8):
     h, w = 64, 96
     B = 8
