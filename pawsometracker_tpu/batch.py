@@ -291,17 +291,17 @@ def _track_batch_uniform(
             chunk_size = roi_frames
             roi_spec = make_spec((ch, cw), window_size, target_width, darker_target)
             roi_engine = ShardedBatchTracker(roi_spec, mesh)
-            if subpixel:
-                scan_bounded = roi_engine.scan_sub  # XLA only (needs the response)
-            elif mesh is None:
+            if mesh is None:
                 scan_bounded = _select_batched_bounded(
-                    roi_engine, roi_spec, roi_frames, B, int(fills[0]), engine
+                    roi_engine, roi_spec, roi_frames, B, int(fills[0]), engine,
+                    subpixel=subpixel,
                 )
             else:
                 # sharded path: measured fused-Pallas-per-chip via shard_map
                 # when it wins (and B divides the data axis), else vmapped XLA
                 scan_bounded = _select_sharded_bounded(
-                    roi_engine, roi_spec, roi_frames, B, int(fills[0]), engine, mesh
+                    roi_engine, roi_spec, roi_frames, B, int(fills[0]), engine,
+                    mesh, subpixel=subpixel,
                 )
         # native retained mode: every source crops (and replays) in C++ —
         # full frames never enter Python for the whole batch

@@ -65,6 +65,7 @@ def _scan_fn_cached(
     batched: bool,
     interpret: bool,
     bounded: bool = False,
+    subpixel: bool = False,
 ):
     gc, gs, direction, L = dog_kernel_separable(sigma, darker_target)
     ri, rj = radii
@@ -94,7 +95,11 @@ def _scan_fn_cached(
     LANES = 128  # TPU lane width; positions ride lanes 0/1 of one output row
 
     def kernel(pos0_ref, frames_ref, g1r_ref, g1c_ref, g2r_ref, g2c_ref,
-               out_ref, patch_ref, sem, pos_s):
+               out_ref, *rest):
+        if subpixel:
+            off_ref, patch_ref, sem, pos_s = rest
+        else:
+            patch_ref, sem, pos_s = rest
         if batched:
             b = pl.program_id(0)
             t = pl.program_id(1)
@@ -188,6 +193,36 @@ def _scan_fn_cached(
         else:
             out_ref[pl.ds(t, 1), :] = out_row
 
+        if subpixel:
+            # per-axis parabolic peak offsets in [-0.5, 0.5], matching the XLA
+            # _parabolic_offset (models/dog_tracker.py) semantics: 0 at window
+            # edges or non-concave neighborhoods; the 4 neighbors are read by
+            # masked reductions (no dynamic VMEM gathers in Mosaic). resp[idx]
+            # == m exactly, so the center value is the reduced max.
+            at_col = col_ids == col
+            at_row = row_ids == row
+            rm = jnp.sum(jnp.where((row_ids == row - 1) & at_col, resp, 0.0))
+            rp = jnp.sum(jnp.where((row_ids == row + 1) & at_col, resp, 0.0))
+            cm = jnp.sum(jnp.where(at_row & (col_ids == col - 1), resp, 0.0))
+            cp = jnp.sum(jnp.where(at_row & (col_ids == col + 1), resp, 0.0))
+            den_r = rm - 2.0 * m + rp
+            den_c = cm - 2.0 * m + cp
+            int_r = (row > 0) & (row < wh - 1) & (den_r < 0)
+            int_c = (col > 0) & (col < ww - 1) & (den_c < 0)
+            off_i = jnp.where(
+                int_r, 0.5 * (rm - rp) / jnp.where(den_r < 0, den_r, -1.0), 0.0
+            )
+            off_j = jnp.where(
+                int_c, 0.5 * (cm - cp) / jnp.where(den_c < 0, den_c, -1.0), 0.0
+            )
+            off_row = jnp.where(
+                lane == 0, off_i, jnp.where(lane == 1, off_j, 0.0)
+            ).astype(jnp.float32)
+            if batched:
+                off_ref[0, pl.ds(t, 1), :] = off_row
+            else:
+                off_ref[pl.ds(t, 1), :] = off_row
+
     mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def run(frames_u8, pos0, fill_u8, lo=None, hi=None):
@@ -223,6 +258,10 @@ def _scan_fn_cached(
             out_spec = pl.BlockSpec(
                 (1, T, LANES), lambda b, t, *_: (b, 0, 0), memory_space=pltpu.VMEM
             )
+            off_shape = jax.ShapeDtypeStruct((B, T, LANES), jnp.float32)
+            off_spec = pl.BlockSpec(
+                (1, T, LANES), lambda b, t, *_: (b, 0, 0), memory_space=pltpu.VMEM
+            )
             frame_spec = pl.BlockSpec(memory_space=pl.ANY)
         else:
             T = frames_u8.shape[0]
@@ -232,7 +271,12 @@ def _scan_fn_cached(
             grid = (T,)
             out_shape = jax.ShapeDtypeStruct((T, LANES), jnp.int32)
             out_spec = pl.BlockSpec((T, LANES), lambda t, *_: (0, 0), memory_space=pltpu.VMEM)
+            off_shape = jax.ShapeDtypeStruct((T, LANES), jnp.float32)
+            off_spec = pl.BlockSpec((T, LANES), lambda t, *_: (0, 0), memory_space=pltpu.VMEM)
             frame_spec = pl.BlockSpec(memory_space=pl.ANY)
+        if subpixel:
+            out_shape = (out_shape, off_shape)
+            out_spec = (out_spec, off_spec)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -263,18 +307,26 @@ def _scan_fn_cached(
             interpret=interpret,
             **kwargs,
         )(pos0.astype(jnp.int32), padded, g1r, g1c, g2r, g2c)
+        if subpixel:
+            return out[0][..., :2], out[1][..., :2]
         return out[..., :2]
 
     return jax.jit(run)
 
 
-def pallas_scan_fn(spec, *, batched: bool = False, interpret: bool = False, bounded: bool = False):
+def pallas_scan_fn(spec, *, batched: bool = False, interpret: bool = False,
+                   bounded: bool = False, subpixel: bool = False):
     """Jitted fused-scan entry for a :class:`~..models.dog_tracker.TrackerSpec`.
 
     Signature matches ``TrackerFns.scan`` / ``scan_batch`` (or
     ``scan_bounded`` with ``bounded=True``, taking trailing ``lo, hi``):
-    ``fn(frames_u8, pos0, fill_u8[, lo, hi]) -> positions``.
+    ``fn(frames_u8, pos0, fill_u8[, lo, hi]) -> positions``. With
+    ``subpixel=True`` (requires ``bounded=True``) the kernel additionally
+    emits per-step parabolic peak offsets — the fused analog of
+    ``TrackerFns.scan_sub`` — returning ``(positions, offsets)``.
     """
+    if subpixel and not bounded:
+        raise ValueError("subpixel pallas scan requires bounded=True (the ROI pipeline form)")
     return _scan_fn_cached(
         spec.frame_shape,
         spec.radii,
@@ -283,4 +335,5 @@ def pallas_scan_fn(spec, *, batched: bool = False, interpret: bool = False, boun
         batched,
         interpret,
         bounded,
+        subpixel,
     )

@@ -187,7 +187,8 @@ def global_detect_peaks(spec: TrackerSpec, n_targets: int, min_distance: int | N
     return jax.jit(detect)
 
 
-def sharded_pallas_bounded(spec: TrackerSpec, mesh: Mesh, *, interpret: bool = False):
+def sharded_pallas_bounded(spec: TrackerSpec, mesh: Mesh, *, interpret: bool = False,
+                           subpixel: bool = False):
     """The fused Pallas bounded scan under a device mesh: ``shard_map`` over
     the ``data`` axis so EACH chip runs the ``grid=(B/chips, T)`` fused kernel
     on its shard of the batch — the multi-chip path gets the same measured
@@ -201,7 +202,11 @@ def sharded_pallas_bounded(spec: TrackerSpec, mesh: Mesh, *, interpret: bool = F
     """
     from ..ops.pallas_tracker import pallas_scan_fn
 
-    pal = pallas_scan_fn(spec, batched=True, bounded=True, interpret=interpret)
+    pal = pallas_scan_fn(spec, batched=True, bounded=True, interpret=interpret,
+                         subpixel=subpixel)
+    out_specs = P("data", None, None)
+    if subpixel:
+        out_specs = (out_specs, out_specs)  # (positions, parabolic offsets)
     fn = jax.shard_map(
         pal,
         mesh=mesh,
@@ -212,7 +217,7 @@ def sharded_pallas_bounded(spec: TrackerSpec, mesh: Mesh, *, interpret: bool = F
             P("data", None),  # lo [B, 2]
             P("data", None),  # hi [B, 2]
         ),
-        out_specs=P("data", None, None),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(fn)
@@ -235,7 +240,9 @@ class ShardedBatchTracker:
             self.snap_detect = det.snap_batch
             self.scan = fns.scan_batch
             self.scan_bounded = jax.jit(jax.vmap(_unwrap(fns.scan_bounded)))
-            # sub-pixel variants (always XLA: the parabolic refinement reads
+            # XLA sub-pixel variants (the fused bounded+subpixel Pallas
+            # alternative is selected by measurement in the ROI pipelines —
+            # pipeline._select_batched_bounded — these are the fallback/oracle:
             # the response around the argmax, which the fused kernel discards)
             self.scan_sub = jax.jit(jax.vmap(_unwrap(fns.scan_sub)))
             self.snap_sub = jax.jit(jax.vmap(_unwrap(fns.snap_sub)))

@@ -171,7 +171,7 @@ def _save_engine_cache(cache: dict) -> None:
 _session_engine_cache: dict = {}
 
 
-def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128):
+def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128, subpixel: bool = False):
     """Measured choice between the fused Pallas bounded kernel and the XLA
     bounded scan for this environment + geometry (VERDICT: the production
     engine is chosen by measurement, not by flag). The decision is persisted
@@ -179,21 +179,28 @@ def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128):
     once; the measurement also ASSERTS the two engines produce identical
     positions — a hardware parity pin for the compiled Pallas kernel.
 
+    ``subpixel=True`` measures the fused bounded+subpixel kernel against the
+    XLA ``scan_sub``: positions must match exactly and the parabolic offsets
+    to float tolerance before pallas can win.
+
     Returns ``("pallas"|"xla", info_dict)``.
     """
-    return _pick_engine_measured(roi_spec, k_frames, fill, batch=None)
+    return _pick_engine_measured(roi_spec, k_frames, fill, batch=None, subpixel=subpixel)
 
 
-def pick_bounded_engine_batch(roi_spec, k_frames: int, batch: int, fill: int = 128):
+def pick_bounded_engine_batch(roi_spec, k_frames: int, batch: int, fill: int = 128,
+                              subpixel: bool = False):
     """Batched analog of :func:`pick_bounded_engine` for the batch/multi ROI
     paths: measures the ``grid=(B, T)`` fused Pallas kernel against the
     vmapped XLA bounded scan at this exact ``(geometry, K, B)`` and persists
     the decision. Parity over the whole batch is asserted before pallas can
     win."""
-    return _pick_engine_measured(roi_spec, k_frames, fill, batch=int(batch))
+    return _pick_engine_measured(roi_spec, k_frames, fill, batch=int(batch),
+                                 subpixel=subpixel)
 
 
-def _pick_engine_measured(roi_spec, k_frames: int, fill: int, batch: int | None):
+def _pick_engine_measured(roi_spec, k_frames: int, fill: int, batch: int | None,
+                          subpixel: bool = False):
     import time
 
     import jax
@@ -216,7 +223,8 @@ def _pick_engine_measured(roi_spec, k_frames: int, fill: int, batch: int | None)
                 roi_spec.darker_target,
                 k_frames,
             )
-            + (() if batch is None else (f"B{batch}",)),
+            + (() if batch is None else (f"B{batch}",))
+            + (("sub",) if subpixel else ()),
         )
     )
     if key in _session_engine_cache:
@@ -229,10 +237,10 @@ def _pick_engine_measured(roi_spec, k_frames: int, fill: int, batch: int | None)
 
     from .ops.pallas_tracker import pallas_scan_fn
 
+    base_1 = tracker_fns(roi_spec).scan_sub if subpixel else tracker_fns(roi_spec).scan_bounded
     if batch is None:
-        base = tracker_fns(roi_spec).scan_bounded
+        base = base_1
     else:
-        base_1 = tracker_fns(roi_spec).scan_bounded
         base = jax.jit(jax.vmap(getattr(base_1, "__wrapped__", base_1)))
     ch, cw = roi_spec.frame_shape
     # realistic measurement input: a blob the size the filter is matched to
@@ -266,19 +274,33 @@ def _pick_engine_measured(roi_spec, k_frames: int, fill: int, batch: int | None)
             out = fn(crops, pos, f, lo, hi)
             jax.block_until_ready(out)
             best = min(best, time.perf_counter() - t0)
+        if subpixel:
+            return (np.asarray(out[0]), np.asarray(out[1])), best
         return np.asarray(out), best
 
+    def _parity(out_p, out_x):
+        if not subpixel:
+            return np.array_equal(out_p, out_x)
+        # positions exact; offsets to float tolerance (the engines sum the
+        # DoG response in different orders, so offset ulps may differ)
+        return np.array_equal(out_p[0], out_x[0]) and np.allclose(
+            out_p[1], out_x[1], atol=1e-3
+        )
+
     try:
-        pal = pallas_scan_fn(roi_spec, bounded=True, batched=batch is not None)
+        pal = pallas_scan_fn(roi_spec, bounded=True, batched=batch is not None,
+                             subpixel=subpixel)
         out_p, t_p = run(pal)
         out_x, t_x = run(base)
-        if not np.array_equal(out_p, out_x):
+        if not _parity(out_p, out_x):
             # fail SAFE in production: keep the XLA engine and record the
             # mismatch; the hardware test suite asserts parity is True
+            last_p = (out_p[0] if subpixel else out_p)[-1]
+            last_x = (out_x[0] if subpixel else out_x)[-1]
             info = {
                 "engine": "xla",
                 "parity": False,
-                "mismatch": [out_p[-1].tolist(), out_x[-1].tolist()],
+                "mismatch": [last_p.tolist(), last_x.tolist()],
             }
         else:
             # hysteresis: the fused kernel must win decisively. XLA's float
@@ -313,22 +335,26 @@ def _pick_engine_measured(roi_spec, k_frames: int, fill: int, batch: int | None)
     return info["engine"], info
 
 
-def _select_batched_bounded(tracker, roi_spec, k_frames: int, batch: int, fill: int, engine: str):
+def _select_batched_bounded(tracker, roi_spec, k_frames: int, batch: int, fill: int,
+                            engine: str, subpixel: bool = False):
     """The batched bounded scan for the batch/multi ROI paths: the measured
     pallas/xla choice (``auto``, which fails safe to XLA when pallas is
     unavailable), or the named engine (an explicit ``"pallas"`` raises if the
-    kernel cannot build — same contract as the single-video ``engine=``)."""
+    kernel cannot build — same contract as the single-video ``engine=``).
+    ``subpixel`` selects between the fused bounded+subpixel kernel and the
+    XLA ``scan_sub`` by the same measurement."""
     if engine == "auto":
-        engine, _ = pick_bounded_engine_batch(roi_spec, k_frames, batch, fill)
+        engine, _ = pick_bounded_engine_batch(roi_spec, k_frames, batch, fill,
+                                              subpixel=subpixel)
     if engine == "pallas":
         from .ops.pallas_tracker import pallas_scan_fn
 
-        return pallas_scan_fn(roi_spec, batched=True, bounded=True)
-    return tracker.scan_bounded
+        return pallas_scan_fn(roi_spec, batched=True, bounded=True, subpixel=subpixel)
+    return tracker.scan_sub if subpixel else tracker.scan_bounded
 
 
 def _select_sharded_bounded(tracker, roi_spec, k_frames: int, batch: int, fill: int,
-                            engine: str, mesh):
+                            engine: str, mesh, subpixel: bool = False):
     """Mesh analog of :func:`_select_batched_bounded`: when the measured
     choice picks the fused kernel and the batch divides the mesh's ``data``
     axis, each chip runs the ``grid=(B/chips, T)`` fused Pallas kernel on its
@@ -343,13 +369,13 @@ def _select_sharded_bounded(tracker, roi_spec, k_frames: int, batch: int, fill: 
         )
     if engine == "auto" and batch % data_size == 0:
         engine, _ = pick_bounded_engine_batch(
-            roi_spec, k_frames, max(batch // data_size, 1), fill
+            roi_spec, k_frames, max(batch // data_size, 1), fill, subpixel=subpixel
         )
     if engine == "pallas":
         from .parallel.mesh import sharded_pallas_bounded
 
-        return sharded_pallas_bounded(roi_spec, mesh)
-    return tracker.scan_bounded
+        return sharded_pallas_bounded(roi_spec, mesh, subpixel=subpixel)
+    return tracker.scan_sub if subpixel else tracker.scan_bounded
 
 
 def _crop_with_fill(frame: np.ndarray, o, ch: int, cw: int, fill: int, out=None) -> np.ndarray:
@@ -968,17 +994,18 @@ def run_roi_pipeline(
     ch, cw, margin = roi_geometry(spec, K, depth_max, mode)
     roi_spec = make_spec((ch, cw), spec.window_size, spec.target_width, spec.darker_target)
     base = tracker_fns(roi_spec)
-    if engine == "auto" and not subpixel:
+    if engine == "auto":
         # measured per-environment choice, persisted; also a hardware parity
-        # pin (the measurement asserts pallas == xla positions on this chip)
-        engine, _ = pick_bounded_engine(roi_spec, K, fill)
-    if subpixel:
-        scan_first, scan_chain = base.scan_sub, make_chained(base.scan_sub)
-    elif engine == "pallas":
+        # pin (the measurement asserts pallas == xla positions on this chip;
+        # subpixel additionally checks offset closeness)
+        engine, _ = pick_bounded_engine(roi_spec, K, fill, subpixel=subpixel)
+    if engine == "pallas":
         from .ops.pallas_tracker import pallas_scan_fn
 
-        pal = pallas_scan_fn(roi_spec, bounded=True)
+        pal = pallas_scan_fn(roi_spec, bounded=True, subpixel=subpixel)
         scan_first, scan_chain = pal, make_chained(pal)
+    elif subpixel:
+        scan_first, scan_chain = base.scan_sub, make_chained(base.scan_sub)
     else:
         scan_first, scan_chain = base.scan_bounded, make_chained(base.scan_bounded)
 
@@ -1142,10 +1169,8 @@ def run_multi_roi_pipeline(
     roi_spec = make_spec((ch, cw), spec.window_size, spec.target_width, spec.darker_target)
     N = int(pos0_abs.shape[0])
     tracker = ShardedBatchTracker(roi_spec, None)
-    if subpixel:
-        scan_bounded = tracker.scan_sub  # XLA only (needs the response peak)
-    else:
-        scan_bounded = _select_batched_bounded(tracker, roi_spec, K, N, fill, engine)
+    scan_bounded = _select_batched_bounded(tracker, roi_spec, K, N, fill, engine,
+                                           subpixel=subpixel)
 
     positions: list[np.ndarray] = []
     offsets: list[np.ndarray] = []

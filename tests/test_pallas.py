@@ -139,3 +139,50 @@ def test_interpret_batched_bounded_matches_jax():
            jnp.asarray(lo), jnp.asarray(hi))
     )
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("batched", [False, True])
+def test_interpret_subpixel_matches_jax(batched, rng):
+    """Fused bounded+subpixel kernel: positions must equal the XLA scan_sub
+    exactly; parabolic offsets agree to float tolerance (the two engines sum
+    the DoG response in different orders)."""
+    ch, cw, T = 64, 64, 6
+    spec = make_spec((ch, cw), 15, 6, True)
+    path = [(30 + t, 28 + 2 * t) for t in range(T)]
+    frames = np.stack([draw_blob(ch, cw, ij, 3) for ij in path]).astype(np.uint8)
+    # off-grid shading so offsets are non-trivial
+    frames = np.clip(frames.astype(np.int32) + rng.integers(-3, 4, frames.shape), 0, 255).astype(np.uint8)
+    fns = tracker_fns(spec)
+    if batched:
+        B = 2
+        fb = np.stack([frames, frames[:, ::-1].copy()])
+        pos0 = np.tile(np.array([[30, 28]], np.int32), (B, 1))
+        lo = np.zeros((B, 2), np.int32)
+        hi = np.tile(np.array([[ch - 1, cw - 1]], np.int32), (B, 1))
+        fills = np.full((B,), 128, np.uint8)
+        import jax
+
+        base = getattr(fns.scan_sub, "__wrapped__", fns.scan_sub)
+        want_p, want_o = jax.jit(jax.vmap(base))(
+            jnp.asarray(fb), jnp.asarray(pos0), jnp.asarray(fills), jnp.asarray(lo), jnp.asarray(hi)
+        )
+        fn = pallas_scan_fn(spec, batched=True, bounded=True, subpixel=True, interpret=True)
+        got_p, got_o = fn(jnp.asarray(fb), jnp.asarray(pos0), jnp.asarray(fills), jnp.asarray(lo), jnp.asarray(hi))
+    else:
+        pos0 = np.array([30, 28], np.int32)
+        lo = np.zeros(2, np.int32)
+        hi = np.array([ch - 1, cw - 1], np.int32)
+        want_p, want_o = fns.scan_sub(
+            jnp.asarray(frames), jnp.asarray(pos0), np.uint8(128), jnp.asarray(lo), jnp.asarray(hi)
+        )
+        fn = pallas_scan_fn(spec, bounded=True, subpixel=True, interpret=True)
+        got_p, got_o = fn(jnp.asarray(frames), jnp.asarray(pos0), np.uint8(128), jnp.asarray(lo), jnp.asarray(hi))
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+    assert np.abs(np.asarray(got_o)).max() > 0  # offsets are non-trivial
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o), atol=1e-4)
+
+
+def test_subpixel_requires_bounded():
+    spec = make_spec((32, 32), 9, 6, True)
+    with pytest.raises(ValueError, match="bounded"):
+        pallas_scan_fn(spec, subpixel=True)

@@ -305,9 +305,9 @@ def test_batch_engine_kwarg_reaches_selector(tmp_path, monkeypatch):
     seen = []
     orig = pipeline._select_batched_bounded
 
-    def spy(tracker, roi_spec, k, b, fill, engine):
+    def spy(tracker, roi_spec, k, b, fill, engine, subpixel=False):
         seen.append(engine)
-        return orig(tracker, roi_spec, k, b, fill, engine)
+        return orig(tracker, roi_spec, k, b, fill, engine, subpixel=subpixel)
 
     monkeypatch.setattr(pipeline, "_select_batched_bounded", spy)
     batch_mod.track_batch([f], start_location=IJ(60, 60), fps=24, target_width=10,

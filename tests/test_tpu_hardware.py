@@ -102,3 +102,24 @@ print(json.dumps({"engine": engine, "info": info}))
     )
     res = json.loads(out.strip().splitlines()[-1])
     assert res["info"].get("parity") is True, res
+
+
+def test_subpixel_engine_measurement_on_hardware():
+    """The subpixel engine is also a measured choice on the chip: the fused
+    bounded+subpixel kernel must hold position parity (exact) and offset
+    closeness against the XLA scan_sub before it can win."""
+    out = _run(
+        """
+import json
+import jax
+assert jax.default_backend() == "tpu", jax.default_backend()
+from pawsometracker_tpu.models.dog_tracker import make_spec
+from pawsometracker_tpu.pipeline import roi_geometry, pick_bounded_engine
+spec = make_spec((1080, 1920), 41, 25, True)
+ch, cw, _ = roi_geometry(spec, 8, 1, "predict")
+engine, info = pick_bounded_engine(make_spec((ch, cw), 41, 25, True), 8, subpixel=True)
+print(json.dumps({"engine": engine, "info": info}))
+"""
+    )
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["info"].get("parity") is True, res
