@@ -12,6 +12,15 @@ import json
 import sys
 
 
+def _window_size(s: str):
+    """``"21"`` -> 21; ``"61x9"`` -> (61, 9) in the reference's (w, h)
+    convention (reference: src/PawsomeTracker.jl:70-72)."""
+    if "x" in s.lower():
+        w, h = s.lower().split("x", 1)
+        return (int(w), int(h))
+    return int(s)
+
+
 def build_parser() -> argparse.ArgumentParser:
     """The CLI argument parser (exposed for --help docs generation)."""
     p = argparse.ArgumentParser(
@@ -23,7 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stop", type=float, default=None, help="stop time (s)")
     p.add_argument("--fps", type=float, default=24, help="tracking sample rate")
     p.add_argument("--target-width", type=float, default=25, help="target diameter (px, FWHM)")
-    p.add_argument("--window-size", type=int, default=None, help="square search window edge (px)")
+    p.add_argument("--window-size", type=_window_size, default=None, metavar="L|WxH",
+                   help="search window: edge length for a square window, or WxH "
+                        "(reference (w, h) convention, e.g. 61x9)")
     p.add_argument("--lighter-target", action="store_true", help="target is lighter than background")
     p.add_argument("--start-ij", type=int, nargs=2, metavar=("ROW", "COL"), default=None,
                    help="raw 0-based start index")

@@ -110,3 +110,15 @@ def test_cli_main_checkpoint_inprocess(clip, tmp_path, capsys):
     # multiple files with --checkpoint is an error
     assert main([f, f, "--checkpoint", cp]) == 2
     capsys.readouterr()
+
+
+def test_cli_window_size_kinds(clip, capsys):
+    """--window-size accepts a square edge or the reference (w, h) as WxH."""
+    from pawsometracker_tpu.__main__ import _window_size, main
+
+    assert _window_size("21") == 21
+    assert _window_size("61x9") == (61, 9)
+    f, _ = clip
+    assert main([f, "--start-ij", "50", "50", "--target-width", "10",
+                 "--window-size", "31x21"]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 49
