@@ -97,8 +97,12 @@ def _degraded_plan(probe_fps: float, wedged_below: float, slow_below: float):
     return REPS, None, False
 
 
-#: a probe below this marks a tunnel-degraded phase for the headline stage
-E2E_HEALTHY_PROBE_FPS = 40
+#: a probe below this marks a tunnel-degraded phase for the headline stage.
+#: Calibrated on this link: the 32-frame warm probe reads ~2.9x below the
+#: steady-state full-pass rate (probe 76 -> e2e 222/199 measured), so 100
+#: holds out for the ~280+ fps phases the build is capable of; phases below
+#: it still get measured (full single pass) and flagged for the retry audit.
+E2E_HEALTHY_PROBE_FPS = 100
 #: how long the headline stage may WAIT for a healthy tunnel phase before
 #: measuring anyway (phases last seconds-to-minutes; the stage timeout is 900)
 PHASE_WAIT_S = 300

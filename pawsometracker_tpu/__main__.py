@@ -37,9 +37,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference (w, h) convention, e.g. 61x9)")
     p.add_argument("--lighter-target", action="store_true", help="target is lighter than background")
     p.add_argument("--start-ij", type=int, nargs=2, metavar=("ROW", "COL"), default=None,
-                   help="raw 0-based start index")
+                   action="append", help="raw 0-based start index (repeat for "
+                   "multiple targets in ONE video — multi-target mode)")
     p.add_argument("--start-xy", type=int, nargs=2, metavar=("X", "Y"), default=None,
-                   help="display-pixel start coordinates")
+                   action="append", help="display-pixel start coordinates "
+                   "(repeatable like --start-ij)")
+    p.add_argument("--batch", action="store_true",
+                   help="treat files as INDEPENDENT videos tracked concurrently "
+                        "on the device (track_batch) instead of consecutive "
+                        "segments of one recording")
+    p.add_argument("--n-targets", type=int, default=None,
+                   help="auto-detect and track N targets in one video (track_multi)")
     p.add_argument("--diagnostic-file", default=None, help="write a 640x360 overlay video here")
     p.add_argument("--sar", type=float, default=None, help="override sample aspect ratio")
     p.add_argument("--backend", default="auto", choices=["auto", "native", "opencv"])
@@ -68,14 +76,19 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from . import IJ, track, track_resumable
 
-    if args.start_ij is not None and args.start_xy is not None:
+    if args.start_ij and args.start_xy:
         print("error: give at most one of --start-ij / --start-xy", file=sys.stderr)
         return 2
-    loc = None
-    if args.start_ij is not None:
-        loc = IJ(*args.start_ij)
-    elif args.start_xy is not None:
-        loc = tuple(args.start_xy)
+    locs = [IJ(*p) for p in (args.start_ij or [])] or [tuple(p) for p in (args.start_xy or [])]
+    loc = locs[0] if len(locs) == 1 else None
+    multi = args.n_targets is not None or len(locs) > 1
+    if multi and (args.batch or args.checkpoint):
+        print("error: multi-target mode is incompatible with --batch/--checkpoint",
+              file=sys.stderr)
+        return 2
+    if args.batch and args.checkpoint:
+        print("error: --batch is incompatible with --checkpoint", file=sys.stderr)
+        return 2
 
     kwargs = dict(
         start=args.start,
@@ -96,6 +109,7 @@ def main(argv=None) -> int:
         subpixel=args.subpixel,
         decode_workers=args.decode_workers,
     )
+    cast = float if args.subpixel else int
     try:
         if args.checkpoint:
             if len(args.files) != 1:
@@ -107,6 +121,35 @@ def main(argv=None) -> int:
             ts, ij = track_resumable(
                 args.files[0], checkpoint_path=args.checkpoint, **cp_kwargs
             )
+        elif args.batch:
+            from .batch import track_batch
+
+            b_kwargs = {k: v for k, v in kwargs.items()
+                        if k not in ("speculate", "diagnostic_file")}
+            if args.diagnostic_file:
+                print("error: --batch needs per-file overlays; use the library's "
+                      "diagnostic_files", file=sys.stderr)
+                return 2
+            results = track_batch(args.files, **b_kwargs)
+            return _emit_batch(args, results)
+        elif multi:
+            from .multi import track_multi
+
+            m_kwargs = {k: v for k, v in kwargs.items()
+                        if k not in ("speculate", "diagnostic_file", "start_location")}
+            m_kwargs["start"] = args.start or 0.0
+            if m_kwargs["stop"] is None:
+                m_kwargs.pop("stop")
+            if len(args.files) != 1:
+                print("error: multi-target mode supports a single file", file=sys.stderr)
+                return 2
+            ts, ij = track_multi(
+                args.files[0],
+                start_locations=locs if locs else None,
+                n_targets=args.n_targets,
+                **m_kwargs,
+            )
+            return _emit_multi(args, ts, ij)
         else:
             target = args.files if len(args.files) > 1 else args.files[0]
             ts, ij = track(target, **kwargs)
@@ -120,12 +163,58 @@ def main(argv=None) -> int:
         np.savez(args.out, ts=ts, ij=ij)
         print(f"wrote {len(ij)} positions to {args.out}", file=sys.stderr)
     elif args.format == "json":
-        cast = float if args.subpixel else int
         print(json.dumps({"ts": [float(t) for t in ts], "ij": [[cast(a), cast(b)] for a, b in ij]}))
     else:
         print("t,row,col")
         for t, (i, j) in zip(ts, ij):
             print(f"{t:.6f},{i},{j}")
+    return 0
+
+
+def _emit_batch(args, results) -> int:
+    """Emit track_batch results: CSV gains a leading file column; JSON is a
+    per-file list; --out saves ts_<k>/ij_<k> arrays."""
+    cast = float if args.subpixel else int
+    if args.out:
+        import numpy as np
+
+        np.savez(args.out, **{f"ts_{k}": ts for k, (ts, _) in enumerate(results)},
+                 **{f"ij_{k}": ij for k, (_, ij) in enumerate(results)})
+        print(f"wrote {len(results)} videos to {args.out}", file=sys.stderr)
+    elif args.format == "json":
+        print(json.dumps([
+            {"file": f, "ts": [float(t) for t in ts],
+             "ij": [[cast(a), cast(b)] for a, b in ij]}
+            for f, (ts, ij) in zip(args.files, results)
+        ]))
+    else:
+        print("file,t,row,col")
+        for f, (ts, ij) in zip(args.files, results):
+            for t, (i, j) in zip(ts, ij):
+                print(f"{f},{t:.6f},{i},{j}")
+    return 0
+
+
+def _emit_multi(args, ts, ij) -> int:
+    """Emit track_multi results (``ij [T, N, 2]``): long-format CSV
+    ``t,target,row,col``; JSON carries the [T, N, 2] list; --out saves ts/ij."""
+    cast = float if args.subpixel else int
+    if args.out:
+        import numpy as np
+
+        np.savez(args.out, ts=ts, ij=ij)
+        print(f"wrote {len(ij)} frames x {ij.shape[1]} targets to {args.out}",
+              file=sys.stderr)
+    elif args.format == "json":
+        print(json.dumps({
+            "ts": [float(t) for t in ts],
+            "ij": [[[cast(a), cast(b)] for a, b in row] for row in ij],
+        }))
+    else:
+        print("t,target,row,col")
+        for t, row in zip(ts, ij):
+            for n, (i, j) in enumerate(row):
+                print(f"{t:.6f},{n},{i},{j}")
     return 0
 
 

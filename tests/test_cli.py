@@ -122,3 +122,48 @@ def test_cli_window_size_kinds(clip, capsys):
     assert main([f, "--start-ij", "50", "50", "--target-width", "10",
                  "--window-size", "31x21"]) == 0
     assert len(capsys.readouterr().out.strip().splitlines()) == 49
+
+
+def test_cli_batch_mode(clip, tmp_path, capsys):
+    """--batch treats files as independent videos (track_batch) with a
+    file-keyed CSV and per-file npz arrays."""
+    import numpy as np
+
+    from pawsometracker_tpu.__main__ import main
+
+    f, _ = clip
+    assert main([f, f, "--batch", "--start-ij", "50", "50", "--target-width", "10"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0] == "file,t,row,col"
+    assert len(lines) == 1 + 2 * 48  # both videos, 48 frames each
+    assert lines[1].startswith(f)
+
+    out = str(tmp_path / "b.npz")
+    assert main([f, f, "--batch", "--start-ij", "50", "50", "--target-width", "10",
+                 "--out", out]) == 0
+    capsys.readouterr()
+    with np.load(out) as z:
+        assert z["ij_0"].shape == (48, 2) and z["ij_1"].shape == (48, 2)
+        np.testing.assert_array_equal(z["ij_0"], z["ij_1"])  # same clip
+
+    # incompatible combinations are argument errors
+    assert main([f, "--batch", "--checkpoint", str(tmp_path / "cp.npz")]) == 2
+    assert main([f, "--batch", "--n-targets", "2"]) == 2
+    capsys.readouterr()
+
+
+def test_cli_multi_target_mode(clip, capsys):
+    """Repeated --start-ij tracks N targets in one video (track_multi),
+    long-format CSV t,target,row,col."""
+    from pawsometracker_tpu.__main__ import main
+
+    f, _ = clip
+    assert main([f, "--start-ij", "50", "50", "--start-ij", "50", "50",
+                 "--target-width", "10"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0] == "t,target,row,col"
+    assert len(lines) == 1 + 2 * 48
+    # the two identically-seeded targets agree row-for-row
+    t0 = [ln for ln in lines[1:] if ln.split(",")[1] == "0"]
+    t1 = [ln for ln in lines[1:] if ln.split(",")[1] == "1"]
+    assert [ln.split(",")[2:] for ln in t0] == [ln.split(",")[2:] for ln in t1]

@@ -22,6 +22,13 @@ CONFIGS = [
     ("auto_default", {}),  # the shipped defaults (pipeline_depth="auto")
     ("predict_d1_k8", {"pipeline_depth": 1, "roi_frames": 8, "speculate": "predict"}),
     ("predict_d3_k8", {"pipeline_depth": 3, "roi_frames": 8, "speculate": "predict"}),
+    # K sweep at fixed depth 3: fewer dispatch/drain round trips per frame
+    # vs quadratically larger crops (margin grows with K in predict mode)
+    ("predict_d3_k4", {"pipeline_depth": 3, "roi_frames": 4, "speculate": "predict"}),
+    ("predict_d3_k12", {"pipeline_depth": 3, "roi_frames": 12, "speculate": "predict"}),
+    ("predict_d3_k16", {"pipeline_depth": 3, "roi_frames": 16, "speculate": "predict"}),
+    ("predict_d5_k8", {"pipeline_depth": 5, "roi_frames": 8, "speculate": "predict"}),
+    ("predict_d5_k16", {"pipeline_depth": 5, "roi_frames": 16, "speculate": "predict"}),
 ]
 TIMEOUT = 600
 RETRIES = 3
