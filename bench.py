@@ -149,7 +149,12 @@ def stage_e2e(d):
     path, truth = _clip(d)
     p0 = IJ(int(truth[0][0]), int(truth[0][1]))
     kw = dict(start_location=p0, target_width=TARGET_WIDTH, window_size=WINDOW)
-    track(path, stop=32 / FPS, **kw)  # warm-up / compile
+    # Warm-up with the EXACT measured workload: a short (32-frame) warm pass
+    # stays at pipeline depth 1 and never compiles the deeper chained-dispatch
+    # variant, so the first full pass paid a ~0.7 s in-run XLA compile
+    # (profiled: jit(chained) on uint8[K,crop,crop]). One full-clip pass warms
+    # every shape the measured reps will use.
+    track(path, **kw)
 
     def probe():
         t0 = time.perf_counter()
@@ -534,7 +539,10 @@ def stage_batch(d):
     B = 4
     p0 = IJ(int(truth[0][0]), int(truth[0][1]))
     kw = dict(start_location=p0, target_width=TARGET_WIDTH, window_size=WINDOW)
-    track_batch([path] * B, stop=32 / FPS, **kw)  # warm-up
+    # full-workload warm-up (same rationale as stage_e2e: a short pass never
+    # reaches the deeper pipeline depths, leaving a chained-dispatch compile
+    # inside the first measured rep)
+    track_batch([path] * B, **kw)
 
     def probe():
         t0 = time.perf_counter()

@@ -49,6 +49,7 @@ correctness change cannot silently diverge between them.
 
 from __future__ import annotations
 
+import functools
 from collections import deque
 
 import numpy as np
@@ -103,11 +104,17 @@ def roi_geometry(spec, k_frames: int, depth: int = 0, mode: str = "contain"):
     return 2 * mi + 1, 2 * mj + 1, (mi, mj)
 
 
+@functools.lru_cache(maxsize=256)
 def make_chained(scan_bounded):
     """Wrap a bounded scan ``fn(frames, pos0, fill, lo, hi)`` so the start
     position is computed ON DEVICE from the previous chunk's (lazy) final
     position plus a host-known origin delta — the link that lets consecutive
-    chunk scans dispatch without a host round-trip."""
+    chunk scans dispatch without a host round-trip.
+
+    Memoized on the scan function object: the scan factories are themselves
+    lru-cached per spec, so without this every ``track()`` call built a fresh
+    ``jax.jit`` wrapper and paid a ~0.6 s XLA recompile of the chained
+    dispatch inside the streaming loop (profiled on the v5e tunnel)."""
     import jax
     import jax.numpy as jnp
 
@@ -119,9 +126,10 @@ def make_chained(scan_bounded):
     return jax.jit(chained)
 
 
+@functools.lru_cache(maxsize=256)
 def make_chained_batch(scan_bounded_batch):
-    """Batched analog of :func:`make_chained`: ``prev_all`` is ``[B, K, 2]``,
-    ``delta`` is ``[B, 2]``."""
+    """Batched analog of :func:`make_chained` (same memoization rationale):
+    ``prev_all`` is ``[B, K, 2]``, ``delta`` is ``[B, 2]``."""
     import jax
     import jax.numpy as jnp
 
@@ -1038,8 +1046,10 @@ def run_roi_pipeline(
     return positions, offsets, int(tracked[0])
 
 
+@functools.lru_cache(maxsize=256)
 def make_chained_full(scan):
-    """Chained wrapper for FULL-FRAME scans ``fn(frames, pos0, fill)``."""
+    """Chained wrapper for FULL-FRAME scans ``fn(frames, pos0, fill)``
+    (same memoization rationale as :func:`make_chained`)."""
     import jax
     import jax.numpy as jnp
 
