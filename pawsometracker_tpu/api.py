@@ -20,6 +20,7 @@ Returns ``(ts, positions)``: ``ts`` float64 seconds, ``positions`` int
 
 from __future__ import annotations
 
+import functools
 import logging
 
 from typing import NamedTuple, Sequence
@@ -96,6 +97,20 @@ def _on_tpu() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+@functools.lru_cache(maxsize=128)
+def _full_scan_sub(spec):
+    """Whole-frame subpixel scan with the bounds pinned to the frame — jitted
+    once per spec (a per-call ``jax.jit(lambda ...)`` would recompile on
+    every ``track(..., subpixel=True, stream="full")`` call)."""
+    import jax
+    import jax.numpy as jnp
+
+    fns_full = tracker_fns(spec)
+    lo_s = jnp.zeros((2,), jnp.int32)
+    hi_s = jnp.asarray(np.array(spec.frame_shape, np.int32) - 1)
+    return jax.jit(lambda c, p, f: fns_full.scan_sub(c, p, f, lo_s, hi_s))
 
 
 def _scan_fn_for(spec, engine: str):
@@ -275,12 +290,7 @@ def _track_one(
             last_frame += tracked
         elif n > 1:
             if subpixel:
-                import jax
-
-                fns_full = tracker_fns(spec)
-                lo_s = jnp.zeros((2,), jnp.int32)
-                hi_s = jnp.asarray(np.array(frame_shape, np.int32) - 1)
-                scan = jax.jit(lambda c, p, f: fns_full.scan_sub(c, p, f, lo_s, hi_s))
+                scan = _full_scan_sub(spec)
             else:
                 scan = _scan_fn_for(spec, engine)
             pos_blocks, off_blocks, tracked = run_full_pipeline(

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -108,6 +110,7 @@ def _batch_frame_response(spec: TrackerSpec):
     return response
 
 
+@functools.lru_cache(maxsize=128)
 def global_detect_batch(spec: TrackerSpec, mesh: Mesh | None = None):
     """Whole-frame target detection, batched and (optionally) spatially sharded.
 
@@ -140,6 +143,7 @@ def global_detect_batch(spec: TrackerSpec, mesh: Mesh | None = None):
     return jax.jit(detect, in_shardings=in_sh, out_shardings=out_sh)
 
 
+@functools.lru_cache(maxsize=128)
 def global_detect_peaks(spec: TrackerSpec, n_targets: int, min_distance: int | None = None):
     """Top-``n_targets`` DoG-response peaks in ONE frame, with non-maximum
     suppression — multi-target auto-detection (framework extension; the
@@ -187,6 +191,7 @@ def global_detect_peaks(spec: TrackerSpec, n_targets: int, min_distance: int | N
     return jax.jit(detect)
 
 
+@functools.lru_cache(maxsize=128)
 def sharded_pallas_bounded(spec: TrackerSpec, mesh: Mesh, *, interpret: bool = False,
                            subpixel: bool = False):
     """The fused Pallas bounded scan under a device mesh: ``shard_map`` over
@@ -223,6 +228,20 @@ def sharded_pallas_bounded(spec: TrackerSpec, mesh: Mesh, *, interpret: bool = F
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=512)
+def _cached_vmap_jit(fn, in_shardings=None, out_shardings=None):
+    """Shared ``jax.jit(jax.vmap(fn))`` keyed on the underlying function (and
+    optional shardings). ``tracker_fns`` is lru-cached per spec, so the jit —
+    and its XLA executable — is built once per (spec, shardings) instead of
+    once per :class:`ShardedBatchTracker` instance; without this every
+    ``track_batch``/``track_multi`` call paid multi-second XLA recompiles of
+    the batched scan inside the streaming loop."""
+    f = jax.vmap(_unwrap(fn))
+    if in_shardings is None:
+        return jax.jit(f)
+    return jax.jit(f, in_shardings=in_shardings, out_shardings=out_shardings)
+
+
 class ShardedBatchTracker:
     """Batch-of-videos tracking engine, sharded over a device mesh.
 
@@ -239,14 +258,14 @@ class ShardedBatchTracker:
             self.snap = fns.snap_batch
             self.snap_detect = det.snap_batch
             self.scan = fns.scan_batch
-            self.scan_bounded = jax.jit(jax.vmap(_unwrap(fns.scan_bounded)))
+            self.scan_bounded = _cached_vmap_jit(fns.scan_bounded)
             # XLA sub-pixel variants (the fused bounded+subpixel Pallas
             # alternative is selected by measurement in the ROI pipelines —
             # pipeline._select_batched_bounded — these are the fallback/oracle:
             # the response around the argmax, which the fused kernel discards)
-            self.scan_sub = jax.jit(jax.vmap(_unwrap(fns.scan_sub)))
-            self.snap_sub = jax.jit(jax.vmap(_unwrap(fns.snap_sub)))
-            self.snap_detect_sub = jax.jit(jax.vmap(_unwrap(det.snap_sub)))
+            self.scan_sub = _cached_vmap_jit(fns.scan_sub)
+            self.snap_sub = _cached_vmap_jit(fns.snap_sub)
+            self.snap_detect_sub = _cached_vmap_jit(det.snap_sub)
             if engine == "pallas" or (engine == "auto" and jax.default_backend() == "tpu"):
                 # single-device batch: the fused kernel scans all videos in one
                 # launch (grid (B, T)); per-video fills supported
@@ -264,35 +283,26 @@ class ShardedBatchTracker:
             pos_sh = NamedSharding(mesh, P("data", None))
             tpos_sh = NamedSharding(mesh, P("data", None, None))
 
-            def _jit_b(fn, in_sh, out_sh):
-                return jax.jit(fn, in_shardings=in_sh, out_shardings=out_sh)
-
             base = tracker_fns(spec)
             detb = tracker_fns(autodetect_spec(spec))
-            self.snap = _jit_b(
-                jax.vmap(_unwrap(base.snap)), (frames_sh, pos_sh, vec_sh), pos_sh
+            self.snap = _cached_vmap_jit(base.snap, (frames_sh, pos_sh, vec_sh), pos_sh)
+            self.snap_detect = _cached_vmap_jit(
+                detb.snap, (frames_sh, pos_sh, vec_sh), pos_sh
             )
-            self.snap_detect = _jit_b(
-                jax.vmap(_unwrap(detb.snap)), (frames_sh, pos_sh, vec_sh), pos_sh
+            self.scan = _cached_vmap_jit(base.scan, (chunk_sh, pos_sh, vec_sh), tpos_sh)
+            self.scan_bounded = _cached_vmap_jit(
+                base.scan_bounded, (chunk_sh, pos_sh, vec_sh, pos_sh, pos_sh), tpos_sh
             )
-            self.scan = _jit_b(
-                jax.vmap(_unwrap(base.scan)), (chunk_sh, pos_sh, vec_sh), tpos_sh
-            )
-            self.scan_bounded = _jit_b(
-                jax.vmap(_unwrap(base.scan_bounded)),
-                (chunk_sh, pos_sh, vec_sh, pos_sh, pos_sh),
-                tpos_sh,
-            )
-            self.scan_sub = _jit_b(
-                jax.vmap(_unwrap(base.scan_sub)),
+            self.scan_sub = _cached_vmap_jit(
+                base.scan_sub,
                 (chunk_sh, pos_sh, vec_sh, pos_sh, pos_sh),
                 (tpos_sh, tpos_sh),
             )
-            self.snap_sub = _jit_b(
-                jax.vmap(_unwrap(base.snap_sub)), (frames_sh, pos_sh, vec_sh), (pos_sh, pos_sh)
+            self.snap_sub = _cached_vmap_jit(
+                base.snap_sub, (frames_sh, pos_sh, vec_sh), (pos_sh, pos_sh)
             )
-            self.snap_detect_sub = _jit_b(
-                jax.vmap(_unwrap(detb.snap_sub)), (frames_sh, pos_sh, vec_sh), (pos_sh, pos_sh)
+            self.snap_detect_sub = _cached_vmap_jit(
+                detb.snap_sub, (frames_sh, pos_sh, vec_sh), (pos_sh, pos_sh)
             )
 
     def shard_chunk(self, chunk: np.ndarray):
