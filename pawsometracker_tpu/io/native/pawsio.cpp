@@ -83,7 +83,9 @@ struct Decoder {
   bool force_sws = false;  // PAWSIO_EXACT_GRAY=1: always use swscale
 
   // fps resampler state — fixed buffers, swapped (never reallocated) so the
-  // steady-state cost is one sws write + one memcpy per emitted frame
+  // steady-state cost is one sws/luma write per emitted frame; emission into
+  // a vector sink (the prefetch ring) SWAPS the staging buffer instead of
+  // copying it whenever the staged frame can never be re-read
   std::vector<uint8_t> pending, prev, scratch, roi_scratch;
   int pending_slot = 0;
   bool has_pending = false, has_prev = false, flushed = false;
@@ -107,7 +109,10 @@ struct Decoder {
   std::thread th;
   std::mutex mu;
   std::condition_variable cv_push, cv_pop;
-  std::vector<uint8_t> ring_mem;
+  // per-slot buffers (not one contiguous block) so the resampler can SWAP a
+  // finished staging frame into a slot — zero full-frame copies in steady
+  // state between decode and the retained crop reads
+  std::vector<std::vector<uint8_t>> ring_slots;
   size_t ring_depth = 0, ring_head = 0, ring_count = 0, ring_read = 0;
   std::atomic<bool> stop_thread{false};
   bool thread_eof = false;
@@ -211,21 +216,37 @@ struct Decoder {
     }
   }
 
-  // One fps-resampled frame. Returns 1 ok, 0 eof, <0 error.
-  int read_resampled(uint8_t *dst) {
+  // One fps-resampled frame into either a raw pointer (`dst`) or a vector
+  // sink (`dstv`, exactly one non-null). The vector sink lets the hot
+  // emissions SWAP the staging buffer into the ring slot instead of copying
+  // 2 MB/frame — legal exactly when the staged frame can never be re-read
+  // (no gap duplicate of it is still owed). Returns 1 ok, 0 eof, <0 error.
+  int read_resampled_sink(uint8_t *dst, std::vector<uint8_t> *dstv) {
     const size_t nb = frame_bytes();
     if (scratch.size() != nb) {
       scratch.resize(nb);
       pending.resize(nb);
       prev.resize(nb);
     }
+    if (dstv && dstv->size() != nb) dstv->resize(nb);
+    // emit by copy: the source buffer will (or may) be read again
+    auto emit_copy = [&](const uint8_t *src) {
+      std::memcpy(dstv ? dstv->data() : dst, src, nb);
+    };
+    // emit by take: the source staging buffer is dead after this emission
+    auto emit_take = [&](std::vector<uint8_t> &src) {
+      if (dstv)
+        std::swap(*dstv, src);  // zero-copy handoff into the ring slot
+      else
+        std::memcpy(dst, src.data(), nb);
+    };
     while (true) {
       if (has_pending && emit_slot < pending_slot) {
-        // duplicate the earlier frame into the gap
-        const uint8_t *src = has_prev ? prev.data() : pending.data();
+        // duplicate the earlier frame into the gap (it may be duplicated
+        // again next call — must copy)
         emit_slot++;
         if ((emit_slot - 1) / fps >= duration) return 0;
-        std::memcpy(dst, src, nb);
+        emit_copy(has_prev ? prev.data() : pending.data());
         last_emit_pts = has_prev ? prev_pts : pending_pts;
         last_emit_slot = emit_slot - 1;
         return 1;
@@ -239,7 +260,7 @@ struct Decoder {
           flushed = true;
           emit_slot = std::max(emit_slot, pending_slot) + 1;
           if ((emit_slot - 1) / fps >= duration) return 0;
-          std::memcpy(dst, pending.data(), nb);
+          emit_take(pending);  // final frame: pending is never read again
           last_emit_pts = pending_pts;
           last_emit_slot = emit_slot - 1;
           return 1;
@@ -274,7 +295,14 @@ struct Decoder {
       if (emit_slot == old_slot) {
         emit_slot++;
         if ((emit_slot - 1) / fps >= duration) return 0;
-        std::memcpy(dst, prev.data(), nb);
+        if (emit_slot < pending_slot) {
+          // gap duplicates of this frame are still owed from `prev`
+          emit_copy(prev.data());
+        } else {
+          // steady CFR path: `prev` is dead until the next input frame
+          // overwrites it — hand the buffer to the ring, zero-copy
+          emit_take(prev);
+        }
         last_emit_pts = prev_pts;
         last_emit_slot = emit_slot - 1;
         return 1;
@@ -282,8 +310,9 @@ struct Decoder {
     }
   }
 
+  int read_resampled(uint8_t *dst) { return read_resampled_sink(dst, nullptr); }
+
   void prefetch_loop() {
-    const size_t nb = frame_bytes();
     while (!stop_thread) {
       size_t slot;
       {
@@ -293,7 +322,8 @@ struct Decoder {
         slot = (ring_head + ring_count) % ring_depth;
       }
       // decode the next resampled frame DIRECTLY into the free ring slot
-      int ret = read_resampled(ring_mem.data() + slot * nb);
+      // (vector sink: the steady-state emission swaps buffers, no copy)
+      int ret = read_resampled_sink(nullptr, &ring_slots[slot]);
       std::unique_lock<std::mutex> lk(mu);
       if (ret != 1) {
         thread_eof = true;
@@ -594,7 +624,7 @@ int pawsio_start_prefetch(void *h, int depth) {
   auto d = static_cast<Decoder *>(h);
   if (d->th.joinable()) return 0;
   d->ring_depth = depth > 0 ? depth : 8;
-  d->ring_mem.resize(d->ring_depth * d->frame_bytes());
+  d->ring_slots.assign(d->ring_depth, std::vector<uint8_t>(d->frame_bytes()));
   d->th = std::thread([d] { d->prefetch_loop(); });
   return 0;
 }
@@ -644,7 +674,7 @@ int pawsio_read(void *h, uint8_t *dst) {
   const size_t nb = d->frame_bytes();
   size_t slot = next_unread_slot(d);
   if (slot == SIZE_MAX) return 0;
-  std::memcpy(dst, d->ring_mem.data() + slot * nb, nb);
+  std::memcpy(dst, d->ring_slots[slot].data(), nb);
   release_slots(d, 1);
   return 1;
 }
@@ -700,7 +730,7 @@ static int read_roi_impl(Decoder *d, uint8_t *dst, int ch, int cw, int orr,
   }
   size_t slot = next_unread_slot(d);
   if (slot == SIZE_MAX) return 0;
-  crop_from(d->ring_mem.data() + slot * d->frame_bytes(), H, W, dst, ch, cw, orr, occ, fill);
+  crop_from(d->ring_slots[slot].data(), H, W, dst, ch, cw, orr, occ, fill);
   if (!retain) release_slots(d, 1);
   return 1;
 }
@@ -760,10 +790,9 @@ int pawsio_recrop(void *h, uint8_t *dst, int first, int k, int ch, int cw,
     return -1;
   }
   const int H = d->height, W = d->width;
-  const size_t nb = d->frame_bytes();
   for (int j = 0; j < k; j++) {
     size_t slot = (head + first + j) % d->ring_depth;
-    crop_from(d->ring_mem.data() + slot * nb, H, W, dst + (size_t)j * ch * cw,
+    crop_from(d->ring_slots[slot].data(), H, W, dst + (size_t)j * ch * cw,
               ch, cw, orr, occ, fill);
   }
   return k;
