@@ -12,6 +12,11 @@ reference: src/PawsomeTracker.jl:26), plus the batch/sharded APIs, tracker
 model internals, and I/O layers for power users.
 """
 
+from .utils.compilecache import enable_persistent_cache
+
+# amortize XLA compiles across processes (opt out: PAWS_TPU_NO_COMPILE_CACHE=1)
+enable_persistent_cache()
+
 from .api import DEFAULT_MAX_DURATION_SECONDS, IJ, track
 from .batch import track_batch
 from .checkpoint import load_checkpoint, track_resumable
