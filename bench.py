@@ -608,15 +608,40 @@ def _e2e_is_degraded(res: dict) -> bool:
     return bool(s) and s.get("max", 0) > 2.5 * max(s.get("min", 0), 1e-9)
 
 
+def _e2e_attempts_consistent(attempts: list) -> bool:
+    """True when >=2 clean attempts (no error flag, tight intra-stage spread)
+    agree within 15% — the link's genuine steady state, not a phase artifact.
+    ``E2E_HEALTHY_RESULT_FPS`` encodes THIS build on THIS link; on a slower
+    environment every attempt would read "degraded" and the stage would burn
+    the whole retry budget on every run. Two independent subprocess attempts
+    that reproduce each other ARE the steady state — stop and record them."""
+    clean = [
+        a.get("e2e_fps")
+        for a in attempts
+        if "e2e_error" not in a
+        and a.get("e2e_fps")
+        and (lambda s: not s or s.get("max", 0) <= 1.5 * max(s.get("min", 0), 1e-9))(
+            a.get("e2e_spread") or {}
+        )
+    ]
+    if len(clean) < 2:
+        return False
+    top = sorted(clean, reverse=True)[:2]
+    return top[0] <= 1.15 * top[1]
+
+
 def _rerun_e2e_if_degraded(result: dict, d: str, timeout: int, max_extra: int = 3) -> dict:
     """VERDICT: the number of record must not be a tunnel artifact. When the
     first headline attempt is degraded, give the stage fresh subprocess
     attempts (each with its own phase wait) and keep the attempt with the
     best median — recording EVERY attempt in ``e2e_attempts`` so the final
-    number is auditable, not cherry-picked in silence."""
+    number is auditable, not cherry-picked in silence. Stops early once two
+    clean attempts reproduce each other (see ``_e2e_attempts_consistent``)."""
     attempts = [result]
     for _ in range(max_extra):
         if not _e2e_is_degraded(attempts[-1]):
+            break
+        if _e2e_attempts_consistent(attempts):
             break
         attempts.append(_run_stage_subprocess("e2e", d, timeout))
     best = max(attempts, key=lambda r: r.get("e2e_fps", -1.0))

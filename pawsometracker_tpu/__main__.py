@@ -115,6 +115,11 @@ def main(argv=None) -> int:
             if len(args.files) != 1:
                 print("error: --checkpoint supports a single file", file=sys.stderr)
                 return 2
+            if args.diagnostic_file:
+                print("error: --diagnostic-file is not supported with "
+                      "--checkpoint (slices reopen the encoder mid-video)",
+                      file=sys.stderr)
+                return 2
             cp_kwargs = dict(kwargs)  # forward EVERY tracking flag
             cp_kwargs.pop("diagnostic_file")  # not supported by slices
             cp_kwargs["start"] = args.start or 0.0
@@ -130,6 +135,11 @@ def main(argv=None) -> int:
                 print("error: --batch needs per-file overlays; use the library's "
                       "diagnostic_files", file=sys.stderr)
                 return 2
+            if args.speculate != "predict":
+                print("error: --speculate contain is not supported with --batch "
+                      "(the batch pipeline always runs predict mode)",
+                      file=sys.stderr)
+                return 2
             results = track_batch(args.files, **b_kwargs)
             return _emit_batch(args, results)
         elif multi:
@@ -137,6 +147,15 @@ def main(argv=None) -> int:
 
             m_kwargs = {k: v for k, v in kwargs.items()
                         if k not in ("speculate", "diagnostic_file", "start_location")}
+            if args.diagnostic_file:
+                print("error: --diagnostic-file is not supported in multi-target "
+                      "mode (track_multi has no overlay writer)", file=sys.stderr)
+                return 2
+            if args.speculate != "predict":
+                print("error: --speculate contain is not supported in multi-target "
+                      "mode (the multi pipeline always runs predict mode)",
+                      file=sys.stderr)
+                return 2
             m_kwargs["start"] = args.start or 0.0
             if m_kwargs["stop"] is None:
                 m_kwargs.pop("stop")

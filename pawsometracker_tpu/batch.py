@@ -10,6 +10,8 @@ prefetch thread per video, assembling lockstep ``[B, T, H, W]`` chunks.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 from .api import DEFAULT_CHUNK_SIZE, DEFAULT_MAX_DURATION_SECONDS, IJ, _resolve_guess
@@ -20,6 +22,8 @@ from .ops.filters import mode_u8_host
 from .parallel.mesh import ShardedBatchTracker
 
 __all__ = ["track_batch"]
+
+logger = logging.getLogger(__name__)
 
 
 def _broadcast(x, n, default):
@@ -354,6 +358,13 @@ def _track_batch_uniform(
                 timer=timer,
             )
             pipe.run(pos_host.astype(np.int64), max(ns) - 1)
+            if timer.totals:
+                logger.debug(
+                    "track_batch B=%d: %d frames, stream=roi, sections=%s",
+                    B,
+                    sum(counts),
+                    {k: round(v, 3) for k, v in timer.totals.items()},
+                )
         else:
             active = [True] * B
             last_frames = [frames0[b] for b in range(B)]

@@ -98,3 +98,41 @@ def test_wait_for_healthy_phase_deadline(bench, monkeypatch):
     fps = bench._wait_for_healthy_phase(lambda: 3.0, 40, 60.0, hist)
     assert fps == 3.0  # deadline expired in a bad phase: measure anyway
     assert len(hist) >= 1
+
+
+def test_rerun_stops_when_attempts_reproduce(bench, monkeypatch):
+    """An environment whose TRUE steady state is below the capability bar
+    must not burn the whole retry budget every run: two clean attempts that
+    agree within 15% are the steady state (review finding on the hard-coded
+    E2E_HEALTHY_RESULT_FPS)."""
+    calls = []
+
+    def fake_run(name, d, t):
+        calls.append(name)
+        return {"e2e_fps": 252.0, "e2e_spread": {"med": 252, "min": 245, "max": 260}}
+
+    monkeypatch.setattr(bench, "_run_stage_subprocess", fake_run)
+    first = {"e2e_fps": 248.0, "e2e_spread": {"med": 248, "min": 240, "max": 255}}
+    best = bench._rerun_e2e_if_degraded(first, "/nonexistent", 1, max_extra=3)
+    # one re-run proves consistency; the 3rd and 4th attempts never launch
+    assert calls == ["e2e"]
+    assert best["e2e_fps"] == 252.0
+    assert [a["e2e_fps"] for a in best["e2e_attempts"]] == [248.0, 252.0]
+
+
+def test_attempts_consistency_helper(bench):
+    ok = {"e2e_fps": 250.0, "e2e_spread": {"med": 250, "min": 240, "max": 260}}
+    # <2 clean attempts: not consistent
+    assert not bench._e2e_attempts_consistent([ok])
+    assert not bench._e2e_attempts_consistent([ok, {"e2e_error": "timeout"}])
+    # wide spread disqualifies an attempt
+    wide = {"e2e_fps": 250.0, "e2e_spread": {"med": 250, "min": 100, "max": 300}}
+    assert not bench._e2e_attempts_consistent([ok, wide])
+    # >15% apart: a phase artifact, keep retrying
+    far = {"e2e_fps": 180.0, "e2e_spread": {"med": 180, "min": 175, "max": 186}}
+    assert not bench._e2e_attempts_consistent([ok, far])
+    # two clean reproducing attempts: stop
+    near = {"e2e_fps": 240.0, "e2e_spread": {"med": 240, "min": 232, "max": 249}}
+    assert bench._e2e_attempts_consistent([ok, near])
+    # consistency looks at the TOP two; a stray wedged attempt doesn't block
+    assert bench._e2e_attempts_consistent([far, ok, near])

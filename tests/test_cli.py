@@ -167,3 +167,23 @@ def test_cli_multi_target_mode(clip, capsys):
     t0 = [ln for ln in lines[1:] if ln.split(",")[1] == "0"]
     t1 = [ln for ln in lines[1:] if ln.split(",")[1] == "1"]
     assert [ln.split(",")[2:] for ln in t0] == [ln.split(",")[2:] for ln in t1]
+
+
+def test_cli_unsupported_flag_combos_error(clip, capsys):
+    """Flags a mode cannot honor must fail loudly, never be silently dropped
+    (review finding: multi mode dropped --diagnostic-file; batch/multi
+    dropped --speculate contain; checkpoint dropped --diagnostic-file)."""
+    from pawsometracker_tpu.__main__ import main
+
+    f, _ = clip
+    multi = [f, "--start-ij", "50", "50", "--start-ij", "60", "60"]
+    assert main(multi + ["--diagnostic-file", "/tmp/x.mp4"]) == 2
+    assert main(multi + ["--speculate", "contain"]) == 2
+    assert main([f, f, "--batch", "--speculate", "contain"]) == 2
+    assert main([f, "--checkpoint", "/tmp/cp.npz",
+                 "--diagnostic-file", "/tmp/x.mp4"]) == 2
+    err = capsys.readouterr().err
+    assert err.count("error:") == 4
+    # the supported default (predict) still runs in every mode
+    assert main(multi + ["--target-width", "10"]) == 0
+    capsys.readouterr()
