@@ -366,6 +366,57 @@ def stage_subpixel(d):
     }
 
 
+def stage_hostceil(d):
+    """Host-side ceiling for the e2e path, MEASURED: run the full track()
+    ROI pipeline with the device engine replaced by a truth-following no-op,
+    so the stage times decode + C++ crop + controller with zero device work.
+
+    cProfile of this configuration shows ~98% of host time inside the native
+    ``read_roi_chunk_retained`` (libav decode + crop on the single host core)
+    and ~2% in controller Python — the e2e number can never exceed this fps
+    on this host no matter what the chip does, which makes the roofline
+    'binds_e2e' claim auditable instead of asserted. Forced to CPU so a
+    wedged TPU tunnel cannot skew a host-only measurement."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from pawsometracker_tpu import IJ, track
+    from pawsometracker_tpu import pipeline as plmod
+
+    path, truth = _clip(d)
+
+    class _TruthEngine:
+        def __init__(self, *a, **k):
+            self.t = 0
+
+        def reset(self):
+            pass
+
+        def dispatch(self, buf, origins, P_abs):
+            K = buf.shape[1]
+            k = min(K, len(truth) - 1 - self.t)
+            pos = np.zeros((K, 2), np.int64)
+            pos[:k] = truth[self.t + 1 : self.t + 1 + k] - origins[0]
+            self.t += k
+            return pos
+
+        def to_host(self, handle):
+            return handle[None].copy(), None
+
+    plmod._SingleEngine = _TruthEngine
+    p0 = IJ(int(truth[0][0]), int(truth[0][1]))
+    kw = dict(start_location=p0, target_width=TARGET_WIDTH, window_size=WINDOW,
+              engine="xla")
+    track(path, **kw)  # warm: decode ring, spec caches
+    fpss = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        ts, ij = track(path, **kw)
+        fpss.append(len(ij) / max(time.perf_counter() - t0, 1e-9))
+    s = _stats(fpss)
+    return {"hostceil_fps": s["med"], "hostceil_spread": s}
+
+
 def stage_mfu(d):
     """Analytic FLOPs / bytes accounting for the device stages.
 
@@ -583,6 +634,7 @@ STAGES = {
     "e2e": (stage_e2e, 1200),
     "batch": (stage_batch, 900),
     "decode": (stage_decode, 300),
+    "hostceil": (stage_hostceil, 420),
     "pdecode": (stage_pdecode, 420),
     "device_roi": (stage_device_roi, 420),
     "subpixel": (stage_subpixel, 420),
@@ -751,6 +803,8 @@ def main():
         ceilings = {
             "compute (peak/flops_per_frame)": peak / fl_e2e,
             "host decode (full frames into Python)": detail.get("decode_fps") or float("inf"),
+            "host pipeline no-device ceiling (hostceil stage)": detail.get("hostceil_fps")
+            or float("inf"),
             "per-dispatch link RPC (device_roi stage)": detail.get("device_roi_fps") or float("inf"),
         }
         binder = min(ceilings, key=lambda k: ceilings[k])

@@ -136,3 +136,38 @@ def test_attempts_consistency_helper(bench):
     assert bench._e2e_attempts_consistent([ok, near])
     # consistency looks at the TOP two; a stray wedged attempt doesn't block
     assert bench._e2e_attempts_consistent([far, ok, near])
+
+
+def test_stage_hostceil_tiny(bench, tmp_path, monkeypatch):
+    """The hostceil stage (device engine swapped for a truth-following no-op)
+    must run the real track() path end-to-end; pins the _SingleEngine seam a
+    rename would silently break."""
+    import cv2
+    import numpy as np
+
+    d = str(tmp_path)
+    H, W, N = 144, 176, 30
+    vw = cv2.VideoWriter(
+        f"{d}/bench1080.mp4", cv2.VideoWriter_fourcc(*"mp4v"), 24, (W, H),
+        isColor=False,
+    )
+    truth = []
+    for t in range(N):
+        img = np.full((H, W), 128, np.uint8)
+        ij = (72 + t // 3, 40 + 3 * t)
+        truth.append(ij)
+        cv2.circle(img, (ij[1], ij[0]), 12, 30, -1)
+        vw.write(img)
+    vw.release()
+    np.save(f"{d}/truth.npy", np.asarray(truth))
+
+    from pawsometracker_tpu import pipeline
+
+    monkeypatch.setattr(bench, "REPS", 1)
+    orig = pipeline._SingleEngine
+    try:
+        out = bench.stage_hostceil(d)
+    finally:
+        pipeline._SingleEngine = orig  # the stage mutates module state
+    assert out["hostceil_fps"] > 0
+    assert set(out["hostceil_spread"]) == {"med", "min", "max"}
