@@ -171,3 +171,20 @@ def test_stage_hostceil_tiny(bench, tmp_path, monkeypatch):
         pipeline._SingleEngine = orig  # the stage mutates module state
     assert out["hostceil_fps"] > 0
     assert set(out["hostceil_spread"]) == {"med", "min", "max"}
+
+
+def test_finalize_signals(bench):
+    """SIGTERM mid-run must raise _BenchInterrupted (so main() finalizes the
+    JSON line) rather than kill the process silently."""
+    import os
+    import signal
+
+    old_term = signal.getsignal(signal.SIGTERM)
+    old_int = signal.getsignal(signal.SIGINT)
+    try:
+        bench._install_finalize_signals()
+        with pytest.raises(bench._BenchInterrupted):
+            os.kill(os.getpid(), signal.SIGTERM)
+    finally:
+        signal.signal(signal.SIGTERM, old_term)
+        signal.signal(signal.SIGINT, old_int)
