@@ -50,6 +50,8 @@ correctness change cannot silently diverge between them.
 from __future__ import annotations
 
 import functools
+import os
+import time
 from collections import deque
 
 import numpy as np
@@ -142,8 +144,6 @@ def make_chained_batch(scan_bounded_batch):
 
 
 def _engine_cache_path() -> str:
-    import os
-
     d = os.environ.get("PAWSOMETRACKER_CACHE", os.path.expanduser("~/.cache/pawsometracker_tpu"))
     os.makedirs(d, exist_ok=True)
     return os.path.join(d, "engine_cache.json")
@@ -151,7 +151,6 @@ def _engine_cache_path() -> str:
 
 def _load_engine_cache() -> dict:
     import json
-    import os
 
     p = _engine_cache_path()
     if os.path.exists(p):
@@ -165,7 +164,6 @@ def _load_engine_cache() -> dict:
 
 def _save_engine_cache(cache: dict) -> None:
     import json
-    import os
 
     p = _engine_cache_path()
     tmp = p + ".tmp"
@@ -209,8 +207,6 @@ def pick_bounded_engine_batch(roi_spec, k_frames: int, batch: int, fill: int = 1
 
 def _pick_engine_measured(roi_spec, k_frames: int, fill: int, batch: int | None,
                           subpixel: bool = False):
-    import time
-
     import jax
     import jax.numpy as jnp
 
@@ -417,6 +413,56 @@ def _to_host_async(*arrays):
 # ---------------------------------------------------------------------------
 
 
+class _ImmediateResult:
+    """Future-shaped wrapper for the synchronous dispatch fallback."""
+
+    __slots__ = ("_v",)
+
+    def __init__(self, v):
+        self._v = v
+
+    def result(self):
+        return self._v
+
+
+class _SerialDispatcher:
+    """Run engine dispatch work on ONE worker thread, in submission order.
+
+    The native decode call releases the GIL, so moving the H2D staging + jit
+    enqueue off the main loop overlaps the per-chunk device RPC with decode
+    (round-2 section timers: 'dispatch+upload' was ~37% of e2e wall time at
+    depth 1 on the tunnel link, serialized with the single decode core).
+
+    Strict FIFO on one thread preserves the engines' on-device position
+    chain (``_prev``) exactly as in the synchronous path — results are
+    bit-identical by construction — and makes buffer reuse safe: the
+    controller only recycles a crop buffer after joining that chunk's
+    future, and joining any task implies every earlier task (including its
+    ``jnp.asarray`` copy of the buffer) has completed. ``reset`` is queued
+    for the same reason: a direct reset could be overwritten by a stale
+    queued task's ``_prev`` assignment. ``PAWS_SYNC_DISPATCH=1`` restores
+    the inline path (debugging / profiling)."""
+
+    def __init__(self):
+        self._ex = None
+        if os.environ.get("PAWS_SYNC_DISPATCH") != "1":
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._ex = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="paws-dispatch"
+            )
+
+    def submit(self, fn, *args):
+        if self._ex is None:
+            return _ImmediateResult(fn(*args))
+        return self._ex.submit(fn, *args)
+
+    def close(self):
+        if self._ex is not None:
+            self._ex.shutdown(wait=True)
+            self._ex = None
+
+
 class _SingleEngine:
     """Lane adapter for L=1 over the UNBATCHED scans — keeps the measured
     single-target engine (fused Pallas or XLA) byte-for-byte."""
@@ -432,23 +478,35 @@ class _SingleEngine:
         self.fill_dev = np.uint8(fill)
         self.subpixel = subpixel
         self.timer = timer
-        self.reset()
+        self._disp = _SerialDispatcher()
+        self._prev = None
+        self._prev_origin = None
 
     def reset(self):
-        """Invalidate the on-device chain (EOF of a replayed span)."""
+        """Invalidate the on-device chain (EOF of a replayed span). Queued:
+        see :class:`_SerialDispatcher` on why a direct clear would race."""
+        self._disp.submit(self._reset_task)
+
+    def _reset_task(self):
         self._prev = None
         self._prev_origin = None
 
     def dispatch(self, buf, origins, P_abs):
+        # copy everything the controller mutates after dispatch (P_abs is
+        # the live self.P; origins is fresh per iteration but cheap to pin)
+        return self._disp.submit(
+            self._dispatch_task, buf, origins[0].copy(), P_abs[0].copy()
+        )
+
+    def _dispatch_task(self, buf, o, P0):
         jnp = self._jnp
-        o = origins[0]
         lo = np.maximum([-o[0], -o[1]], 0).astype(np.int32)
         hi = np.minimum(
             [self.ch - 1, self.cw - 1], [self.H - 1 - o[0], self.W - 1 - o[1]]
         ).astype(np.int32)
         with self.timer.section("device"):
             if self._prev is None:
-                pos_rel = jnp.asarray((P_abs[0] - o).astype(np.int32))
+                pos_rel = jnp.asarray((P0 - o).astype(np.int32))
                 out = self.scan_first(buf[0], pos_rel, self.fill_dev, lo, hi)
             else:
                 delta = (self._prev_origin - o).astype(np.int32)
@@ -463,10 +521,13 @@ class _SingleEngine:
         return (pos, off)
 
     def to_host(self, handle):
-        pos, off = handle
+        pos, off = handle.result()
         pos_np = np.asarray(pos)[None]  # [1, K, 2]
         off_np = None if off is None else np.asarray(off)[None]
         return pos_np, off_np
+
+    def close(self):
+        self._disp.close()
 
 
 class _BatchedEngine:
@@ -486,13 +547,23 @@ class _BatchedEngine:
         self.subpixel = subpixel
         self.timer = timer
         self.shard = shard if shard is not None else jnp.asarray
-        self.reset()
+        self._disp = _SerialDispatcher()
+        self._prev = None
+        self._prev_origins = None
 
     def reset(self):
+        self._disp.submit(self._reset_task)
+
+    def _reset_task(self):
         self._prev = None
         self._prev_origins = None
 
     def dispatch(self, buf, origins, P_abs):
+        return self._disp.submit(
+            self._dispatch_task, buf, origins.copy(), P_abs.copy()
+        )
+
+    def _dispatch_task(self, buf, origins, P_abs):
         jnp = self._jnp
         L = origins.shape[0]
         lo = np.maximum(-origins, 0).astype(np.int32)
@@ -528,8 +599,11 @@ class _BatchedEngine:
         return (pos, off)
 
     def to_host(self, handle):
-        pos, off = handle
+        pos, off = handle.result()
         return np.asarray(pos), (None if off is None else np.asarray(off))
+
+    def close(self):
+        self._disp.close()
 
 
 # ---------------------------------------------------------------------------
@@ -911,8 +985,6 @@ class SpeculativePipeline:
             self._accept(pos_np, off_np, origins, valid, tokens, buf)
 
     def _drain_one(self):
-        import time
-
         entry = self._pending.popleft()
         handle, origins, valid, tokens, buf = entry
         with self.timer.section("drain"):
@@ -937,22 +1009,27 @@ class SpeculativePipeline:
         self.vel = np.zeros((self.L, 2))
         self.tracked = np.zeros(self.L, np.int64)
         self.engine.reset()
-        remaining = n_rest
-        while remaining > 0:
-            while len(self._pending) > self.depth_cur:
+        try:
+            remaining = n_rest
+            while remaining > 0:
+                while len(self._pending) > self.depth_cur:
+                    self._drain_one()
+                origins = self._aim()
+                buf = self._free.pop()
+                got = self.source.acquire(remaining, origins, buf, self.timer)
+                if got is None:
+                    self._free.append(buf)
+                    break
+                tokens, valid = got
+                handle = self.engine.dispatch(buf, origins, self.P)
+                self._pending.append((handle, origins, valid, tokens, buf))
+                remaining -= int(valid.max())
+            while self._pending:
                 self._drain_one()
-            origins = self._aim()
-            buf = self._free.pop()
-            got = self.source.acquire(remaining, origins, buf, self.timer)
-            if got is None:
-                self._free.append(buf)
-                break
-            tokens, valid = got
-            handle = self.engine.dispatch(buf, origins, self.P)
-            self._pending.append((handle, origins, valid, tokens, buf))
-            remaining -= int(valid.max())
-        while self._pending:
-            self._drain_one()
+        finally:
+            close = getattr(self.engine, "close", None)
+            if close is not None:  # duck-typed engines (bench hostceil stage)
+                close()
         return self.tracked
 
 

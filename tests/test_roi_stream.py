@@ -313,3 +313,40 @@ def test_batch_engine_kwarg_reaches_selector(tmp_path, monkeypatch):
     batch_mod.track_batch([f], start_location=IJ(60, 60), fps=24, target_width=10,
                           stream="roi", engine="xla")
     assert seen == ["xla"]
+
+
+def test_serial_dispatcher_fifo_and_sync_fallback(monkeypatch):
+    """Engine dispatch tasks run strictly in submission order on one worker
+    (the invariant that makes async dispatch bit-identical and buffer reuse
+    safe); PAWS_SYNC_DISPATCH=1 restores the inline path."""
+    from pawsometracker_tpu.pipeline import _ImmediateResult, _SerialDispatcher
+
+    d = _SerialDispatcher()
+    assert d._ex is not None
+    order = []
+    futs = [d.submit(order.append, i) for i in range(64)]
+    futs[-1].result()  # joining the LAST task implies all earlier ones ran
+    assert order == list(range(64))
+    d.close()
+
+    monkeypatch.setenv("PAWS_SYNC_DISPATCH", "1")
+    d2 = _SerialDispatcher()
+    assert d2._ex is None
+    r = d2.submit(lambda v: v + 1, 41)
+    assert isinstance(r, _ImmediateResult) and r.result() == 42
+    d2.close()
+
+
+def test_roi_async_equals_sync_dispatch(tmp_path, monkeypatch):
+    """track() results must be bit-identical with the dispatch worker on
+    (default) and off (PAWS_SYNC_DISPATCH=1) — including across a replay."""
+    rng = np.random.default_rng(77)
+    _, tra = helpers.build_trajectory(28, 24, (50, 50), rng)
+    f = helpers.trajectory2video(tra, str(tmp_path), 24, 100, 100, 10, True)
+    kw = dict(fps=24, start_location=IJ(50, 50), target_width=10,
+              stream="roi", roi_frames=4, pipeline_depth=2)
+    ts_a, ij_a = track(f, **kw)
+    monkeypatch.setenv("PAWS_SYNC_DISPATCH", "1")
+    ts_s, ij_s = track(f, **kw)
+    np.testing.assert_array_equal(ij_a, ij_s)
+    np.testing.assert_allclose(ts_a, ts_s)
