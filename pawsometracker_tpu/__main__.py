@@ -146,11 +146,7 @@ def main(argv=None) -> int:
             from .multi import track_multi
 
             m_kwargs = {k: v for k, v in kwargs.items()
-                        if k not in ("speculate", "diagnostic_file", "start_location")}
-            if args.diagnostic_file:
-                print("error: --diagnostic-file is not supported in multi-target "
-                      "mode (track_multi has no overlay writer)", file=sys.stderr)
-                return 2
+                        if k not in ("speculate", "start_location")}
             if args.speculate != "predict":
                 print("error: --speculate contain is not supported in multi-target "
                       "mode (the multi pipeline always runs predict mode)",

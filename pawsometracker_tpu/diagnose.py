@@ -102,6 +102,7 @@ class Diagnose:
         self.label = os.path.splitext(os.path.basename(self.file))[0]
         self.color = 255 if darker_target else 0
         self.trace: deque = deque(maxlen=TRACE_BUFFER_SIZE)
+        self._traces: list[deque] = [self.trace]  # grows for multi-target
         self.ratio: tuple[float, float] | None = None
         self._writer = _open_writer(self.file, fps)
         self._buffer = np.empty(DIAGNOSTIC_VIDEO_SIZE, np.uint8)
@@ -116,16 +117,20 @@ class Diagnose:
         )
 
     def __call__(self, img: np.ndarray, point):
-        """Write one overlay frame (reference: src/diagnose.jl:30-38)."""
+        """Write one overlay frame (reference: src/diagnose.jl:30-38).
+
+        ``point`` is one (row, col) position, or an ``[N, 2]`` array for
+        multi-target tracking (extension beyond the single-target reference:
+        N markers, one trail per target; target 0's trail is ``self.trace``)."""
         import cv2
 
         if self.ratio is None:
             self.update_ratio(img.shape)
-        ij = (
-            int(np.rint(point[0] * self.ratio[0])),
-            int(np.rint(point[1] * self.ratio[1])),
-        )
-        self.trace.append(ij)
+        pts = np.atleast_2d(np.asarray(point, np.float64))  # [N, 2]
+        if len(self._traces) != len(pts):
+            self._traces = [self.trace] + [
+                deque(maxlen=TRACE_BUFFER_SIZE) for _ in range(len(pts) - 1)
+            ]
         cv2.resize(img, (DIAGNOSTIC_VIDEO_SIZE[1], DIAGNOSTIC_VIDEO_SIZE[0]), dst=self._buffer)
         buf = self._buffer
         if self._label_alpha is not None:
@@ -137,10 +142,16 @@ class Diagnose:
             region[:] = (region * (1.0 - ar) + self.color * ar).astype(np.uint8)
         else:
             cv2.putText(buf, self.label, (20, 30), cv2.FONT_HERSHEY_SIMPLEX, 0.6, self.color, 1, cv2.LINE_AA)
-        cv2.circle(buf, (ij[1], ij[0]), 2, self.color, -1)
-        if len(self.trace) > 1:
-            pts = np.array([(j, i) for i, j in self.trace], np.int32).reshape(-1, 1, 2)
-            cv2.polylines(buf, [pts], False, self.color, 1)
+        for trace, p in zip(self._traces, pts):
+            ij = (
+                int(np.rint(p[0] * self.ratio[0])),
+                int(np.rint(p[1] * self.ratio[1])),
+            )
+            trace.append(ij)
+            cv2.circle(buf, (ij[1], ij[0]), 2, self.color, -1)
+            if len(trace) > 1:
+                tp = np.array([(j, i) for i, j in trace], np.int32).reshape(-1, 1, 2)
+                cv2.polylines(buf, [tp], False, self.color, 1)
         self._writer.write(buf)
 
     def close(self):

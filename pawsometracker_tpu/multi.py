@@ -45,6 +45,7 @@ def track_multi(
     engine: str = "auto",
     subpixel: bool = False,
     decode_workers: int | None = None,
+    diagnostic_file: str | None = None,
 ):
     """Track N targets in one video.
 
@@ -62,6 +63,12 @@ def track_multi(
     Large frames stream as N per-target drift-bounded crops through the
     speculative ROI pipeline (see :mod:`.pipeline`) — with the native decoder
     the crops are cut (and mispredict replays recropped) in C++.
+
+    ``diagnostic_file`` writes ONE shared 640x360 overlay video with N
+    markers and one 100-point trail per target (the single-target overlay
+    semantics of reference src/diagnose.jl:30-38, fanned out; frame 1 sets
+    the scale only, frames 2..n are written). Diagnostics need full frames
+    in Python, so they pin the prefetcher delivery path.
     """
     import jax.numpy as jnp
 
@@ -110,6 +117,12 @@ def track_multi(
     # EVERY depth (contain mode included), so size the ring whenever ROI
     # streaming is possible
     ring = (depth_gate + 2) * roi_frames + 8 if stream != "full" else None
+    from .diagnose import Diagnose, Dont
+
+    # one shared overlay video, N markers/trails per frame (single-target
+    # semantics per reference src/diagnose.jl:30-38; closed in finally like
+    # the reference's diagnose context manager, src/diagnose.jl:48-55)
+    dia = Dont() if diagnostic_file is None else Diagnose(diagnostic_file, darker_target, fps)
     src = open_source(
         file, start=start, stop=stop, fps=fps, backend=backend, prefetch=ring,
         workers=decode_workers,
@@ -121,6 +134,7 @@ def track_multi(
         if frame0 is None:
             raise EOFError(f"no frames decoded from {file}")
         frame_shape = frame0.shape
+        dia.update_ratio(frame_shape)  # frame 1 sets the scale only
         fill = mode_u8_host(frame0)
         spec = make_spec(frame_shape, window_size, target_width, darker_target)
         fns = tracker_fns(spec)
@@ -173,6 +187,7 @@ def track_multi(
                 prefetchers=prefetchers,
                 engine=engine,
                 subpixel=subpixel,
+                dia=dia,
             )
             out.extend(pos_blocks)
             offs.extend(off_blocks)
@@ -189,13 +204,18 @@ def track_multi(
                 else:
                     pos_t = fns.scan_multi(jnp.asarray(chunk_in), pos, fill_dev)
                 pos = pos_t[k - 1]
-                out.append(np.asarray(pos_t[:k]))  # blocks: device done with chunk
+                pos_np = np.asarray(pos_t[:k])  # blocks: device done with chunk
+                out.append(pos_np)
+                if not isinstance(dia, Dont):
+                    for i in range(k):
+                        dia(chunk[i], pos_np[i])
                 prefetch.recycle(chunk)
                 last_frame += k
     finally:
         for p in prefetchers:
             p.close()
         src.close()
+        dia.close()
 
     positions = np.concatenate(out, axis=0)
     if subpixel:

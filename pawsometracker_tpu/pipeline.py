@@ -709,14 +709,22 @@ class FanoutSource:
     crops (C++ ``recrop`` from the retained ring when available, else Python
     crops of a shared prefetched chunk)."""
 
-    def __init__(self, src, *, N, K, ch, cw, fill, mode, depth, n_rest, prefetchers):
+    def __init__(self, src, *, N, K, ch, cw, fill, mode, depth, n_rest, prefetchers,
+                 dia=None):
+        from .diagnose import Dont
+
         self.src = src
         self.N, self.K, self.ch, self.cw, self.fill = N, K, ch, cw, fill
         self.mode = mode
+        self.dia = dia
+        self.keep_for_dia = dia is not None and not isinstance(dia, Dont)
         # the fan-out crops per target via advance/recrop at EVERY depth
-        # (contain mode included) — the capability gate is the ring size
+        # (contain mode included) — the capability gate is the ring size;
+        # diagnostics need full frames in Python, so they pin the
+        # prefetcher delivery (same rule as SingleVideoSource)
         self.native = (
-            hasattr(src, "read_roi_chunk_retained")
+            not self.keep_for_dia
+            and hasattr(src, "read_roi_chunk_retained")
             and getattr(src, "ring_frames", 0) >= (depth + 2) * K
         )
         self._retained = 0  # frames advanced into the ring but not released
@@ -764,6 +772,10 @@ class FanoutSource:
             self.src.release(k)
             self._retained -= k
         elif tokens is not None:
+            if self.keep_for_dia:
+                with timer.section("diagnose"):
+                    for i in range(k):
+                        self.dia(tokens[i], abs_pos[:, i])
             self._pf.recycle(tokens)
 
 
@@ -1229,6 +1241,7 @@ def run_multi_roi_pipeline(
     prefetchers: list,
     engine: str = "auto",
     subpixel: bool = False,
+    dia=None,
 ):
     """Speculative pipelined ROI streaming for N targets in ONE stream
     (:class:`SpeculativePipeline` with L=N and :class:`FanoutSource`): each
@@ -1279,7 +1292,8 @@ def run_multi_roi_pipeline(
         engine=_BatchedEngine(scan_bounded, (ch, cw), spec.frame_shape,
                               jnp.asarray(np.full(N, fill, np.uint8)), subpixel, timer),
         source=FanoutSource(src, N=N, K=K, ch=ch, cw=cw, fill=fill, mode=mode,
-                            depth=depth_max, n_rest=n_rest, prefetchers=prefetchers),
+                            depth=depth_max, n_rest=n_rest, prefetchers=prefetchers,
+                            dia=dia),
         sink=sink,
         timer=timer,
     )

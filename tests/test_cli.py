@@ -169,21 +169,27 @@ def test_cli_multi_target_mode(clip, capsys):
     assert [ln.split(",")[2:] for ln in t0] == [ln.split(",")[2:] for ln in t1]
 
 
-def test_cli_unsupported_flag_combos_error(clip, capsys):
+def test_cli_unsupported_flag_combos_error(clip, tmp_path, capsys):
     """Flags a mode cannot honor must fail loudly, never be silently dropped
-    (review finding: multi mode dropped --diagnostic-file; batch/multi
-    dropped --speculate contain; checkpoint dropped --diagnostic-file)."""
+    (review finding: batch/multi dropped --speculate contain; checkpoint
+    dropped --diagnostic-file). Multi-target mode FORWARDS
+    --diagnostic-file (shared overlay, N trails)."""
+    import cv2
+
     from pawsometracker_tpu.__main__ import main
 
     f, _ = clip
     multi = [f, "--start-ij", "50", "50", "--start-ij", "60", "60"]
-    assert main(multi + ["--diagnostic-file", "/tmp/x.mp4"]) == 2
     assert main(multi + ["--speculate", "contain"]) == 2
     assert main([f, f, "--batch", "--speculate", "contain"]) == 2
     assert main([f, "--checkpoint", "/tmp/cp.npz",
                  "--diagnostic-file", "/tmp/x.mp4"]) == 2
     err = capsys.readouterr().err
-    assert err.count("error:") == 4
-    # the supported default (predict) still runs in every mode
-    assert main(multi + ["--target-width", "10"]) == 0
+    assert err.count("error:") == 3
+    # multi + --diagnostic-file is supported: overlay video gets written
+    diag = str(tmp_path / "multi_diag.mp4")
+    assert main(multi + ["--target-width", "10", "--diagnostic-file", diag]) == 0
     capsys.readouterr()
+    cap = cv2.VideoCapture(diag)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 47  # frames 2..n
+    cap.release()

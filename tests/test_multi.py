@@ -142,3 +142,38 @@ def test_multi_autodetect_exhausted_peaks_rejected(tmp_path):
     path = helpers.write_video(frames, str(tmp_path / "one"), 24, codec="FFV1")
     with pytest.raises(ValueError, match="separable peaks"):
         track_multi(path, n_targets=3, min_distance=200, target_width=10)
+
+
+@pytest.mark.parametrize("stream", ["roi", "full"])
+def test_track_multi_diagnostic_overlay(tmp_path, stream):
+    """diagnostic_file writes one shared 640x360 overlay (frames 2..n, like
+    the single-target reference) with N markers/trails, on both the ROI
+    pipeline and the full-frame path — and positions are unchanged."""
+    f, paths = make_two_target_video(tmp_path)
+    locs = [IJ(*paths[0][0]), IJ(*paths[1][0])]
+    kw = dict(fps=24, target_width=10, chunk_size=16, stream=stream)
+    ts0, pos0 = track_multi(f, locs, **kw)
+    diag = str(tmp_path / f"diag_{stream}.mp4")
+    ts1, pos1 = track_multi(f, locs, diagnostic_file=diag, **kw)
+    np.testing.assert_array_equal(pos1, pos0)
+    cap = cv2.VideoCapture(diag)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 59  # frames 2..60
+    ok, fr = cap.read()
+    cap.release()
+    assert ok and fr.shape[:2] == (360, 640)
+    # both targets' markers are drawn: the overlay differs from a plain
+    # resize of the source frame near BOTH scaled target positions
+    src = cv2.VideoCapture(f)
+    src.read()  # frame 1 is not in the overlay
+    ok, raw = src.read()
+    src.release()
+    gray = cv2.cvtColor(raw, cv2.COLOR_BGR2GRAY) if raw.ndim == 3 else raw
+    plain = cv2.resize(gray, (640, 360))
+    over = fr[..., 0] if fr.ndim == 3 else fr
+    ry, rx = 360 / 120, 640 / 160
+    for k in (0, 1):
+        i, j = paths[k][1]
+        si, sj = int(round(i * ry)), int(round(j * rx))
+        patch_o = over[max(si - 4, 0) : si + 5, max(sj - 4, 0) : sj + 5].astype(int)
+        patch_p = plain[max(si - 4, 0) : si + 5, max(sj - 4, 0) : sj + 5].astype(int)
+        assert np.abs(patch_o - patch_p).max() > 30, f"marker {k} missing"
