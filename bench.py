@@ -384,6 +384,7 @@ def stage_hostceil(d):
     from pawsometracker_tpu import pipeline as plmod
 
     path, truth = _clip(d)
+    counts = {"dispatches": 0}
 
     class _TruthEngine:
         def __init__(self, *a, **k):
@@ -393,6 +394,7 @@ def stage_hostceil(d):
             pass
 
         def dispatch(self, buf, origins, P_abs):
+            counts["dispatches"] += 1
             K = buf.shape[1]
             k = min(K, len(truth) - 1 - self.t)
             pos = np.zeros((K, 2), np.int64)
@@ -407,14 +409,33 @@ def stage_hostceil(d):
     p0 = IJ(int(truth[0][0]), int(truth[0][1]))
     kw = dict(start_location=p0, target_width=TARGET_WIDTH, window_size=WINDOW,
               engine="xla")
+    replays0 = plmod.replay_count
     track(path, **kw)  # warm: decode ring, spec caches
-    fpss = []
+    fpss, rmse = [], None
     for _ in range(REPS):
         t0 = time.perf_counter()
         ts, ij = track(path, **kw)
         fpss.append(len(ij) / max(time.perf_counter() - t0, 1e-9))
+        err = np.linalg.norm(np.asarray(ij) - truth[: len(ij)], axis=1)
+        rmse = float(np.sqrt(np.mean(err**2)))
     s = _stats(fpss)
-    return {"hostceil_fps": s["med"], "hostceil_spread": s}
+    out = {
+        "hostceil_fps": s["med"],
+        "hostceil_spread": s,
+        # > 0 proves the _SingleEngine seam engaged (ROI path + dummy engine)
+        "hostceil_dispatches": counts["dispatches"],
+        "hostceil_rmse": round(rmse, 3),
+    }
+    replays = plmod.replay_count - replays0
+    if replays or counts["dispatches"] == 0:
+        # a replay desyncs the truth cursor (reset() cannot rewind it) and
+        # zero dispatches means the full-frame path ran with the REAL engine
+        # — either way the number is not a host-only ceiling
+        out["hostceil_degraded"] = (
+            f"replays={replays} dispatches={counts['dispatches']}: "
+            "measurement contaminated, not a pure host ceiling"
+        )
+    return out
 
 
 def stage_mfu(d):
@@ -710,18 +731,27 @@ def _rerun_e2e_if_degraded(result: dict, d: str, timeout: int, max_extra: int = 
     return best
 
 
-class _BenchInterrupted(Exception):
-    """Raised from the signal handler so main() can finalize the JSON line."""
+class _BenchInterrupted(BaseException):
+    """Raised from the signal handler so main() can finalize the JSON line.
+    Derives from BaseException so the stage runner's broad ``except
+    Exception`` cannot swallow it into a '<stage>_error' retry."""
 
 
 def _install_finalize_signals():
     """SIGTERM/SIGINT finalize instead of dying silently: an external
     watchdog killing a wedged-tunnel run must still get the headline JSON
-    (subprocess.run kills the in-flight stage child when the wait raises)."""
+    (subprocess.run kills the in-flight stage child when the wait raises).
+    Only the FIRST signal raises — watchdogs commonly re-signal before
+    escalating to SIGKILL, and a second raise mid-finalization would lose
+    the JSON line the first one set out to save."""
     import signal
 
+    fired = []
+
     def handler(sig, frame):
-        raise _BenchInterrupted(f"signal {sig}")
+        if not fired:
+            fired.append(sig)
+            raise _BenchInterrupted(f"signal {sig}")
 
     for s in (signal.SIGTERM, signal.SIGINT):
         try:
@@ -774,9 +804,9 @@ def main():
     _install_finalize_signals()
     budget = float(os.environ.get("PAWS_BENCH_BUDGET_S", "4500"))
     t_start = time.perf_counter()
-    with tempfile.TemporaryDirectory() as d:
-        synthesize_clip(d)
-        try:
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            synthesize_clip(d)  # inside the try: encoding takes tens of s
             for name, (_, timeout) in STAGES.items():
                 if time.perf_counter() - t_start > budget:
                     # a wedged tunnel can make the stage timeouts sum to hours;
@@ -794,10 +824,12 @@ def main():
                 if name == "e2e":
                     result = _rerun_e2e_if_degraded(result, d, timeout)
                 detail.update(result)
-        except _BenchInterrupted as e:
-            # SIGTERM/SIGINT (external watchdog): finalize with what we have —
-            # a partial artifact with the headline beats no artifact at all
-            detail["bench_interrupted"] = str(e)
+    except _BenchInterrupted as e:
+        # SIGTERM/SIGINT (external watchdog): finalize with what we have —
+        # a partial artifact with the headline beats no artifact at all.
+        # (The handler is one-shot, so the aggregation below cannot be
+        # re-interrupted by a watchdog's follow-up signal.)
+        detail["bench_interrupted"] = str(e)
 
     fps_e2e = detail.get("e2e_fps", 0.0)
     fps_1t = detail.get("cpu_1t_fps") or 1.0

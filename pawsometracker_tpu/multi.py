@@ -119,16 +119,21 @@ def track_multi(
     ring = (depth_gate + 2) * roi_frames + 8 if stream != "full" else None
     from .diagnose import Diagnose, Dont
 
-    # one shared overlay video, N markers/trails per frame (single-target
-    # semantics per reference src/diagnose.jl:30-38; closed in finally like
-    # the reference's diagnose context manager, src/diagnose.jl:48-55)
-    dia = Dont() if diagnostic_file is None else Diagnose(diagnostic_file, darker_target, fps)
     src = open_source(
         file, start=start, stop=stop, fps=fps, backend=backend, prefetch=ring,
         workers=decode_workers,
     )
     prefetchers = []  # joined in finally BEFORE src.close()
+    dia = None  # created INSIDE the try so the encoder can't leak if
+    # open_source (above) or the writer constructor raises; closed last in
+    # finally — the ordering the reference's diagnose context manager
+    # guarantees (src/diagnose.jl:48-55)
     try:
+        # one shared overlay video, N markers/trails per frame (single-target
+        # semantics per reference src/diagnose.jl:30-38)
+        dia = Dont() if diagnostic_file is None else Diagnose(
+            diagnostic_file, darker_target, fps
+        )
         sar_val = float(sar) if sar is not None else src.info.sar
         frame0 = src.read()
         if frame0 is None:
@@ -215,7 +220,8 @@ def track_multi(
         for p in prefetchers:
             p.close()
         src.close()
-        dia.close()
+        if dia is not None:
+            dia.close()
 
     positions = np.concatenate(out, axis=0)
     if subpixel:

@@ -140,13 +140,18 @@ def test_attempts_consistency_helper(bench):
 
 def test_stage_hostceil_tiny(bench, tmp_path, monkeypatch):
     """The hostceil stage (device engine swapped for a truth-following no-op)
-    must run the real track() path end-to-end; pins the _SingleEngine seam a
-    rename would silently break."""
+    must run the real track() ROI path end-to-end; pins the _SingleEngine
+    seam a rename would silently break. Geometry is shrunk so the ROI path
+    engages (crop 151x151 < 176x320 frame): with the full-frame path the
+    dummy engine is never constructed and hostceil_dispatches stays 0."""
     import cv2
     import numpy as np
 
     d = str(tmp_path)
-    H, W, N = 144, 176, 30
+    H, W, N = 176, 320, 30
+    monkeypatch.setattr(bench, "REPS", 1)
+    monkeypatch.setattr(bench, "TARGET_WIDTH", 10)
+    monkeypatch.setattr(bench, "WINDOW", 15)
     vw = cv2.VideoWriter(
         f"{d}/bench1080.mp4", cv2.VideoWriter_fourcc(*"mp4v"), 24, (W, H),
         isColor=False,
@@ -154,16 +159,15 @@ def test_stage_hostceil_tiny(bench, tmp_path, monkeypatch):
     truth = []
     for t in range(N):
         img = np.full((H, W), 128, np.uint8)
-        ij = (72 + t // 3, 40 + 3 * t)
+        ij = (88 + t // 3, 40 + 3 * t)
         truth.append(ij)
-        cv2.circle(img, (ij[1], ij[0]), 12, 30, -1)
+        cv2.circle(img, (ij[1], ij[0]), 5, 30, -1)
         vw.write(img)
     vw.release()
     np.save(f"{d}/truth.npy", np.asarray(truth))
 
     from pawsometracker_tpu import pipeline
 
-    monkeypatch.setattr(bench, "REPS", 1)
     orig = pipeline._SingleEngine
     try:
         out = bench.stage_hostceil(d)
@@ -171,6 +175,11 @@ def test_stage_hostceil_tiny(bench, tmp_path, monkeypatch):
         pipeline._SingleEngine = orig  # the stage mutates module state
     assert out["hostceil_fps"] > 0
     assert set(out["hostceil_spread"]) == {"med", "min", "max"}
+    # the seam engaged: the truth engine was dispatched, cleanly (no replays)
+    assert out["hostceil_dispatches"] > 0
+    assert "hostceil_degraded" not in out
+    # frames 2..n ARE truth (dummy engine); only the frame-1 snap can differ
+    assert out["hostceil_rmse"] < 0.5
 
 
 def test_finalize_signals(bench):
@@ -185,6 +194,39 @@ def test_finalize_signals(bench):
         bench._install_finalize_signals()
         with pytest.raises(bench._BenchInterrupted):
             os.kill(os.getpid(), signal.SIGTERM)
+    finally:
+        signal.signal(signal.SIGTERM, old_term)
+        signal.signal(signal.SIGINT, old_int)
+
+
+def test_stage_runner_does_not_swallow_interrupt(bench, monkeypatch):
+    """_BenchInterrupted must pass through the stage runner's broad
+    `except Exception` so main() can finalize the JSON line (review
+    finding: as an Exception subclass it was converted to a stage error
+    and retried, defeating the SIGTERM finalization)."""
+    def boom(*a, **k):
+        raise bench._BenchInterrupted("signal 15")
+
+    monkeypatch.setattr(bench.subprocess, "run", boom)
+    with pytest.raises(bench._BenchInterrupted):
+        bench._run_stage_subprocess("e2e", "/tmp", 1)
+    assert issubclass(bench._BenchInterrupted, BaseException)
+    assert not issubclass(bench._BenchInterrupted, Exception)
+
+
+def test_finalize_signals_one_shot(bench):
+    """Only the first signal raises; follow-up signals (watchdog re-signal
+    before SIGKILL) must not interrupt the JSON finalization."""
+    import os
+    import signal
+
+    old_term = signal.getsignal(signal.SIGTERM)
+    old_int = signal.getsignal(signal.SIGINT)
+    try:
+        bench._install_finalize_signals()
+        with pytest.raises(bench._BenchInterrupted):
+            os.kill(os.getpid(), signal.SIGTERM)
+        os.kill(os.getpid(), signal.SIGTERM)  # ignored: finalization continues
     finally:
         signal.signal(signal.SIGTERM, old_term)
         signal.signal(signal.SIGINT, old_int)

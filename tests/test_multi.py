@@ -177,3 +177,13 @@ def test_track_multi_diagnostic_overlay(tmp_path, stream):
         patch_o = over[max(si - 4, 0) : si + 5, max(sj - 4, 0) : sj + 5].astype(int)
         patch_p = plain[max(si - 4, 0) : si + 5, max(sj - 4, 0) : sj + 5].astype(int)
         assert np.abs(patch_o - patch_p).max() > 30, f"marker {k} missing"
+
+
+def test_track_multi_diagnostic_no_leak_on_open_failure(tmp_path):
+    """A failed open must not leave a half-open overlay encoder behind
+    (review finding: the writer was constructed before open_source)."""
+    diag = str(tmp_path / "leak.mp4")
+    with pytest.raises(IOError):
+        track_multi("/nonexistent_video.mp4", [IJ(10, 10)], fps=24,
+                    target_width=10, diagnostic_file=diag)
+    assert not (tmp_path / "leak.mp4").exists()
