@@ -20,6 +20,9 @@ sys.path.insert(0, REPO)
 
 CONFIGS = [
     ("auto_default", {}),  # the shipped defaults (pipeline_depth="auto")
+    # A/B of the async dispatch worker (H2D+enqueue overlapped with decode)
+    # vs the inline dispatch path — same results, different wall clock
+    ("auto_sync_dispatch", {"_env": {"PAWS_SYNC_DISPATCH": "1"}}),
     ("predict_d1_k8", {"pipeline_depth": 1, "roi_frames": 8, "speculate": "predict"}),
     ("predict_d3_k8", {"pipeline_depth": 3, "roi_frames": 8, "speculate": "predict"}),
     # K sweep at fixed depth 3: fewer dispatch/drain round trips per frame
@@ -40,6 +43,8 @@ def run_config(clip_dir: str, label: str) -> dict:
     from pawsometracker_tpu import IJ, track
 
     extra = dict(CONFIGS[[c[0] for c in CONFIGS].index(label)][1])
+    for k, v in extra.pop("_env", {}).items():
+        os.environ[k] = v
     path = os.path.join(clip_dir, "bench1080.mp4")
     truth = np.load(os.path.join(clip_dir, "truth.npy"))
     p0 = IJ(int(truth[0][0]), int(truth[0][1]))
