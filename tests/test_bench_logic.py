@@ -230,3 +230,17 @@ def test_finalize_signals_one_shot(bench):
     finally:
         signal.signal(signal.SIGTERM, old_term)
         signal.signal(signal.SIGINT, old_int)
+
+
+def test_rerun_respects_deadline(bench, monkeypatch):
+    """A fully wedged tunnel must not burn (1+max_extra) stage timeouts on
+    e2e retries: past the wall-clock deadline no further attempt launches."""
+    monkeypatch.setattr(
+        bench, "_run_stage_subprocess",
+        lambda *a: pytest.fail("attempt launched past the deadline"),
+    )
+    bad = {"e2e_fps": 3.0, "e2e_degraded": "probe 1 fps"}
+    out = bench._rerun_e2e_if_degraded(
+        bad, "/nonexistent", 1, deadline=bench.time.perf_counter() - 1.0
+    )
+    assert out["e2e_fps"] == 3.0 and "e2e_attempts" not in out
