@@ -846,6 +846,12 @@ def main():
     if detail.get("device_roi_fps"):
         # hot-loop vs hot-loop: device-resident ROI scan vs the CPU FIR step
         detail["hotloop_vs_cpu_mt"] = round(detail["device_roi_fps"] / fps_mt, 1)
+    if fps_e2e and detail.get("hostceil_fps"):
+        # fraction of the measured no-device host ceiling the e2e path
+        # achieves — the auditable "how much device overhead remains" number
+        detail["e2e_host_efficiency_pct"] = round(
+            100.0 * fps_e2e / detail["hostceil_fps"], 1
+        )
 
     # MFU / roofline summary (docs/performance.md explains the model): the
     # measured fps of each device stage times its analytic FLOPs-per-frame,
