@@ -177,6 +177,17 @@ def fuzz_params(seeds, base) -> int:
             if not np.array_equal(np.asarray(roi), np.asarray(full)):
                 fails += 1
                 print(f"params seed {base + seed}: roi != full {roi_kw}")
+            if rng.random() < 0.5:
+                # async dispatch worker vs inline dispatch: bit-identical by
+                # construction (FIFO) — this pins it against thread bugs
+                os.environ["PAWS_SYNC_DISPATCH"] = "1"
+                try:
+                    _, roi_sync = track(path, **roi_kw)
+                finally:
+                    os.environ.pop("PAWS_SYNC_DISPATCH", None)
+                if not np.array_equal(np.asarray(roi_sync), np.asarray(roi)):
+                    fails += 1
+                    print(f"params seed {base + seed}: async != sync dispatch {roi_kw}")
     print(f"params: {fails} failures / {seeds}")
     return fails
 
