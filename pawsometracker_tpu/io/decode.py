@@ -76,6 +76,17 @@ def _cv2():
     return cv2
 
 
+def _info_from_cap(cv2, cap) -> VideoInfo:
+    width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    fps = float(cap.get(cv2.CAP_PROP_FPS)) or 24.0
+    num = cap.get(getattr(cv2, "CAP_PROP_SAR_NUM", -1)) if hasattr(cv2, "CAP_PROP_SAR_NUM") else 0
+    den = cap.get(getattr(cv2, "CAP_PROP_SAR_DEN", -1)) if hasattr(cv2, "CAP_PROP_SAR_DEN") else 0
+    sar = float(Fraction(int(num), int(den))) if num and den else 1.0
+    count = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+    return VideoInfo(width=width, height=height, fps=fps, sar=sar, frame_count=max(count, 0))
+
+
 def probe(path: str) -> VideoInfo:
     """Probe stream geometry + SAR (analog of VideoIO ``aspect_ratio``,
     reference: src/PawsomeTracker.jl:79-84)."""
@@ -84,14 +95,7 @@ def probe(path: str) -> VideoInfo:
     if not cap.isOpened():
         raise IOError(f"could not open video: {path}")
     try:
-        width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
-        height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-        fps = float(cap.get(cv2.CAP_PROP_FPS)) or 24.0
-        num = cap.get(getattr(cv2, "CAP_PROP_SAR_NUM", -1)) if hasattr(cv2, "CAP_PROP_SAR_NUM") else 0
-        den = cap.get(getattr(cv2, "CAP_PROP_SAR_DEN", -1)) if hasattr(cv2, "CAP_PROP_SAR_DEN") else 0
-        sar = float(Fraction(int(num), int(den))) if num and den else 1.0
-        count = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
-        return VideoInfo(width=width, height=height, fps=fps, sar=sar, frame_count=max(count, 0))
+        return _info_from_cap(cv2, cap)
     finally:
         cap.release()
 
@@ -126,7 +130,9 @@ class OpenCVFrameSource:
         self.cap = cv2.VideoCapture(self.path)
         if not self.cap.isOpened():
             raise IOError(f"could not open video: {self.path}")
-        self.info = probe(self.path)
+        # read props off the already-open capture: probe(path) would open and
+        # demux the same file a second time per source (costly in batch mode)
+        self.info = _info_from_cap(cv2, self.cap)
         self._cv2_mod = cv2
         self._native_fps = float(self.cap.get(cv2.CAP_PROP_FPS)) or 24.0
         # exact rationals for slot assignment (see fps_slot)
@@ -306,6 +312,13 @@ def open_source(
                 return NativeFrameSource(
                     path, start=start, stop=stop, fps=fps,
                     prefetch=8 if prefetch is None else prefetch,
+                )
+            if backend == "native":
+                # an EXPLICIT native request must fail loudly, not silently
+                # fall back to the best-effort OpenCV frame selection
+                raise IOError(
+                    "backend='native' requested but the native decode layer "
+                    "is unavailable (libpawsio.so missing and unbuildable)"
                 )
         except Exception:
             if backend == "native":

@@ -116,6 +116,12 @@ struct Decoder {
   size_t ring_depth = 0, ring_head = 0, ring_count = 0, ring_read = 0;
   std::atomic<bool> stop_thread{false};
   bool thread_eof = false;
+  // a mid-stream decode failure on the prefetch thread must surface as an
+  // ERROR to consumers, not as a clean (silently truncating) EOF; the
+  // message is captured here because g_last_error is thread_local to the
+  // dying prefetch thread
+  int thread_err = 0;
+  std::string thread_err_msg;
 
   size_t frame_bytes() const { return (size_t)width * height; }
 
@@ -152,7 +158,10 @@ struct Decoder {
         if (pts == AV_NOPTS_VALUE) pts = frame->pts;
         double t = (pts == AV_NOPTS_VALUE) ? 0.0 : pts * tb;
         double tp = t - start;
-        av_frame_make_writable(frame);
+        // NB: no av_frame_make_writable here — the frame is only READ below
+        // (luma memcpy / sws_scale); making it writable forced a full-frame
+        // copy out of the decoder's refcounted DPB pool for nearly every
+        // h264 frame (~3 MB at 1080p) in the decode-bound hot loop
         double keep_thresh =
             keep_from > -1e29 ? keep_from : slot0 / fps - 0.5 / native_fps;
         if (tp < keep_thresh) {
@@ -326,6 +335,10 @@ struct Decoder {
       int ret = read_resampled_sink(nullptr, &ring_slots[slot]);
       std::unique_lock<std::mutex> lk(mu);
       if (ret != 1) {
+        if (ret < 0) {  // decode error, not clean EOF
+          thread_err = ret;
+          thread_err_msg = g_last_error;
+        }
         thread_eof = true;
         cv_pop.notify_all();
         return;
@@ -629,13 +642,30 @@ int pawsio_start_prefetch(void *h, int depth) {
   return 0;
 }
 
-// Waits for the next UNREAD ring slot; returns its index or SIZE_MAX at EOF.
+// next_unread_slot error sentinel (SIZE_MAX alone means clean EOF)
+static const size_t SLOT_ERR = SIZE_MAX - 1;
+
+// Waits for the next UNREAD ring slot; returns its index, SIZE_MAX at EOF,
+// or SLOT_ERR (g_last_error set) on decode error / ring misuse.
 static size_t next_unread_slot(Decoder *d) {
   std::unique_lock<std::mutex> lk(d->mu);
+  if (d->ring_read >= d->ring_depth) {
+    // producer (ring full) and consumer (nothing unread) would block each
+    // other forever — turn the documented misuse into an error, not a hang
+    set_error("retained window fills the whole prefetch ring; release frames "
+              "or open with a larger prefetch");
+    return SLOT_ERR;
+  }
   d->cv_pop.wait(lk, [&] {
     return d->ring_count > d->ring_read || d->thread_eof || d->stop_thread;
   });
-  if (d->ring_count <= d->ring_read) return SIZE_MAX;
+  if (d->ring_count <= d->ring_read) {
+    if (d->thread_err) {
+      set_error(d->thread_err_msg);
+      return SLOT_ERR;
+    }
+    return SIZE_MAX;
+  }
   size_t slot = (d->ring_head + d->ring_read) % d->ring_depth;
   d->ring_read++;
   return slot;
@@ -673,6 +703,7 @@ int pawsio_read(void *h, uint8_t *dst) {
   }
   const size_t nb = d->frame_bytes();
   size_t slot = next_unread_slot(d);
+  if (slot == SLOT_ERR) return -1;
   if (slot == SIZE_MAX) return 0;
   std::memcpy(dst, d->ring_slots[slot].data(), nb);
   release_slots(d, 1);
@@ -729,6 +760,7 @@ static int read_roi_impl(Decoder *d, uint8_t *dst, int ch, int cw, int orr,
     }
   }
   size_t slot = next_unread_slot(d);
+  if (slot == SLOT_ERR) return -1;
   if (slot == SIZE_MAX) return 0;
   crop_from(d->ring_slots[slot].data(), H, W, dst, ch, cw, orr, occ, fill);
   if (!retain) release_slots(d, 1);
@@ -769,7 +801,9 @@ int pawsio_advance_retain(void *h, int maxn) {
   }
   int n = 0;
   for (; n < maxn; n++) {
-    if (next_unread_slot(d) == SIZE_MAX) break;
+    size_t slot = next_unread_slot(d);
+    if (slot == SLOT_ERR) return n ? n : -1;  // error surfaces on next call
+    if (slot == SIZE_MAX) break;
   }
   return n;
 }

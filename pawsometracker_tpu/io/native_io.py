@@ -77,49 +77,37 @@ def _load():
             ctypes.POINTER(_PawsInfo),
         ]
         lib.pawsio_open.restype = ctypes.c_void_p
-        try:  # stale prebuilt .so may predate the newer entry points
-            lib.pawsio_open2.argtypes = [
-                ctypes.c_char_p,
-                ctypes.c_double,
-                ctypes.c_double,
-                ctypes.c_double,
-                ctypes.c_int,
-                ctypes.POINTER(_PawsInfo),
-            ]
-            lib.pawsio_open2.restype = ctypes.c_void_p
-            lib.pawsio_open_span.argtypes = [
-                ctypes.c_char_p,
-                ctypes.c_double,
-                ctypes.c_double,
-                ctypes.c_double,
-                ctypes.c_longlong,
-                ctypes.c_int,
-                ctypes.POINTER(_PawsInfo),
-            ]
-            lib.pawsio_open_span.restype = ctypes.c_void_p
-            lib.pawsio_open_span2.argtypes = [
-                ctypes.c_char_p,
-                ctypes.c_double,
-                ctypes.c_double,
-                ctypes.c_double,
-                ctypes.c_longlong,
-                ctypes.c_int,
-                ctypes.c_double,
-                ctypes.POINTER(_PawsInfo),
-            ]
-            lib.pawsio_open_span2.restype = ctypes.c_void_p
-            lib.pawsio_keyframes.argtypes = [
-                ctypes.c_char_p,
-                ctypes.POINTER(ctypes.c_double),
-                ctypes.c_longlong,
-            ]
-            lib.pawsio_keyframes.restype = ctypes.c_longlong
-            lib.pawsio_last_pts.argtypes = [ctypes.c_void_p]
-            lib.pawsio_last_pts.restype = ctypes.c_longlong
-            lib.pawsio_last_slot.argtypes = [ctypes.c_void_p]
-            lib.pawsio_last_slot.restype = ctypes.c_longlong
-        except AttributeError:
-            pass
+        # stale prebuilt .so may predate the newer entry points — one try per
+        # symbol, because a single shared block would skip the restype
+        # declarations of LATER symbols that ARE present (their int64 returns
+        # would then be silently truncated through the default c_int)
+        _optional = [
+            ("pawsio_open2",
+             [ctypes.c_char_p, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+              ctypes.c_int, ctypes.POINTER(_PawsInfo)],
+             ctypes.c_void_p),
+            ("pawsio_open_span",
+             [ctypes.c_char_p, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+              ctypes.c_longlong, ctypes.c_int, ctypes.POINTER(_PawsInfo)],
+             ctypes.c_void_p),
+            ("pawsio_open_span2",
+             [ctypes.c_char_p, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+              ctypes.c_longlong, ctypes.c_int, ctypes.c_double,
+              ctypes.POINTER(_PawsInfo)],
+             ctypes.c_void_p),
+            ("pawsio_keyframes",
+             [ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_longlong],
+             ctypes.c_longlong),
+            ("pawsio_last_pts", [ctypes.c_void_p], ctypes.c_longlong),
+            ("pawsio_last_slot", [ctypes.c_void_p], ctypes.c_longlong),
+        ]
+        for _name, _args, _res in _optional:
+            try:
+                fn = getattr(lib, _name)
+            except AttributeError:
+                continue
+            fn.argtypes = _args
+            fn.restype = _res
         lib.pawsio_read.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
         lib.pawsio_read.restype = ctypes.c_int
         lib.pawsio_read_batch.argtypes = [

@@ -250,8 +250,19 @@ class ParallelNativeSource:
                 starts.append(starts[-1] + S)
                 hints.append(-1.0)
             if a > starts[-1]:
-                starts.append(a)
-                hints.append(float(t_kf))
+                if a - starts[-1] >= min_span:
+                    starts.append(a)
+                    hints.append(float(t_kf))
+                else:
+                    # the split left a sliver (< min_span) before the
+                    # keyframe: a worker would pay a full decoder open for a
+                    # handful of frames. Move the last synthetic boundary
+                    # onto the keyframe instead (the previous span grows by
+                    # the sliver; the boundary gains the exact seek hint).
+                    # Reaching here implies the split loop ran, so the last
+                    # boundary is synthetic (hint -1), never a keyframe one.
+                    starts[-1] = a
+                    hints[-1] = float(t_kf)
 
     def _span_start(self, ticket: int) -> int:
         if ticket < len(self._starts):

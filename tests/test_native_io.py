@@ -288,3 +288,34 @@ def test_fractional_fps_parity(counter_video):
     assert abs(a.shape[0] - b.shape[0]) <= 1
     m = min(a.shape[0], b.shape[0])
     np.testing.assert_array_equal(a[:m], b[:m])
+
+
+def test_ring_exhausted_by_retention_errors_not_hangs(counter_video):
+    """Retaining the whole prefetch ring and asking for one more frame used
+    to deadlock producer and consumer; it must raise instead (review
+    finding on next_unread_slot)."""
+    src = native_io.NativeFrameSource(counter_video, fps=24, prefetch=4)
+    try:
+        assert src.advance_retained(4) == 4  # ring now fully retained
+        with pytest.raises(IOError, match="fills the whole prefetch ring"):
+            src.advance_retained(1)
+        # releasing frames makes the ring usable again
+        src.release(4)
+        assert src.advance_retained(2) == 2
+    finally:
+        src.close()
+
+
+def test_explicit_native_backend_raises_when_unavailable(counter_video, monkeypatch):
+    """backend='native' must fail loudly when the native layer is absent —
+    never silently fall back to the best-effort OpenCV frame selection
+    (review finding on open_source)."""
+    from pawsometracker_tpu.io import decode
+
+    monkeypatch.setattr(native_io, "native_available", lambda: False)
+    with pytest.raises(IOError, match="native"):
+        decode.open_source(counter_video, backend="native")
+    # auto still falls back quietly
+    src = decode.open_source(counter_video, backend="auto")
+    assert isinstance(src, decode.OpenCVFrameSource)
+    src.close()

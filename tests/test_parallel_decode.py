@@ -504,3 +504,46 @@ def test_empty_span_cannot_declare_unverified_eof(tmp_path):
             got = _all_frames(par)
         assert got.shape == want.shape, (span, got.shape, want.shape)
         np.testing.assert_array_equal(got, want)
+
+
+def test_plan_spans_no_trailing_sliver(monkeypatch):
+    """A GOP slightly longer than span_frames must not leave a sliver span
+    (< min_span) that pays a full decoder open for a handful of frames —
+    the last synthetic boundary moves onto the keyframe instead (review
+    finding on _plan_spans)."""
+    from types import SimpleNamespace
+
+    from pawsometracker_tpu.io import native_io as nio
+    from pawsometracker_tpu.io import parallel_decode as pd
+
+    src = ParallelNativeSource.__new__(ParallelNativeSource)
+    src.path = "fake.mp4"
+    src.start = 0.0
+    src.fps = 24.0
+    src.info = SimpleNamespace(fps=24.0)
+    src._span_frames = 64
+    src._slot_limit = None
+    src._starts = [0]
+    src._hints = [-1.0]
+    # keyframe at t=64/24 lands boundary a=70 (margin ~6 slots): 6 past the
+    # 64-frame split — the sliver case
+    monkeypatch.setattr(nio, "native_keyframes",
+                        lambda p: np.array([0.0, 64.0 / 24.0]))
+    src._plan_spans()
+    assert src._starts == [0, 70], src._starts
+    assert src._hints[1] == pytest.approx(64.0 / 24.0)  # kept the seek hint
+
+    # a comfortably-large remainder still splits into synthetic + keyframe
+    src2 = ParallelNativeSource.__new__(ParallelNativeSource)
+    src2.path = "fake.mp4"
+    src2.start = 0.0
+    src2.fps = 24.0
+    src2.info = SimpleNamespace(fps=24.0)
+    src2._span_frames = 64
+    src2._slot_limit = None
+    src2._starts = [0]
+    src2._hints = [-1.0]
+    monkeypatch.setattr(nio, "native_keyframes",
+                        lambda p: np.array([0.0, 100.0 / 24.0]))
+    src2._plan_spans()
+    assert src2._starts == [0, 64, 106], src2._starts
