@@ -27,7 +27,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import math
+
 from ..ops.dog_kernel import (
+    default_gaussian_len,
     dog_kernel_2d,
     dog_kernel_separable,
     get_sigma,
@@ -62,7 +65,10 @@ class TrackerSpec:
 
     @property
     def kernel_len(self) -> int:
-        return dog_kernel_2d(self.sigma, self.darker_target)[1]
+        # support comes from the SURROUND gaussian (sigma * sqrt(2)); integer
+        # math only — building the 2-D kernel just to read its length paid
+        # two LxL outer products per access
+        return default_gaussian_len(self.sigma * math.sqrt(2.0))
 
     @property
     def pad(self) -> tuple[int, int]:
@@ -322,6 +328,12 @@ def make_spec(frame_shape, window_size, target_width, darker_target) -> TrackerS
         ws = (int(window_size[0]), int(window_size[1]))
     else:
         ws = (int(window_size), int(window_size))
+    if not float(target_width) > 0:
+        # sigma=0 would yield an identically-zero DoG kernel: the tracker
+        # would silently march every track to the frame corner
+        raise ValueError(f"target_width must be > 0, got {target_width!r}")
+    if ws[0] < 1 or ws[1] < 1:
+        raise ValueError(f"window_size must be >= 1 per axis, got {ws!r}")
     return TrackerSpec(
         frame_shape=(int(frame_shape[0]), int(frame_shape[1])),
         window_size=ws,

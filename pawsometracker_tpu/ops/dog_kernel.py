@@ -92,7 +92,7 @@ def guess_window_size(target_width: float) -> int:
     """Default square search-window edge: ``4*ceil(sigma)+1`` using the *center*
     sigma (reference: src/PawsomeTracker.jl:64-68 — note this deliberately uses
     the center Gaussian's default support, not the surround's)."""
-    return 4 * math.ceil(get_sigma(target_width)) + 1
+    return default_gaussian_len(get_sigma(target_width))
 
 
 def fix_window_size(window_size) -> tuple[int, int]:

@@ -47,8 +47,6 @@ def separable_correlate_valid(patch: jax.Array, g_row: jax.Array, g_col: jax.Arr
     Evaluated as two banded matmuls (MXU-friendly): rows first, then cols.
     ``patch [Ph, Pw]`` -> ``[Ph-Lr+1, Pw-Lc+1]``.
     """
-    lr = g_row.shape[0]
-    lc = g_col.shape[0]
     p = patch.astype(jnp.float32)
     # correlate along rows: out[a, :] = sum_k g_row[k] * p[a+k, :]
     out = jax.lax.conv_general_dilated(
@@ -69,7 +67,6 @@ def separable_correlate_valid(patch: jax.Array, g_row: jax.Array, g_col: jax.Arr
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    del lr, lc
     return out[0, 0]
 
 

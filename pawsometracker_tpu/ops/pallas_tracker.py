@@ -125,8 +125,19 @@ def _scan_fn_cached(
             lo0 = lo1 = 0
             hi0, hi1 = H - 1, W - 1
 
-        i = pos_s[0]
-        j = pos_s[1]
+        # Entry clamp: a CHAINED start position can land outside the crop on
+        # a speculative mispredict (origin delta applied to the previous
+        # chunk's position) — detected and replayed only AFTER this scan
+        # runs. The DMA origin math below is defined for i in [0, H-1];
+        # without the clamp i8 can go negative or past the padded extent:
+        # an out-of-bounds HBM DMA (undefined on hardware; interpret mode
+        # clamps silently, so CI can't see it). The XLA engine's
+        # dynamic_slice clamps the same way. Mispredict results are garbage
+        # either way and are discarded by the replay — the clamp just makes
+        # them DEFINED garbage. Contained runs have i/j in range already,
+        # so this is an identity for every kept result.
+        i = jnp.clip(pos_s[0], 0, H - 1)
+        j = jnp.clip(pos_s[1], 0, W - 1)
         # window DMA: padded origin == position (pad = radii + L//2), rounded
         # down to the (8, 128) tile grid; residual handled by VMEM rotation
         i8 = (i // 8) * 8

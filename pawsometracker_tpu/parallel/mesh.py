@@ -66,7 +66,14 @@ def _batch_frame_response(spec: TrackerSpec):
     """Shared whole-frame DoG response: ``fn(frames_u8 [B,H,W], fills [B])
     -> float32 [B,H,W]`` — pad with each frame's mode fill, then the
     separable HIGHEST-precision correlation with the signed kernel. Both
-    whole-frame detectors build on this so they can never disagree."""
+    whole-frame detectors build on this so they can never disagree.
+
+    Deliberately NOT built on :func:`..ops.filters.separable_correlate_valid`:
+    that helper is single-patch NCHW=(1,1,...); here one batched conv over
+    the [B,1,H,W] layout keeps whole-frame detection a single XLA conv per
+    gaussian (a vmap of the helper would shard B separate convs). Any
+    semantics change to the filter (precision, tap order) must be mirrored
+    here — the parity is pinned by the detector-vs-tracker tests."""
     gc_np, gs_np, direction, L = dog_kernel_separable(spec.sigma, spec.darker_target)
     gc = jnp.asarray(gc_np, jnp.float32)
     gs = jnp.asarray(gs_np, jnp.float32)
@@ -254,6 +261,24 @@ class ShardedBatchTracker:
         self.mesh = mesh
         fns = tracker_fns(spec)
         det = tracker_fns(autodetect_spec(spec))
+        if mesh is not None and engine == "pallas":
+            # the fused kernel under a mesh is a DIFFERENT code path
+            # (sharded_pallas_bounded, selected by measurement in the ROI
+            # pipeline) — accepting the flag here would silently run
+            # vmapped XLA while the caller believes pallas was selected
+            raise ValueError(
+                "engine='pallas' is not supported with a mesh on "
+                "ShardedBatchTracker; the fused sharded engine is selected "
+                "by measurement in the ROI pipeline (engine='auto')"
+            )
+        if mesh is None and engine == "pallas" and jax.default_backend() != "tpu":
+            # jit is lazy: without this, an explicit pallas request on a
+            # non-TPU backend only fails later as a cryptic Mosaic compile
+            # error at the first scan() call
+            raise ValueError(
+                "engine='pallas' requires a TPU backend (the fused kernel "
+                "compiles via Mosaic); use engine='auto' or 'xla'"
+            )
         if mesh is None:
             self.snap = fns.snap_batch
             self.snap_detect = det.snap_batch
@@ -283,26 +308,24 @@ class ShardedBatchTracker:
             pos_sh = NamedSharding(mesh, P("data", None))
             tpos_sh = NamedSharding(mesh, P("data", None, None))
 
-            base = tracker_fns(spec)
-            detb = tracker_fns(autodetect_spec(spec))
-            self.snap = _cached_vmap_jit(base.snap, (frames_sh, pos_sh, vec_sh), pos_sh)
+            self.snap = _cached_vmap_jit(fns.snap, (frames_sh, pos_sh, vec_sh), pos_sh)
             self.snap_detect = _cached_vmap_jit(
-                detb.snap, (frames_sh, pos_sh, vec_sh), pos_sh
+                det.snap, (frames_sh, pos_sh, vec_sh), pos_sh
             )
-            self.scan = _cached_vmap_jit(base.scan, (chunk_sh, pos_sh, vec_sh), tpos_sh)
+            self.scan = _cached_vmap_jit(fns.scan, (chunk_sh, pos_sh, vec_sh), tpos_sh)
             self.scan_bounded = _cached_vmap_jit(
-                base.scan_bounded, (chunk_sh, pos_sh, vec_sh, pos_sh, pos_sh), tpos_sh
+                fns.scan_bounded, (chunk_sh, pos_sh, vec_sh, pos_sh, pos_sh), tpos_sh
             )
             self.scan_sub = _cached_vmap_jit(
-                base.scan_sub,
+                fns.scan_sub,
                 (chunk_sh, pos_sh, vec_sh, pos_sh, pos_sh),
                 (tpos_sh, tpos_sh),
             )
             self.snap_sub = _cached_vmap_jit(
-                base.snap_sub, (frames_sh, pos_sh, vec_sh), (pos_sh, pos_sh)
+                fns.snap_sub, (frames_sh, pos_sh, vec_sh), (pos_sh, pos_sh)
             )
             self.snap_detect_sub = _cached_vmap_jit(
-                detb.snap_sub, (frames_sh, pos_sh, vec_sh), (pos_sh, pos_sh)
+                det.snap_sub, (frames_sh, pos_sh, vec_sh), (pos_sh, pos_sh)
             )
 
     def shard_chunk(self, chunk: np.ndarray):

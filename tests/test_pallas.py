@@ -186,3 +186,25 @@ def test_subpixel_requires_bounded():
     spec = make_spec((32, 32), 9, 6, True)
     with pytest.raises(ValueError, match="bounded"):
         pallas_scan_fn(spec, subpixel=True)
+
+
+def test_out_of_crop_start_is_defined(rng):
+    """A chained mispredict can hand the bounded kernel a start position far
+    outside the crop; the entry clamp must keep every DMA origin legal and
+    every output position in-frame (review finding: interpret mode clamps
+    OOB slices silently, hardware does not — so this pins the EXPLICIT
+    clamp by asserting outputs stay in range even for garbage starts)."""
+    ch, cw, T = 97, 97, 4
+    crops = np.stack([draw_blob(ch, cw, (48, 48), 4) for _ in range(T)])
+    spec = make_spec((ch, cw), 21, 8, True)
+    lo = np.array([0, 0], np.int32)
+    hi = np.array([ch - 1, cw - 1], np.int32)
+    fn = pallas_scan_fn(spec, bounded=True, interpret=True)
+    for start in [(-50, -120), (300, 48), (48, 500), (-1, cw + 1)]:
+        got = np.asarray(
+            fn(jnp.asarray(crops), jnp.array(start, np.int32), np.uint8(128),
+               jnp.asarray(lo), jnp.asarray(hi))
+        )
+        assert (got >= 0).all() and (got[:, 0] < ch).all() and (got[:, 1] < cw).all(), (
+            start, got,
+        )

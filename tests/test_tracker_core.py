@@ -186,3 +186,35 @@ def test_clamped_at_edges():
     pos = np.asarray(fns.snap(jnp.asarray(frame), jnp.array([0, 0], np.int32), np.uint8(fill)))
     assert 0 <= pos[0] < h and 0 <= pos[1] < w
     assert abs(pos[0] - 2) <= 2 and abs(pos[1] - 2) <= 2
+
+
+def test_make_spec_rejects_nonpositive_target_width():
+    """target_width <= 0 means sigma = 0: an identically-zero DoG kernel
+    that silently marches every track to the frame corner (review finding)."""
+    from pawsometracker_tpu.models.dog_tracker import make_spec
+
+    with pytest.raises(ValueError, match="target_width"):
+        make_spec((100, 100), 21, 0, True)
+    with pytest.raises(ValueError, match="target_width"):
+        make_spec((100, 100), 21, -3.0, True)
+    with pytest.raises(ValueError, match="window_size"):
+        make_spec((100, 100), 0, 10, True)
+
+
+def test_sharded_tracker_rejects_bad_engine_requests():
+    """engine='pallas' must fail at construction when it can't be honored:
+    with a mesh it would silently run vmapped XLA, and on a non-TPU backend
+    jit laziness deferred the failure to a cryptic Mosaic error (review
+    finding)."""
+    import jax
+    import pytest as _pytest
+
+    from pawsometracker_tpu.models.dog_tracker import make_spec
+    from pawsometracker_tpu.parallel.mesh import ShardedBatchTracker, make_mesh
+
+    spec = make_spec((100, 100), 21, 10, True)
+    with _pytest.raises(ValueError, match="mesh"):
+        ShardedBatchTracker(spec, make_mesh(2), engine="pallas")
+    if jax.default_backend() != "tpu":
+        with _pytest.raises(ValueError, match="TPU backend"):
+            ShardedBatchTracker(spec, None, engine="pallas")
