@@ -60,12 +60,22 @@ class IJ(NamedTuple):
     j: int
 
 
+def _check_choice(name: str, value, allowed: tuple) -> None:
+    """Enum-like kwargs fail loudly on typos: stream='roo' silently fell
+    through to full-frame streaming, speculate='contian' silently ran
+    contain mode — both perf cliffs with no signal."""
+    if value not in allowed:
+        raise ValueError(f"{name} must be one of {allowed}, got {value!r}")
+
+
 def _resolve_guess(start_location, sar: float, frame_shape) -> tuple[int, int]:
     """Start-location resolution (reference: src/PawsomeTracker.jl:74-90)."""
     if start_location is None:
         return center_guess(frame_shape)
     if isinstance(start_location, IJ):
         return (int(start_location.i), int(start_location.j))
+    if isinstance(start_location, np.ndarray) and start_location.shape == (2,):
+        start_location = tuple(start_location.tolist())  # (x, y) like a tuple
     if isinstance(start_location, Sequence) and len(start_location) == 2:
         x, y = start_location
         # x is in display pixels; divide by SAR to get the raw column.
@@ -249,7 +259,6 @@ def _track_one(
         positions = [np.asarray(pos)]
         offsets = [off0.reshape(1, 2)]
         last_frame = 1
-        fill_dev = np.uint8(fill)
 
         # ROI streaming: for large frames, transfer only a drift-bounded crop
         # around the current position per mini-chunk instead of full frames —
@@ -382,6 +391,10 @@ def track(
     resumes from the previous segment's last position
     (reference: src/PawsomeTracker.jl:203-206).
     """
+    _check_choice("stream", stream, ("auto", "roi", "full"))
+    _check_choice("speculate", speculate, ("predict", "contain"))
+    _check_choice("backend", backend, ("auto", "native", "opencv"))
+    _check_choice("engine", engine, ("auto", "pallas", "xla"))
     if window_size is None:
         window_size = guess_window_size(target_width)
     window_size = fix_window_size(window_size)
@@ -466,7 +479,19 @@ def _track_many(
         stop = [stop] * nfiles
     starts = [0.0] * nfiles if start is None else [float(s) for s in start]
     stops = [DEFAULT_MAX_DURATION_SECONDS] * nfiles if stop is None else [float(s) for s in stop]
-    locs = [None] * nfiles if start_location is None else list(start_location)
+    if start_location is None:
+        locs = [None] * nfiles
+    elif isinstance(start_location, IJ) or (
+        isinstance(start_location, tuple)
+        and len(start_location) == 2
+        and all(isinstance(v, (int, float, np.integer, np.floating)) for v in start_location)
+    ):
+        # one location broadcasts: it seeds segment 1, later segments chain
+        # from the previous end (list(IJ(3, 5)) would otherwise unpack into
+        # bogus per-file scalar entries)
+        locs = [start_location] + [None] * (nfiles - 1)
+    else:
+        locs = list(start_location)
     if not (len(starts) == len(stops) == len(locs) == nfiles):
         raise ValueError(
             f"array length mismatch: files={nfiles}, start={len(starts)}, "

@@ -18,32 +18,54 @@ per slice, so they too match an uninterrupted run exactly.
 
 from __future__ import annotations
 
+import logging
 import os
 
 import numpy as np
 
 from .api import DEFAULT_MAX_DURATION_SECONDS, IJ, track
 
+logger = logging.getLogger(__name__)
+
 __all__ = ["track_resumable", "load_checkpoint"]
 
 
 def load_checkpoint(path: str):
-    """Load a checkpoint; returns None when absent."""
+    """Load a checkpoint; returns None when absent or unreadable.
+
+    A corrupt/truncated file (e.g. power loss mid-write on a filesystem that
+    reordered the rename before the data blocks) must not permanently brick
+    resume — the damaged file is set aside and tracking restarts from the
+    beginning."""
     if not os.path.exists(path):
         return None
-    with np.load(path, allow_pickle=False) as z:
-        return {
-            "ts": z["ts"],
-            "ij": z["ij"],
-            "next_time": float(z["next_time"]),
-            "done": bool(z["done"]),
-        }
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            return {
+                "ts": z["ts"],
+                "ij": z["ij"],
+                "next_time": float(z["next_time"]),
+                "done": bool(z["done"]),
+            }
+    except Exception as e:
+        quarantined = path + ".corrupt"
+        try:
+            os.replace(path, quarantined)
+        except OSError:
+            quarantined = "<could not move aside>"
+        logger.warning(
+            "checkpoint %s is unreadable (%s); moved to %s — restarting from scratch",
+            path, e, quarantined,
+        )
+        return None
 
 
 def _save(path: str, ts, ij, next_time: float, done: bool):
     tmp = path + ".tmp"
-    with open(tmp, "wb") as f:  # atomic: write-then-rename
+    with open(tmp, "wb") as f:  # atomic: write-fsync-rename
         np.savez(f, ts=ts, ij=ij, next_time=next_time, done=done)
+        f.flush()
+        os.fsync(f.fileno())  # data durable BEFORE the rename lands
     os.replace(tmp, path)
 
 

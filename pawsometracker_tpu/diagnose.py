@@ -98,6 +98,9 @@ class Diagnose:
     overlay color is white for darker targets, black otherwise (:17)."""
 
     def __init__(self, file: str, darker_target: bool, fps: float = 24.0):
+        import cv2  # fail at construction, not after a whole track() of work
+
+        self._cv2 = cv2
         self.file = str(file)
         self.label = os.path.splitext(os.path.basename(self.file))[0]
         self.color = 255 if darker_target else 0
@@ -122,7 +125,7 @@ class Diagnose:
         ``point`` is one (row, col) position, or an ``[N, 2]`` array for
         multi-target tracking (extension beyond the single-target reference:
         N markers, one trail per target; target 0's trail is ``self.trace``)."""
-        import cv2
+        cv2 = self._cv2
 
         if self.ratio is None:
             self.update_ratio(img.shape)

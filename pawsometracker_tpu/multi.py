@@ -13,6 +13,8 @@ will lock onto it.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 from .api import DEFAULT_MAX_DURATION_SECONDS, _resolve_guess
@@ -22,6 +24,8 @@ from .ops.dog_kernel import fix_window_size, guess_window_size
 from .ops.filters import mode_u8_host
 
 __all__ = ["track_multi"]
+
+logger = logging.getLogger(__name__)
 
 
 def track_multi(
@@ -84,7 +88,11 @@ def track_multi(
                 "n_targets/min_distance configure auto-detection and conflict "
                 "with explicit start_locations — pass one or the other"
             )
-        if not start_locations:
+        if isinstance(start_locations, np.ndarray):
+            # a [N, 2] array of (x, y) rows is a natural input; `if not arr`
+            # would raise numpy's truth-value ambiguity before any message
+            start_locations = [tuple(row) for row in start_locations.tolist()]
+        if len(start_locations) == 0:
             raise ValueError("start_locations must name at least one target")
         if any(loc is None for loc in start_locations):
             raise ValueError(
@@ -180,6 +188,7 @@ def track_multi(
             stream == "auto" and N * ch * cw * 2 < frame_shape[0] * frame_shape[1]
         )
         if n > 1 and use_roi:
+            timer = Timer()
             pos_blocks, off_blocks, tracked = run_multi_roi_pipeline(
                 src,
                 spec,
@@ -188,7 +197,7 @@ def track_multi(
                 n - 1,
                 roi_frames=roi_frames,
                 depth=pipeline_depth,
-                timer=Timer(),
+                timer=timer,
                 prefetchers=prefetchers,
                 engine=engine,
                 subpixel=subpixel,
@@ -197,6 +206,12 @@ def track_multi(
             out.extend(pos_blocks)
             offs.extend(off_blocks)
             last_frame += tracked
+            if timer.totals:
+                logger.debug(
+                    "track_multi %s: N=%d, %d frames, stream=roi, sections=%s",
+                    file, N, tracked,
+                    {k: round(v, 3) for k, v in timer.totals.items()},
+                )
         elif n > 1:
             from .api import padded_chunks
 

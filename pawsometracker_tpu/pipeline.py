@@ -1198,18 +1198,14 @@ def run_full_pipeline(
         prefetch.recycle(frames)
         tracked += k
 
+    from .api import padded_chunks
+
     prefetch = ChunkPrefetcher(src, chunk_size, max_frames=n_rest)
     prefetchers.append(prefetch)
     pos0 = jnp.asarray(np.asarray(pos0_abs, np.int32))
-    for chunk in prefetch:
+    for chunk, chunk_in, k in padded_chunks(prefetch, chunk_size):
         while len(pending) > depth:
             drain_one()
-        k = chunk.shape[0]
-        if k < chunk_size:
-            pad = np.repeat(chunk[-1:], chunk_size - k, axis=0)
-            chunk_in = np.concatenate([chunk, pad], axis=0)
-        else:
-            chunk_in = chunk
         with timer.section("device"):
             if prev_out is None:
                 out = scan(chunk_in, pos0, fill_dev)

@@ -14,6 +14,7 @@ themselves (``JAX_COMPILATION_CACHE_DIR`` env or ``jax.config``).
 
 from __future__ import annotations
 
+import logging
 import os
 
 #: set by :func:`enable_persistent_cache` to the directory in use (or None)
@@ -50,7 +51,12 @@ def enable_persistent_cache() -> str | None:
         d = default_cache_dir()
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
-    except Exception:
+    except Exception as e:
+        # missing the cache means every process pays the full XLA recompile:
+        # don't fail, but do say WHY (unwritable dir, old jax, ...)
+        logging.getLogger(__name__).warning(
+            "persistent XLA compilation cache disabled: %s", e
+        )
         return None
     cache_dir = d
     return d

@@ -215,3 +215,48 @@ def test_diagnostic_shared_across_segments(tmp_path):
     cap.release()
     # sum over segments of (len_i - 1)
     assert nfr == len(ij) - 2
+
+
+def test_ndarray_start_locations_accepted(tmp_path):
+    """np.ndarray start locations are natural inputs (review finding: the
+    Sequence check rejected them; multi's truthiness check crashed)."""
+    from pawsometracker_tpu.multi import track_multi
+
+    rng = np.random.default_rng(73)
+    _, tra = helpers.build_trajectory(25, 24, (50, 50), rng)
+    f = helpers.trajectory2video(tra[:24], str(tmp_path), 24, 100, 100, 10, True)
+    kw = dict(fps=24, target_width=10)
+    ts_t, ij_t = track(f, start_location=(50.0, 50.0), **kw)
+    ts_a, ij_a = track(f, start_location=np.array([50.0, 50.0]), **kw)
+    np.testing.assert_array_equal(ij_a, ij_t)
+    ts_m, pos_m = track_multi(f, np.array([[50.0, 50.0]]), **kw)
+    np.testing.assert_array_equal(pos_m[:, 0, :], ij_t)
+
+
+def test_single_location_broadcasts_over_segments(tmp_path):
+    """One IJ/(x, y) for a segmented track seeds segment 1 only; later
+    segments chain (review finding: list(IJ(3, 5)) unpacked into bogus
+    scalar entries)."""
+    rng = np.random.default_rng(74)
+    _, tra = helpers.build_trajectory(25, 24, (50, 50), rng)
+    d = tmp_path / "segs"
+    d.mkdir()
+    files = helpers.trajectory2video(tra[:48], str(d), 24, 100, 100, 10, True,
+                                     nsegments=2)
+    ts_l, ij_l = track(files, start_location=[IJ(50, 50), None], fps=24,
+                       target_width=10)
+    ts_s, ij_s = track(files, start_location=IJ(50, 50), fps=24,
+                       target_width=10)
+    np.testing.assert_array_equal(ij_s, ij_l)
+
+
+def test_enum_kwargs_validated(tmp_path):
+    """Typos in stream/speculate/backend/engine raise instead of silently
+    degrading (review finding)."""
+    rng = np.random.default_rng(75)
+    _, tra = helpers.build_trajectory(25, 24, (50, 50), rng)
+    f = helpers.trajectory2video(tra[:12], str(tmp_path), 24, 100, 100, 10, True)
+    for kw in ({"stream": "ROI"}, {"speculate": "contian"},
+               {"backend": "ffmpeg"}, {"engine": "cuda"}):
+        with pytest.raises(ValueError, match="must be one of"):
+            track(f, start_location=IJ(50, 50), target_width=10, **kw)

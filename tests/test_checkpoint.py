@@ -69,3 +69,23 @@ def test_completed_checkpoint_short_circuits(tmp_path):
     ts2, ij2 = track_resumable(f, checkpoint_path=cp, fps=24, target_width=10)
     np.testing.assert_array_equal(ij1, ij2)
     np.testing.assert_allclose(ts1, ts2)
+
+
+def test_corrupt_checkpoint_recovers(tmp_path, caplog):
+    """A corrupt/truncated checkpoint (power loss mid-write) must not brick
+    resume: it is quarantined with a warning and tracking restarts (review
+    finding on load_checkpoint)."""
+    import logging
+
+    f, tra = _make(tmp_path)
+    cp = str(tmp_path / "cp.npz")
+    with open(cp, "wb") as fh:
+        fh.write(b"\x00garbage not a zipfile")
+    with caplog.at_level(logging.WARNING, logger="pawsometracker_tpu.checkpoint"):
+        assert load_checkpoint(cp) is None
+    assert "unreadable" in caplog.text
+    assert (tmp_path / "cp.npz.corrupt").exists()
+    # and a full resumable run now proceeds from scratch
+    ts, ij = track_resumable(f, checkpoint_path=cp, fps=24,
+                             start_location=IJ(50, 50), target_width=10)
+    assert len(ts) == len(ij) > 0
