@@ -185,7 +185,11 @@ def _track_batch_uniform(
         window_size = guess_window_size(target_width)
     window_size = fix_window_size(window_size)
 
-    from .api import _resolve_roi_frames
+    from .api import _check_choice, _resolve_roi_frames
+
+    _check_choice("stream", stream, ("auto", "roi", "full"))
+    _check_choice("backend", backend, ("auto", "native", "opencv"))
+    _check_choice("engine", engine, ("auto", "pallas", "xla"))
 
     if pipeline_depth == "auto":
         from .pipeline import AUTO_DEPTH_MAX

@@ -100,6 +100,11 @@ def track_multi(
                 "or pass start_locations=None with n_targets=N to auto-detect"
             )
     stop = DEFAULT_MAX_DURATION_SECONDS if stop is None else float(stop)
+    from .api import _check_choice
+
+    _check_choice("stream", stream, ("auto", "roi", "full"))
+    _check_choice("backend", backend, ("auto", "native", "opencv"))
+    _check_choice("engine", engine, ("auto", "pallas", "xla"))
     if window_size is None:
         window_size = guess_window_size(target_width)
     window_size = fix_window_size(window_size)

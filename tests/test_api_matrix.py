@@ -260,3 +260,17 @@ def test_enum_kwargs_validated(tmp_path):
                {"backend": "ffmpeg"}, {"engine": "cuda"}):
         with pytest.raises(ValueError, match="must be one of"):
             track(f, start_location=IJ(50, 50), target_width=10, **kw)
+
+
+def test_enum_kwargs_validated_batch_multi(tmp_path):
+    """Same typo protection on track_batch and track_multi."""
+    from pawsometracker_tpu.batch import track_batch
+    from pawsometracker_tpu.multi import track_multi
+
+    rng = np.random.default_rng(76)
+    _, tra = helpers.build_trajectory(25, 24, (50, 50), rng)
+    f = helpers.trajectory2video(tra[:12], str(tmp_path), 24, 100, 100, 10, True)
+    with pytest.raises(ValueError, match="must be one of"):
+        track_batch([f], start_location=IJ(50, 50), target_width=10, stream="ROI")
+    with pytest.raises(ValueError, match="must be one of"):
+        track_multi(f, [IJ(50, 50)], target_width=10, engine="cuda")
