@@ -209,7 +209,9 @@ def _decode_all(d):
     t0 = time.perf_counter()
     with open_source(path, fps=FPS) as src:
         frames = src.read_chunk(N_FRAMES)
-    return frames, truth, N_FRAMES / (time.perf_counter() - t0)
+    got = frames.shape[0]  # fps over frames ACTUALLY decoded, not assumed
+    assert got == N_FRAMES, f"decode returned {got}/{N_FRAMES} frames"
+    return frames, truth, got / (time.perf_counter() - t0)
 
 
 def stage_decode(d):
@@ -358,12 +360,15 @@ def stage_subpixel(d):
         jax.block_until_ready((o, f_))
         fpss.append(rounds * K / (time.perf_counter() - t0))
     s = _stats(fpss)
-    return {
+    out_d = {
         "subpixel_roi_fps": s["med"],
         "subpixel_roi_spread": s,
         "subpixel_engine": eng,
         "subpixel_engine_info": {k: v for k, v in info.items() if k != "mismatch"},
     }
+    if probe > 0.1:  # same link-bound flag device_roi reports
+        out_d["subpixel_degraded"] = f"per-dispatch probe {probe * 1e3:.1f} ms (link-bound)"
+    return out_d
 
 
 def stage_hostceil(d):
@@ -396,7 +401,10 @@ def stage_hostceil(d):
         def dispatch(self, buf, origins, P_abs):
             counts["dispatches"] += 1
             K = buf.shape[1]
-            k = min(K, len(truth) - 1 - self.t)
+            # a replay re-dispatches frames, double-advancing the cursor;
+            # near EOF that would make k negative — clamp (the run is then
+            # flagged degraded via the replay audit below, never crashed)
+            k = max(0, min(K, len(truth) - 1 - self.t))
             pos = np.zeros((K, 2), np.int64)
             pos[:k] = truth[self.t + 1 : self.t + 1 + k] - origins[0]
             self.t += k
@@ -409,8 +417,10 @@ def stage_hostceil(d):
     p0 = IJ(int(truth[0][0]), int(truth[0][1]))
     kw = dict(start_location=p0, target_width=TARGET_WIDTH, window_size=WINDOW,
               engine="xla")
-    replays0 = plmod.replay_count
     track(path, **kw)  # warm: decode ring, spec caches
+    # audit the MEASURED reps only: each track() builds a fresh _TruthEngine
+    # (cursor resets), so a warm-up replay cannot contaminate them
+    replays0 = plmod.replay_count
     fpss, rmse = [], None
     for _ in range(REPS):
         t0 = time.perf_counter()
@@ -820,13 +830,17 @@ def main():
                     detail[f"{name}_skipped"] = "bench wall-clock budget exhausted"
                     continue
                 result = _run_stage_subprocess(name, d, timeout)
-                if f"{name}_error" in result and name in ("e2e", "batch"):
-                    # the headline stages get one retry — a second subprocess
-                    # often lands in a better tunnel phase
+                if f"{name}_error" in result and name == "batch":
+                    # batch gets one retry — a second subprocess often lands
+                    # in a better tunnel phase
                     retry = _run_stage_subprocess(name, d, timeout)
                     if f"{name}_error" not in retry:
                         result = retry
                 if name == "e2e":
+                    # errored attempts go through the SAME audited retry path
+                    # (an e2e_error is "degraded"), so the failed attempt
+                    # stays visible in e2e_attempts instead of being
+                    # silently replaced
                     result = _rerun_e2e_if_degraded(
                         result, d, timeout, deadline=t_start + budget
                     )
@@ -839,8 +853,20 @@ def main():
         detail["bench_interrupted"] = str(e)
 
     fps_e2e = detail.get("e2e_fps", 0.0)
-    fps_1t = detail.get("cpu_1t_fps") or 1.0
-    fps_mt = detail.get("cpu_mt_fps") or fps_1t
+    # when the CPU baseline stages were skipped (budget) or errored, fall
+    # back to their HISTORICAL medians on this host rather than dividing by
+    # 1.0 (which would publish the raw fps as a fabricated ~300x speedup) —
+    # and say so in the artifact
+    HIST_CPU_1T_FPS, HIST_CPU_MT_FPS = 3.9, 28.4  # BENCH_r02 medians
+    fps_1t = detail.get("cpu_1t_fps")
+    fps_mt = detail.get("cpu_mt_fps")
+    if not fps_1t or not fps_mt:
+        detail["baseline_source"] = (
+            "cpu baseline stage missing this run; using historical medians "
+            f"({HIST_CPU_1T_FPS}/{HIST_CPU_MT_FPS} fps, BENCH_r02)"
+        )
+    fps_1t = fps_1t or HIST_CPU_1T_FPS
+    fps_mt = fps_mt or HIST_CPU_MT_FPS
     detail["vs_baseline_1t"] = round(fps_e2e / fps_1t, 2)
     detail["vs_baseline_mt"] = round(fps_e2e / fps_mt, 2)
     if detail.get("device_roi_fps"):

@@ -173,19 +173,34 @@ def fuzz_params(seeds, base) -> int:
             )
             if depth != 0 and rng.random() < 0.3:
                 roi_kw["speculate"] = "contain"
-            _, roi = track(path, **roi_kw)
+            try:
+                _, roi = track(path, **roi_kw)
+            except Exception as e:
+                # a roi-only failure is exactly the divergence class this
+                # campaign hunts — record the seed, don't kill the campaign
+                fails += 1
+                print(f"params seed {base + seed}: roi raised {e!r} (full ok) {roi_kw}")
+                continue
             if not np.array_equal(np.asarray(roi), np.asarray(full)):
                 fails += 1
                 print(f"params seed {base + seed}: roi != full {roi_kw}")
             if rng.random() < 0.5:
                 # async dispatch worker vs inline dispatch: bit-identical by
-                # construction (FIFO) — this pins it against thread bugs
-                os.environ["PAWS_SYNC_DISPATCH"] = "1"
+                # construction (FIFO) — this pins it against thread bugs.
+                # Force the modes explicitly (an ambient PAWS_SYNC_DISPATCH=1
+                # would make the differential vacuous) and restore after.
+                prior = os.environ.get("PAWS_SYNC_DISPATCH")
                 try:
+                    os.environ["PAWS_SYNC_DISPATCH"] = "0"  # forced async
+                    _, roi_async = track(path, **roi_kw)
+                    os.environ["PAWS_SYNC_DISPATCH"] = "1"  # forced inline
                     _, roi_sync = track(path, **roi_kw)
                 finally:
-                    os.environ.pop("PAWS_SYNC_DISPATCH", None)
-                if not np.array_equal(np.asarray(roi_sync), np.asarray(roi)):
+                    if prior is None:
+                        os.environ.pop("PAWS_SYNC_DISPATCH", None)
+                    else:
+                        os.environ["PAWS_SYNC_DISPATCH"] = prior
+                if not np.array_equal(np.asarray(roi_sync), np.asarray(roi_async)):
                     fails += 1
                     print(f"params seed {base + seed}: async != sync dispatch {roi_kw}")
     print(f"params: {fails} failures / {seeds}")
@@ -337,6 +352,13 @@ def fuzz_batch(seeds, base) -> int:
 
 def main() -> int:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which.startswith("--"):
+        which = "all"  # flags-only invocation: run everything
+    if which not in ("streams", "params", "retained", "batch", "all"):
+        # a typo must not exit 0 having fuzzed nothing (silent false-green)
+        print(f"unknown campaign {which!r}: pick streams|params|retained|batch|all",
+              file=sys.stderr)
+        return 2
     seeds = int(sys.argv[sys.argv.index("--seeds") + 1]) if "--seeds" in sys.argv else 20
     base = int(sys.argv[sys.argv.index("--base") + 1]) if "--base" in sys.argv else 1000
     if which in ("params", "batch", "all"):

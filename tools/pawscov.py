@@ -36,7 +36,9 @@ def _install():
         fn = code.co_filename
         if fn.startswith(PKG):
             seen[fn].add(line)
-            return None
+        # line coverage needs ONE hit per location: disabling after the
+        # first hit (package lines included) removes the per-execution
+        # Python callback from every hot loop for the rest of the suite
         return mon.DISABLE
 
     mon.register_callback(tool, mon.events.LINE, on_line)

@@ -103,6 +103,10 @@ def main():
         with open(out_path, "w") as f:
             json.dump(results, f, indent=1)
         print(label, json.dumps(results[label]), flush=True)
+    if tmp is not None:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # ~tens of MB of clip per run
 
 
 if __name__ == "__main__":
