@@ -1166,7 +1166,9 @@ def run_full_pipeline(
     """Full-frame streaming with the same de-serialization as the ROI path:
     chunk scans chain their start positions on device and the host downloads
     positions ``depth`` chunks behind (no origins, no speculation — frames are
-    whole, so results are trivially identical to the synchronous loop)."""
+    whole, so results are trivially identical to the synchronous loop).
+    Dispatch (the full-frame H2D is 2 MB/frame at 1080p) runs on the same
+    FIFO worker the engine adapters use — see :class:`_SerialDispatcher`."""
     import jax.numpy as jnp
 
     scan_chain = make_chained_full(scan)
@@ -1174,17 +1176,34 @@ def run_full_pipeline(
     positions: list[np.ndarray] = []
     offsets: list[np.ndarray] = []
     tracked = 0
-    prev_out = None
-    pending: deque = deque()  # (out, off, k, frames_for_dia)
+    state = {"prev": None}  # owned by the dispatch worker (serial tasks)
+    disp = _SerialDispatcher()
+    pending: deque = deque()  # (future -> (out, off), k, frames_for_dia)
 
     from .diagnose import Dont
 
     keep = not isinstance(dia, Dont)
 
+    def dispatch_task(chunk_in):
+        with timer.section("device"):
+            if state["prev"] is None:
+                out = scan(chunk_in, pos0, fill_dev)
+            else:
+                out = scan_chain(chunk_in, state["prev"], fill_dev)
+        if subpixel:
+            out, off = out
+            _to_host_async(out, off)
+        else:
+            off = None
+            _to_host_async(out)
+        state["prev"] = out
+        return out, off
+
     def drain_one():
         nonlocal tracked
-        out, off, k, frames = pending.popleft()
+        fut, k, frames = pending.popleft()
         with timer.section("drain"):
+            out, off = fut.result()
             out_np = np.asarray(out)
         positions.append(out_np[:k])
         if off is not None:
@@ -1193,8 +1212,9 @@ def run_full_pipeline(
             with timer.section("diagnose"):
                 for i in range(k):
                     dia(frames[i], out_np[i])
-        # recycle only at drain: the device transfer from this buffer is done
-        # once its result materialized, so the producer may refill it now
+        # recycle only at drain: joining this chunk's future implies its
+        # jnp transfer (and every earlier task) completed, so the producer
+        # may refill the buffer now
         prefetch.recycle(frames)
         tracked += k
 
@@ -1203,24 +1223,15 @@ def run_full_pipeline(
     prefetch = ChunkPrefetcher(src, chunk_size, max_frames=n_rest)
     prefetchers.append(prefetch)
     pos0 = jnp.asarray(np.asarray(pos0_abs, np.int32))
-    for chunk, chunk_in, k in padded_chunks(prefetch, chunk_size):
-        while len(pending) > depth:
+    try:
+        for chunk, chunk_in, k in padded_chunks(prefetch, chunk_size):
+            while len(pending) > depth:
+                drain_one()
+            pending.append((disp.submit(dispatch_task, chunk_in), k, chunk))
+        while pending:
             drain_one()
-        with timer.section("device"):
-            if prev_out is None:
-                out = scan(chunk_in, pos0, fill_dev)
-            else:
-                out = scan_chain(chunk_in, prev_out, fill_dev)
-        if subpixel:
-            out, off = out
-            _to_host_async(out, off)
-        else:
-            off = None
-            _to_host_async(out)
-        prev_out = out
-        pending.append((out, off, k, chunk))
-    while pending:
-        drain_one()
+    finally:
+        disp.close()
     return positions, offsets, tracked
 
 
