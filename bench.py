@@ -105,13 +105,17 @@ def _degraded_plan(probe_fps: float, wedged_below: float, slow_below: float):
 E2E_HEALTHY_PROBE_FPS = 100
 #: a MEASURED e2e median below this marks a mid-grade tunnel phase even when
 #: the probe looked healthy and the spread is tight (probe->steady ratio is
-#: noisy: probe ~100 can precede a ~200 fps steady phase). Calibrated from the
-#: healthy-phase history of this build on this link AFTER the chained-dispatch
-#: memoization (299 med / 291-330 reps even in phases whose probes read
-#: 53-87 fps) vs the pre-fix mid-phase artifacts (261/222/199 fps). Attempts
-#: below it get the same bounded, fully-audited retry as probe-flagged ones —
-#: best median wins, every attempt is recorded in ``e2e_attempts``.
-E2E_HEALTHY_RESULT_FPS = 290
+#: noisy: probe ~100 can precede a ~200 fps steady phase). History: 290 was
+#: the post-memoization healthy capability (299 med / 291-330 reps); the bar
+#: now sits at the post-decode-fix + async-dispatch PROJECTION (~400-500
+#: capability: the measured host ceiling moved ~410 -> ~480-520 fps and the
+#: ~20-25% dispatch residual is overlapped; docs/bench_history.md) pending a
+#: healthy-tunnel measurement. If the projection overshoots, the
+#: consistent-attempts early-stop (_e2e_attempts_consistent) caps the cost
+#: at ONE extra audited attempt. Attempts below the bar get the bounded,
+#: fully-audited retry — best median wins, every attempt recorded in
+#: ``e2e_attempts``.
+E2E_HEALTHY_RESULT_FPS = 380
 #: how long the headline stage may WAIT for a healthy tunnel phase before
 #: measuring anyway (phases last seconds-to-minutes; a measured 300 s window
 #: can sit entirely inside one bad phase — probe history of the r3 runs — so
