@@ -39,7 +39,7 @@ def test_degraded_detection(bench):
 def test_rerun_keeps_best_and_audits(bench, monkeypatch):
     attempts = iter(
         [
-            {"e2e_fps": 310.0, "e2e_spread": {"med": 310, "min": 300, "max": 320}},
+            {"e2e_fps": 410.0, "e2e_spread": {"med": 410, "min": 400, "max": 420}},
         ]
     )
     monkeypatch.setattr(
@@ -48,9 +48,9 @@ def test_rerun_keeps_best_and_audits(bench, monkeypatch):
     first = {"e2e_fps": 40.0, "e2e_spread": {"med": 40, "min": 5, "max": 200},
              "e2e_degraded": "probe 5 fps"}
     best = bench._rerun_e2e_if_degraded(first, "/nonexistent", 1)
-    assert best["e2e_fps"] == 310.0
+    assert best["e2e_fps"] == 410.0
     # every attempt is recorded for audit
-    assert [a["e2e_fps"] for a in best["e2e_attempts"]] == [40.0, 310.0]
+    assert [a["e2e_fps"] for a in best["e2e_attempts"]] == [40.0, 410.0]
     assert best["e2e_attempts"][0]["degraded"] == "probe 5 fps"
 
 
@@ -59,7 +59,7 @@ def test_rerun_noop_when_healthy(bench, monkeypatch):
         bench, "_run_stage_subprocess",
         lambda *a: pytest.fail("healthy result must not be re-run"),
     )
-    healthy = {"e2e_fps": 305.0, "e2e_spread": {"med": 305, "min": 295, "max": 315}}
+    healthy = {"e2e_fps": 405.0, "e2e_spread": {"med": 405, "min": 395, "max": 415}}
     out = bench._rerun_e2e_if_degraded(healthy, "/nonexistent", 1)
     assert out == healthy and "e2e_attempts" not in out
 
