@@ -123,3 +123,30 @@ print(json.dumps({"engine": engine, "info": info}))
     )
     res = json.loads(out.strip().splitlines()[-1])
     assert res["info"].get("parity") is True, res
+
+
+def test_out_of_crop_start_defined_on_hardware():
+    """The bounded kernel's entry clamp (mispredict chained starts) must hold
+    on the COMPILED kernel: interpret mode clamps OOB slices silently, so
+    only hardware can prove the DMA origin math never leaves the buffer."""
+    _run(
+        """
+import numpy as np
+import jax, jax.numpy as jnp
+assert jax.default_backend() == "tpu"
+from pawsometracker_tpu.models.dog_tracker import make_spec
+from pawsometracker_tpu.ops.pallas_tracker import pallas_scan_fn
+ch = cw = 97
+spec = make_spec((ch, cw), 21, 8, True)
+crops = np.full((4, ch, cw), 128, np.uint8)
+crops[:, 44:53, 44:53] = 0
+fn = pallas_scan_fn(spec, bounded=True)
+lo = jnp.asarray(np.array([0, 0], np.int32))
+hi = jnp.asarray(np.array([ch - 1, cw - 1], np.int32))
+for start in [(-50, -120), (300, 48), (48, 500)]:
+    got = np.asarray(fn(jnp.asarray(crops), jnp.array(start, np.int32),
+                        np.uint8(128), lo, hi))
+    assert (got >= 0).all() and (got[:, 0] < ch).all() and (got[:, 1] < cw).all(), (start, got)
+print("ok")
+"""
+    )
