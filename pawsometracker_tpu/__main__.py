@@ -66,6 +66,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cooperating native decoders per video (bit-identical; "
                         "default: the PAWSIO_DECODE_WORKERS env var)")
     p.add_argument("--checkpoint", default=None, help="checkpoint path for resumable tracking")
+    p.add_argument("--progress", action="store_true",
+                   help="print tracking progress to stderr (single-file modes)")
     p.add_argument("--out", default=None, help="write results to this .npz instead of CSV stdout")
     p.add_argument("--format", default="csv", choices=["csv", "json"], help="stdout format")
     return p
@@ -109,6 +111,16 @@ def main(argv=None) -> int:
         subpixel=args.subpixel,
         decode_workers=args.decode_workers,
     )
+    if args.progress:
+        if args.batch or multi:
+            print("error: --progress supports the single-target modes only",
+                  file=sys.stderr)
+            return 2
+
+        def _progress(done, total):
+            print(f"\r{done}/{total} frames", end="", file=sys.stderr, flush=True)
+
+        kwargs["progress"] = _progress
     cast = float if args.subpixel else int
     try:
         if args.checkpoint:
@@ -171,6 +183,9 @@ def main(argv=None) -> int:
     except (IOError, EOFError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
+
+    if args.progress:
+        print(file=sys.stderr)  # newline after the \r progress line
 
     if args.out:
         import numpy as np

@@ -196,6 +196,7 @@ def _track_one(
     speculate: str = "predict",
     subpixel: bool = False,
     decode_workers: int | None = None,
+    progress=None,
 ):
     """Track one file (reference pipeline: src/PawsomeTracker.jl:148-174)."""
     import jax.numpy as jnp
@@ -242,6 +243,20 @@ def _track_one(
             sar_val = src.info.sar
         else:
             sar_val = float(sar)
+
+        if progress is not None:
+            # with the open-ended default stop, n is the 24-hour bound —
+            # estimate the expected total from the container frame count
+            # instead (still an estimate: VFR/resampling can shift it)
+            est = n - 1
+            fc = getattr(src.info, "frame_count", 0) or 0
+            nf = getattr(src.info, "fps", 0) or 0
+            if stop >= DEFAULT_MAX_DURATION_SECONDS and fc and nf:
+                est = min(est, max(int(round(fc * fps / nf)) - 1, 1))
+            user_cb, est_total = progress, est
+
+            def progress(done, _t, _cb=user_cb, _est=est_total):
+                _cb(done, _est)
 
         frame0 = src.read()
         if frame0 is None:
@@ -293,6 +308,7 @@ def _track_one(
                 native_roi=native_roi,
                 prefetchers=prefetchers,
                 speculate=speculate,
+                progress=progress,
             )
             positions.extend(pos_blocks)
             offsets.extend(off_blocks)
@@ -316,6 +332,7 @@ def _track_one(
                 dia=dia,
                 timer=timer,
                 prefetchers=prefetchers,
+                progress=progress,
             )
             positions.extend(pos_blocks)
             offsets.extend(off_blocks)
@@ -363,6 +380,7 @@ def track(
     speculate: str = "predict",
     subpixel: bool = False,
     decode_workers: int | None = None,
+    progress=None,
 ):
     """Track a blob-like target in a video ``file`` (or list of segment files).
 
@@ -384,7 +402,11 @@ def track(
     adds parabolic peak refinement to the returned (float) positions;
     ``decode_workers`` (default: the ``PAWSIO_DECODE_WORKERS`` env var)
     decodes with that many cooperating native decoders — bit-identical
-    frames, for multi-core hosts (see :mod:`.io.parallel_decode`).
+    frames, for multi-core hosts (see :mod:`.io.parallel_decode`);
+    ``progress`` is an optional ``callback(frames_done, frames_expected)``
+    invoked after each accepted chunk of the CURRENT file (per-file on
+    segmented inputs; ``frames_expected`` excludes frame 1 and can exceed
+    the delivered count when the stream ends early).
 
     For a list of ``file``s the per-file ``start``/``stop``/``start_location``
     may be lists of the same length; a ``None`` start_location in segment k>0
@@ -420,6 +442,7 @@ def track(
             speculate=speculate,
             subpixel=subpixel,
             decode_workers=decode_workers,
+            progress=progress,
         )
 
     start = 0.0 if start is None else float(start)
@@ -445,6 +468,7 @@ def track(
             speculate=speculate,
             subpixel=subpixel,
             decode_workers=decode_workers,
+            progress=progress,
         )
 
 
@@ -469,6 +493,7 @@ def _track_many(
     speculate,
     subpixel,
     decode_workers=None,
+    progress=None,
 ):
     """Segmented videos: chain each segment's start from the previous
     segment's final position (reference: src/PawsomeTracker.jl:181-214)."""
@@ -523,6 +548,7 @@ def _track_many(
                 speculate=speculate,
                 subpixel=subpixel,
                 decode_workers=decode_workers,
+                progress=progress,
             )
             tss.append(ts_i)
             ijs.append(ij_i)

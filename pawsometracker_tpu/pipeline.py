@@ -1066,6 +1066,7 @@ def run_roi_pipeline(
     native_roi: bool,
     prefetchers: list,
     speculate: str = "predict",
+    progress=None,
 ):
     """Track ``n_rest`` frames of ``src`` by pipelined ROI streaming
     (single video, single target — :class:`SpeculativePipeline` with L=1 and
@@ -1114,6 +1115,8 @@ def run_roi_pipeline(
         positions.append(abs_pos[0, :k])
         if off_np is not None:
             offsets.append(off_np[0, :k])
+        if progress is not None:
+            progress(sum(len(p) for p in positions), n_rest)
 
     pipe = SpeculativePipeline(
         L=1,
@@ -1162,6 +1165,7 @@ def run_full_pipeline(
     dia,
     timer,
     prefetchers: list,
+    progress=None,
 ):
     """Full-frame streaming with the same de-serialization as the ROI path:
     chunk scans chain their start positions on device and the host downloads
@@ -1217,6 +1221,8 @@ def run_full_pipeline(
         # may refill the buffer now
         prefetch.recycle(frames)
         tracked += k
+        if progress is not None:
+            progress(tracked, n_rest)
 
     from .api import padded_chunks
 

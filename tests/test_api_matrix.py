@@ -274,3 +274,21 @@ def test_enum_kwargs_validated_batch_multi(tmp_path):
         track_batch([f], start_location=IJ(50, 50), target_width=10, stream="ROI")
     with pytest.raises(ValueError, match="must be one of"):
         track_multi(f, [IJ(50, 50)], target_width=10, engine="cuda")
+
+
+@pytest.mark.parametrize("stream", ["roi", "full"])
+def test_progress_callback(tmp_path, stream):
+    """progress(frames_done, frames_expected) fires monotonically per chunk
+    on both stream paths, ending at the delivered frame count."""
+    rng = np.random.default_rng(78)
+    _, tra = helpers.build_trajectory(25, 24, (50, 50), rng)
+    f = helpers.trajectory2video(tra[:48], str(tmp_path), 24, 100, 100, 10, True)
+    calls = []
+    ts, ij = track(f, start_location=IJ(50, 50), target_width=10,
+                   stream=stream, chunk_size=16, roi_frames=4,
+                   progress=lambda d, t: calls.append((d, t)))
+    assert calls, "progress never fired"
+    dones = [d for d, _ in calls]
+    assert dones == sorted(dones)
+    assert dones[-1] == len(ij) - 1  # frames tracked past frame 1
+    assert all(t == calls[0][1] for _, t in calls)  # stable total

@@ -193,3 +193,20 @@ def test_cli_unsupported_flag_combos_error(clip, tmp_path, capsys):
     cap = cv2.VideoCapture(diag)
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 47  # frames 2..n
     cap.release()
+
+
+def test_cli_progress_flag(clip, tmp_path, capsys):
+    """--progress streams a \\r counter to stderr in single-file modes and
+    errors in batch/multi modes."""
+    from pawsometracker_tpu.__main__ import main
+
+    f, _ = clip
+    assert main([f, "--start-ij", "50", "50", "--target-width", "10",
+                 "--progress"]) == 0
+    cap = capsys.readouterr()
+    # 48 sampled frames = frame 1 (snap) + 47 tracked; progress covers the 47
+    assert "47/47 frames" in cap.err
+    assert main([f, f, "--batch", "--progress"]) == 2
+    assert main([f, "--start-ij", "1", "1", "--start-ij", "2", "2",
+                 "--progress"]) == 2
+    capsys.readouterr()
