@@ -67,7 +67,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "default: the PAWSIO_DECODE_WORKERS env var)")
     p.add_argument("--checkpoint", default=None, help="checkpoint path for resumable tracking")
     p.add_argument("--progress", action="store_true",
-                   help="print tracking progress to stderr (single-file modes)")
+                   help="print tracking progress to stderr")
     p.add_argument("--out", default=None, help="write results to this .npz instead of CSV stdout")
     p.add_argument("--format", default="csv", choices=["csv", "json"], help="stdout format")
     return p
@@ -112,11 +112,6 @@ def main(argv=None) -> int:
         decode_workers=args.decode_workers,
     )
     if args.progress:
-        if args.batch or multi:
-            print("error: --progress supports the single-target modes only",
-                  file=sys.stderr)
-            return 2
-
         def _progress(done, total):
             print(f"\r{done}/{total} frames", end="", file=sys.stderr, flush=True)
 

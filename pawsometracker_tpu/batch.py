@@ -69,6 +69,7 @@ def track_batch(
     engine: str = "auto",
     subpixel: bool = False,
     decode_workers: int | None = None,
+    progress=None,
 ):
     """Track one target in each of ``files`` concurrently on the device.
 
@@ -108,13 +109,32 @@ def track_batch(
     # engine per bucket; all buckets share the mesh
     from .io.decode import probe as _probe
 
-    keys = []
+    keys, infos = [], []
     for f, tw, ws, dk in zip(files, tws, wss, darks):
         info = _probe(f)
+        infos.append(info)
         keys.append((info.frame_shape, float(tw), None if ws is None else tuple(np.atleast_1d(ws)), bool(dk)))
     buckets: dict = {}
     for i, k in enumerate(keys):
         buckets.setdefault(k, []).append(i)
+
+    bucket_cb = None
+    if progress is not None:
+        # aggregate across the whole batch: expected total from per-file
+        # durations, capped by container frame counts on open-ended stops
+        est_total = 0
+        for i in range(B):
+            t0 = 0.0 if starts_in[i] is None else float(starts_in[i])
+            t1 = DEFAULT_MAX_DURATION_SECONDS if stops_in[i] is None else float(stops_in[i])
+            ni = max(int(np.round(fps * (t1 - t0))) - 1, 0)
+            fc, nf = infos[i].frame_count, infos[i].fps
+            if t1 >= DEFAULT_MAX_DURATION_SECONDS and fc and nf:
+                ni = min(ni, max(int(np.round(fc * fps / nf)) - 1, 1))
+            est_total += ni
+        done_base = {"n": 0}
+
+        def bucket_cb(done_in_bucket):
+            progress(done_base["n"] + done_in_bucket, est_total)
 
     results: list = [None] * B
     for k, idxs in buckets.items():
@@ -138,9 +158,12 @@ def track_batch(
             engine=engine,
             subpixel=subpixel,
             decode_workers=decode_workers,
+            progress=bucket_cb,
         )
         for i, r in zip(idxs, sub):
             results[i] = r
+        if bucket_cb is not None:
+            done_base["n"] += sum(max(len(ij) - 1, 0) for _, ij in sub)
     return results
 
 
@@ -165,6 +188,7 @@ def _track_batch_uniform(
     engine: str = "auto",
     subpixel: bool = False,
     decode_workers: int | None = None,
+    progress=None,
 ):
     """One-bucket core of :func:`track_batch`: all videos share a resolution
     and tracker configuration."""
@@ -341,6 +365,10 @@ def _track_batch_uniform(
                         if off_np is not None:
                             offsets[b].append(off_np[b, :k])
                         counts[b] += k
+                if progress is not None:
+                    # counts include frame 1 per video; progress reports
+                    # frames tracked PAST it (matching the single-video API)
+                    progress(int(sum(counts)) - B)
 
             pipe = SpeculativePipeline(
                 L=B,
@@ -439,6 +467,10 @@ def _track_batch_uniform(
                             dias[b](chunks[b][i], scan_host[b, i])
                     if chunks[b] is not None:
                         prefetcher_objs[b].recycle(chunks[b])
+                if progress is not None:
+                    # counts include frame 1 per video; progress reports
+                    # frames tracked PAST it (matching the single-video API)
+                    progress(int(sum(counts)) - B)
     finally:
         for p in locals().get("prefetcher_objs", []):
             p.close()  # join decode threads BEFORE destroying the sources

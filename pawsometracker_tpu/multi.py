@@ -50,6 +50,7 @@ def track_multi(
     subpixel: bool = False,
     decode_workers: int | None = None,
     diagnostic_file: str | None = None,
+    progress=None,
 ):
     """Track N targets in one video.
 
@@ -153,6 +154,16 @@ def track_multi(
             raise EOFError(f"no frames decoded from {file}")
         frame_shape = frame0.shape
         dia.update_ratio(frame_shape)  # frame 1 sets the scale only
+        if progress is not None:
+            est = n - 1
+            fc = getattr(src.info, "frame_count", 0) or 0
+            nf = getattr(src.info, "fps", 0) or 0
+            if stop >= DEFAULT_MAX_DURATION_SECONDS and fc and nf:
+                est = min(est, max(int(np.round(fc * fps / nf)) - 1, 1))
+            user_cb, est_total = progress, est
+
+            def progress(done, _t, _cb=user_cb, _est=est_total):
+                _cb(done, _est)
         fill = mode_u8_host(frame0)
         spec = make_spec(frame_shape, window_size, target_width, darker_target)
         fns = tracker_fns(spec)
@@ -207,6 +218,7 @@ def track_multi(
                 engine=engine,
                 subpixel=subpixel,
                 dia=dia,
+                progress=progress,
             )
             out.extend(pos_blocks)
             offs.extend(off_blocks)
@@ -236,6 +248,8 @@ def track_multi(
                         dia(chunk[i], pos_np[i])
                 prefetch.recycle(chunk)
                 last_frame += k
+                if progress is not None:
+                    progress(last_frame - 1, n - 1)
     finally:
         for p in prefetchers:
             p.close()

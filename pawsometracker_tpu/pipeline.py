@@ -1255,6 +1255,7 @@ def run_multi_roi_pipeline(
     engine: str = "auto",
     subpixel: bool = False,
     dia=None,
+    progress=None,
 ):
     """Speculative pipelined ROI streaming for N targets in ONE stream
     (:class:`SpeculativePipeline` with L=N and :class:`FanoutSource`): each
@@ -1293,6 +1294,8 @@ def run_multi_roi_pipeline(
         positions.append(np.transpose(abs_pos[:, :k], (1, 0, 2)))  # [k, N, 2]
         if off_np is not None:
             offsets.append(np.transpose(off_np[:, :k], (1, 0, 2)))
+        if progress is not None:
+            progress(sum(p.shape[0] for p in positions), n_rest)
 
     pipe = SpeculativePipeline(
         L=N,

@@ -292,3 +292,24 @@ def test_progress_callback(tmp_path, stream):
     assert dones == sorted(dones)
     assert dones[-1] == len(ij) - 1  # frames tracked past frame 1
     assert all(t == calls[0][1] for _, t in calls)  # stable total
+
+
+def test_progress_callback_batch_and_multi(tmp_path):
+    """track_batch aggregates progress across all videos; track_multi
+    reports stream frames (both estimate totals from container counts)."""
+    from pawsometracker_tpu.batch import track_batch
+    from pawsometracker_tpu.multi import track_multi
+
+    rng = np.random.default_rng(79)
+    _, tra = helpers.build_trajectory(25, 24, (50, 50), rng)
+    f = helpers.trajectory2video(tra[:32], str(tmp_path), 24, 100, 100, 10, True)
+    calls = []
+    track_batch([f, f], start_location=IJ(50, 50), target_width=10,
+                chunk_size=16, progress=lambda d, t: calls.append((d, t)))
+    assert calls and calls[-1] == (2 * 31, 2 * 31)
+    dones = [d for d, _ in calls]
+    assert dones == sorted(dones)
+    calls2 = []
+    track_multi(f, [IJ(50, 50), IJ(52, 52)], target_width=10, chunk_size=16,
+                progress=lambda d, t: calls2.append((d, t)))
+    assert calls2 and calls2[-1] == (31, 31)

@@ -196,8 +196,7 @@ def test_cli_unsupported_flag_combos_error(clip, tmp_path, capsys):
 
 
 def test_cli_progress_flag(clip, tmp_path, capsys):
-    """--progress streams a \\r counter to stderr in single-file modes and
-    errors in batch/multi modes."""
+    """--progress streams a \\r counter to stderr in every mode."""
     from pawsometracker_tpu.__main__ import main
 
     f, _ = clip
@@ -206,7 +205,12 @@ def test_cli_progress_flag(clip, tmp_path, capsys):
     cap = capsys.readouterr()
     # 48 sampled frames = frame 1 (snap) + 47 tracked; progress covers the 47
     assert "47/47 frames" in cap.err
-    assert main([f, f, "--batch", "--progress"]) == 2
-    assert main([f, "--start-ij", "1", "1", "--start-ij", "2", "2",
-                 "--progress"]) == 2
+    assert main([f, f, "--batch", "--start-ij", "50", "50",
+                 "--target-width", "10", "--progress"]) == 0
+    cap = capsys.readouterr()
+    assert "94/94 frames" in cap.err  # 2 videos x 47 tracked, aggregated
+    assert main([f, "--start-ij", "50", "50", "--start-ij", "52", "52",
+                 "--target-width", "10", "--progress"]) == 0
+    cap = capsys.readouterr()
+    assert "47/47 frames" in cap.err  # one stream: frames, not frames x N
     capsys.readouterr()
