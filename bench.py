@@ -665,18 +665,24 @@ def stage_batch(d):
     return out
 
 
+# Stage order is deliberate: the TPU-INDEPENDENT stages (host decode, the
+# no-device host ceiling, the CPU baselines) run FIRST (~10 min total), so a
+# fully wedged tunnel still yields a JSON carrying the host-side numbers and
+# MEASURED vs_baseline denominators before the e2e stage burns the rest of
+# the wall-clock budget on timeouts. The headline e2e runs next with its own
+# phase-wait + audited retries; the remaining device stages follow.
 STAGES = {
-    "e2e": (stage_e2e, 1200),
-    "batch": (stage_batch, 900),
     "decode": (stage_decode, 300),
     "hostceil": (stage_hostceil, 420),
+    "cpu": (stage_cpu, 420),
+    "cpu_mt": (stage_cpu_mt, 420),
+    "e2e": (stage_e2e, 1200),
+    "batch": (stage_batch, 900),
     "pdecode": (stage_pdecode, 420),
     "device_roi": (stage_device_roi, 420),
     "subpixel": (stage_subpixel, 420),
     "device": (stage_device, 420),
     "pallas": (stage_pallas, 420),
-    "cpu": (stage_cpu, 420),
-    "cpu_mt": (stage_cpu_mt, 420),
     "mfu": (stage_mfu, 180),
 }
 
