@@ -27,7 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
         prog="pawsometracker_tpu",
         description="Track a single blob-like target through video file(s) with a DoG matched filter.",
     )
-    p.add_argument("files", nargs="+", help="video file, or consecutive segments of one recording")
+    p.add_argument("files", nargs="+",
+                   help="video file, or consecutive segments of one recording; "
+                        ".npy/.npz files load as in-memory [T, H, W](, 3) uint8 "
+                        "frame stacks (see --input-fps)")
     p.add_argument("--start", type=float, default=None, help="start time (s)")
     p.add_argument("--stop", type=float, default=None, help="stop time (s)")
     p.add_argument("--fps", type=float, default=24, help="tracking sample rate")
@@ -65,12 +68,38 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode-workers", type=int, default=None,
                    help="cooperating native decoders per video (bit-identical; "
                         "default: the PAWSIO_DECODE_WORKERS env var)")
+    p.add_argument("--input-fps", type=float, default=None,
+                   help="native rate of .npy/.npz frame-stack inputs (default: "
+                        "already at --fps)")
     p.add_argument("--checkpoint", default=None, help="checkpoint path for resumable tracking")
     p.add_argument("--progress", action="store_true",
                    help="print tracking progress to stderr")
     p.add_argument("--out", default=None, help="write results to this .npz instead of CSV stdout")
     p.add_argument("--format", default="csv", choices=["csv", "json"], help="stdout format")
     return p
+
+
+def _load_input(path: str):
+    """A CLI input: a video path, or a ``.npy``/``.npz`` frame stack loaded as
+    an in-memory uint8 array (``.npz``: the ``frames`` key, else its sole
+    array)."""
+    low = path.lower()
+    if not (low.endswith(".npy") or low.endswith(".npz")):
+        return path
+    import numpy as np
+
+    data = np.load(path)
+    if low.endswith(".npy"):
+        return data
+    keys = list(data.files)
+    if "frames" in keys:
+        return data["frames"]
+    if len(keys) != 1:
+        raise ValueError(
+            f"{path}: .npz frame input needs a 'frames' array or exactly one "
+            f"array, found {keys}"
+        )
+    return data[keys[0]]
 
 
 def main(argv=None) -> int:
@@ -110,7 +139,13 @@ def main(argv=None) -> int:
         roi_frames=args.roi_frames,
         subpixel=args.subpixel,
         decode_workers=args.decode_workers,
+        input_fps=args.input_fps,
     )
+    try:
+        inputs = [_load_input(f) for f in args.files]
+    except (IOError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     if args.progress:
         def _progress(done, total):
             print(f"\r{done}/{total} frames", end="", file=sys.stderr, flush=True)
@@ -131,7 +166,7 @@ def main(argv=None) -> int:
             cp_kwargs.pop("diagnostic_file")  # not supported by slices
             cp_kwargs["start"] = args.start or 0.0
             ts, ij = track_resumable(
-                args.files[0], checkpoint_path=args.checkpoint, **cp_kwargs
+                inputs[0], checkpoint_path=args.checkpoint, **cp_kwargs
             )
         elif args.batch:
             from .batch import track_batch
@@ -147,7 +182,7 @@ def main(argv=None) -> int:
                       "(the batch pipeline always runs predict mode)",
                       file=sys.stderr)
                 return 2
-            results = track_batch(args.files, **b_kwargs)
+            results = track_batch(inputs, **b_kwargs)
             return _emit_batch(args, results)
         elif multi:
             from .multi import track_multi
@@ -166,14 +201,14 @@ def main(argv=None) -> int:
                 print("error: multi-target mode supports a single file", file=sys.stderr)
                 return 2
             ts, ij = track_multi(
-                args.files[0],
+                inputs[0],
                 start_locations=locs if locs else None,
                 n_targets=args.n_targets,
                 **m_kwargs,
             )
             return _emit_multi(args, ts, ij)
         else:
-            target = args.files if len(args.files) > 1 else args.files[0]
+            target = inputs if len(inputs) > 1 else inputs[0]
             ts, ij = track(target, **kwargs)
     except (IOError, EOFError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)

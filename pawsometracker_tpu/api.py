@@ -197,6 +197,7 @@ def _track_one(
     subpixel: bool = False,
     decode_workers: int | None = None,
     progress=None,
+    input_fps: float | None = None,
 ):
     """Track one file (reference pipeline: src/PawsomeTracker.jl:148-174)."""
     import jax.numpy as jnp
@@ -235,7 +236,7 @@ def _track_one(
     ring = (depth_gate + 2) * roi_frames + 8 if retention_possible else None
     src = open_source(
         file, start=start, stop=stop, fps=fps, backend=backend, prefetch=ring,
-        workers=decode_workers,
+        workers=decode_workers, input_fps=input_fps,
     )
     prefetchers: list[ChunkPrefetcher] = []  # joined in finally BEFORE src.close()
     try:
@@ -381,8 +382,17 @@ def track(
     subpixel: bool = False,
     decode_workers: int | None = None,
     progress=None,
+    input_fps: float | None = None,
 ):
     """Track a blob-like target in a video ``file`` (or list of segment files).
+
+    ``file`` may also be an in-memory uint8 frame array ``[T, H, W]`` (gray)
+    or ``[T, H, W, 3]`` (RGB) — recordings that never were video files (HDF5
+    datasets, TIFF stacks, camera SDK buffers). ``input_fps`` states the
+    array's native rate and the exact fps-filter resampling maps it onto the
+    ``fps`` output grid (default ``None``: the frames are taken to be at
+    ``fps`` already); decode knobs (``backend``, ``decode_workers``) don't
+    apply. Lists may mix file paths and arrays per segment.
 
     Mirrors the reference API (reference: src/PawsomeTracker.jl:109-146 single
     file; :176-214 segmented). Keyword defaults: ``start=0``,
@@ -443,6 +453,7 @@ def track(
             subpixel=subpixel,
             decode_workers=decode_workers,
             progress=progress,
+            input_fps=input_fps,
         )
 
     start = 0.0 if start is None else float(start)
@@ -469,6 +480,7 @@ def track(
             subpixel=subpixel,
             decode_workers=decode_workers,
             progress=progress,
+            input_fps=input_fps,
         )
 
 
@@ -494,6 +506,7 @@ def _track_many(
     subpixel,
     decode_workers=None,
     progress=None,
+    input_fps=None,
 ):
     """Segmented videos: chain each segment's start from the previous
     segment's final position (reference: src/PawsomeTracker.jl:181-214)."""
@@ -549,6 +562,7 @@ def _track_many(
                 subpixel=subpixel,
                 decode_workers=decode_workers,
                 progress=progress,
+                input_fps=input_fps,
             )
             tss.append(ts_i)
             ijs.append(ij_i)

@@ -70,8 +70,14 @@ def track_batch(
     subpixel: bool = False,
     decode_workers: int | None = None,
     progress=None,
+    input_fps: float | None = None,
 ):
     """Track one target in each of ``files`` concurrently on the device.
+
+    Entries of ``files`` may be in-memory uint8 frame arrays ``[T, H, W]`` /
+    ``[T, H, W, 3]`` (see :func:`.api.track`), mixed freely with paths;
+    ``input_fps`` states the arrays' native rate (default: already at
+    ``fps``).
 
     Unlike ``track(list)`` (consecutive segments of ONE recording, reference:
     src/PawsomeTracker.jl:176-214), every file here is an independent video.
@@ -159,6 +165,7 @@ def track_batch(
             subpixel=subpixel,
             decode_workers=decode_workers,
             progress=bucket_cb,
+            input_fps=input_fps,
         )
         for i, r in zip(idxs, sub):
             results[i] = r
@@ -189,6 +196,7 @@ def _track_batch_uniform(
     subpixel: bool = False,
     decode_workers: int | None = None,
     progress=None,
+    input_fps: float | None = None,
 ):
     """One-bucket core of :func:`track_batch`: all videos share a resolution
     and tracker configuration."""
@@ -236,7 +244,8 @@ def _track_batch_uniform(
         for f, t0, t1 in zip(files, starts, stops):
             sources.append(
                 open_source(f, start=t0, stop=t1, fps=fps, backend=backend,
-                            prefetch=ring, workers=decode_workers)
+                            prefetch=ring, workers=decode_workers,
+                            input_fps=input_fps)
             )
 
         shapes = {s.info.frame_shape for s in sources}

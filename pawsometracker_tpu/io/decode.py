@@ -49,6 +49,7 @@ __all__ = [
     "VideoInfo",
     "probe",
     "OpenCVFrameSource",
+    "ArrayFrameSource",
     "open_source",
     "ChunkPrefetcher",
     "fps_slot",
@@ -87,9 +88,16 @@ def _info_from_cap(cv2, cap) -> VideoInfo:
     return VideoInfo(width=width, height=height, fps=fps, sar=sar, frame_count=max(count, 0))
 
 
-def probe(path: str) -> VideoInfo:
+def probe(path) -> VideoInfo:
     """Probe stream geometry + SAR (analog of VideoIO ``aspect_ratio``,
-    reference: src/PawsomeTracker.jl:79-84)."""
+    reference: src/PawsomeTracker.jl:79-84). For an in-memory frame array the
+    geometry comes from its shape (``fps=0.0`` — the native rate is the
+    caller's ``input_fps``, unknown here; square pixels)."""
+    if isinstance(path, np.ndarray):
+        if path.ndim not in (3, 4) or path.shape[0] == 0:
+            raise ValueError(f"frame array must be [T, H, W](, 3), got shape {path.shape}")
+        return VideoInfo(width=path.shape[2], height=path.shape[1], fps=0.0,
+                         sar=1.0, frame_count=path.shape[0])
     cv2 = _cv2()
     cap = cv2.VideoCapture(str(path))
     if not cap.isOpened():
@@ -112,95 +120,21 @@ def fps_slot(t, fps) -> int:
     return int(math.floor(x + Fraction(1, 2))) if x >= 0 else -int(math.floor(-x + Fraction(1, 2)))
 
 
-class OpenCVFrameSource:
-    """Iterates fps-resampled GRAY8 frames of ``path`` over ``[start, stop)``.
+class _ResamplingSource:
+    """Shared ffmpeg-``fps``-filter resampler over a backend ``_next_input``.
 
-    Mirrors the reference decode pipeline semantics: seek to ``start``, clamp
-    duration to ``stop - start``, resample to ``fps``
-    (reference: src/PawsomeTracker.jl:155).
+    Subclasses provide decode (``_next_input() -> (gray, t') | None``) plus the
+    attributes ``fps``, ``duration``, ``_fps_frac`` and ``info``; this base
+    turns the input timeline into the output slot grid (module docstring) via
+    :meth:`read`/:meth:`read_chunk`.
     """
 
-    def __init__(self, path: str, *, start: float = 0.0, stop: float = math.inf, fps: float = 24.0):
-        cv2 = _cv2()
-        self.path = str(path)
-        self.start = float(start)
-        self.stop = float(stop)
-        self.fps = float(fps)
-        self.duration = self.stop - self.start
-        self.cap = cv2.VideoCapture(self.path)
-        if not self.cap.isOpened():
-            raise IOError(f"could not open video: {self.path}")
-        # read props off the already-open capture: probe(path) would open and
-        # demux the same file a second time per source (costly in batch mode)
-        self.info = _info_from_cap(cv2, self.cap)
-        self._cv2_mod = cv2
-        self._native_fps = float(self.cap.get(cv2.CAP_PROP_FPS)) or 24.0
-        # exact rationals for slot assignment (see fps_slot)
-        self._native_frac = Fraction(self._native_fps).limit_denominator(1001000)
-        self._fps_frac = Fraction(self.fps).limit_denominator(1001000)
-        self._start_frac = Fraction(self.start).limit_denominator(1001000)
-        self._in_idx = 0  # next input frame index (in native timeline)
-        if self.start > 0:
-            # coarse container seek, then decode-and-discard up to `start`
-            # (ffmpeg's accurate -ss behavior)
-            self.cap.set(cv2.CAP_PROP_POS_MSEC, max(0.0, (self.start - 2.0) * 1000.0))
-            landed = self.cap.get(cv2.CAP_PROP_POS_FRAMES)
-            self._in_idx = int(landed) if landed and landed > 0 else 0
+    def _init_resampler_state(self):
         # resampler state: the pending (frame, slot) not yet emitted
         self._pending: tuple[np.ndarray, int] | None = None
         self._emit_slot = 0  # next output slot to produce
         self._flushed = False
         self._prev_gray: np.ndarray | None = None
-        self._pts_mode = False  # sticky: container pts proved non-CFR
-
-    # -- raw decode ---------------------------------------------------------
-    def _next_input(self):
-        """Next decoded gray frame at shifted time ``t' = t - start``, skipping
-        pre-start frames; returns (gray, t') or None at EOF / past duration."""
-        cv2 = self._cv2_mod
-        while True:
-            ok, frame = self.cap.read()
-            if not ok:
-                return None
-            t_count = Fraction(self._in_idx) / self._native_frac
-            self._in_idx += 1
-            msec = float(self.cap.get(cv2.CAP_PROP_POS_MSEC) or 0.0)
-            if msec > 0:
-                t_pts = Fraction(round(msec * 1000), 1000000)
-                if not self._pts_mode and (
-                    abs(t_pts - t_count) * self._native_frac > Fraction(1, 2)
-                ):
-                    # PTS-true decode: the container pts disagrees with the
-                    # constant-frame-rate counter — VFR content; trust pts
-                    # from here on (sticky so the timeline stays consistent)
-                    self._pts_mode = True
-                    # the OpenCV backend is BEST-EFFORT on VFR content:
-                    # cv2's demux layer can duplicate/drop frames around
-                    # irregular timestamps, so frame selection may diverge
-                    # from ffmpeg `-vf fps` semantics. The native libav
-                    # decoder is authoritative — tell the user once.
-                    logger.warning(
-                        "%s: variable-frame-rate timestamps detected; the "
-                        "OpenCV fallback decoder is best-effort on VFR "
-                        "content and may select different frames than "
-                        "ffmpeg's fps filter. Build the native libav "
-                        "backend (pawsometracker_tpu/io/native) for exact "
-                        "VFR frame selection.",
-                        self.path,
-                    )
-                t = t_pts if self._pts_mode else t_count
-            else:
-                t = t_count
-            tp = t - self._start_frac
-            if tp < Fraction(-1, 2) / self._native_frac:
-                continue  # still before start: decode-and-discard
-            if float(tp) >= self.duration:
-                return None
-            if frame.ndim == 3:
-                gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
-            else:
-                gray = frame
-            return gray, tp
 
     # -- fps-filter resampling ---------------------------------------------
     def read(self) -> np.ndarray | None:
@@ -264,7 +198,7 @@ class OpenCVFrameSource:
         return out[:k]
 
     def close(self):
-        self.cap.release()
+        pass
 
     def __enter__(self):
         return self
@@ -273,8 +207,168 @@ class OpenCVFrameSource:
         self.close()
 
 
+class OpenCVFrameSource(_ResamplingSource):
+    """Iterates fps-resampled GRAY8 frames of ``path`` over ``[start, stop)``.
+
+    Mirrors the reference decode pipeline semantics: seek to ``start``, clamp
+    duration to ``stop - start``, resample to ``fps``
+    (reference: src/PawsomeTracker.jl:155).
+    """
+
+    def __init__(self, path: str, *, start: float = 0.0, stop: float = math.inf, fps: float = 24.0):
+        cv2 = _cv2()
+        self.path = str(path)
+        self.start = float(start)
+        self.stop = float(stop)
+        self.fps = float(fps)
+        self.duration = self.stop - self.start
+        self.cap = cv2.VideoCapture(self.path)
+        if not self.cap.isOpened():
+            raise IOError(f"could not open video: {self.path}")
+        # read props off the already-open capture: probe(path) would open and
+        # demux the same file a second time per source (costly in batch mode)
+        self.info = _info_from_cap(cv2, self.cap)
+        self._cv2_mod = cv2
+        self._native_fps = float(self.cap.get(cv2.CAP_PROP_FPS)) or 24.0
+        # exact rationals for slot assignment (see fps_slot)
+        self._native_frac = Fraction(self._native_fps).limit_denominator(1001000)
+        self._fps_frac = Fraction(self.fps).limit_denominator(1001000)
+        self._start_frac = Fraction(self.start).limit_denominator(1001000)
+        self._in_idx = 0  # next input frame index (in native timeline)
+        if self.start > 0:
+            # coarse container seek, then decode-and-discard up to `start`
+            # (ffmpeg's accurate -ss behavior)
+            self.cap.set(cv2.CAP_PROP_POS_MSEC, max(0.0, (self.start - 2.0) * 1000.0))
+            landed = self.cap.get(cv2.CAP_PROP_POS_FRAMES)
+            self._in_idx = int(landed) if landed and landed > 0 else 0
+        self._init_resampler_state()
+        self._pts_mode = False  # sticky: container pts proved non-CFR
+
+    # -- raw decode ---------------------------------------------------------
+    def _next_input(self):
+        """Next decoded gray frame at shifted time ``t' = t - start``, skipping
+        pre-start frames; returns (gray, t') or None at EOF / past duration."""
+        cv2 = self._cv2_mod
+        while True:
+            ok, frame = self.cap.read()
+            if not ok:
+                return None
+            t_count = Fraction(self._in_idx) / self._native_frac
+            self._in_idx += 1
+            msec = float(self.cap.get(cv2.CAP_PROP_POS_MSEC) or 0.0)
+            if msec > 0:
+                t_pts = Fraction(round(msec * 1000), 1000000)
+                if not self._pts_mode and (
+                    abs(t_pts - t_count) * self._native_frac > Fraction(1, 2)
+                ):
+                    # PTS-true decode: the container pts disagrees with the
+                    # constant-frame-rate counter — VFR content; trust pts
+                    # from here on (sticky so the timeline stays consistent)
+                    self._pts_mode = True
+                    # the OpenCV backend is BEST-EFFORT on VFR content:
+                    # cv2's demux layer can duplicate/drop frames around
+                    # irregular timestamps, so frame selection may diverge
+                    # from ffmpeg `-vf fps` semantics. The native libav
+                    # decoder is authoritative — tell the user once.
+                    logger.warning(
+                        "%s: variable-frame-rate timestamps detected; the "
+                        "OpenCV fallback decoder is best-effort on VFR "
+                        "content and may select different frames than "
+                        "ffmpeg's fps filter. Build the native libav "
+                        "backend (pawsometracker_tpu/io/native) for exact "
+                        "VFR frame selection.",
+                        self.path,
+                    )
+                t = t_pts if self._pts_mode else t_count
+            else:
+                t = t_count
+            tp = t - self._start_frac
+            if tp < Fraction(-1, 2) / self._native_frac:
+                continue  # still before start: decode-and-discard
+            if float(tp) >= self.duration:
+                return None
+            if frame.ndim == 3:
+                gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+            else:
+                gray = frame
+            return gray, tp
+
+    def close(self):
+        self.cap.release()
+
+
+def _rgb_to_gray_u8(rgb: np.ndarray) -> np.ndarray:
+    """BT.601 luma of channels-last RGB uint8 (integer arithmetic, round-half-up
+    like swscale/cv2's fixed-point path)."""
+    r = rgb[..., 0].astype(np.uint32)
+    g = rgb[..., 1].astype(np.uint32)
+    b = rgb[..., 2].astype(np.uint32)
+    return ((r * 4899 + g * 9617 + b * 1868 + 8192) >> 14).astype(np.uint8)
+
+
+class ArrayFrameSource(_ResamplingSource):
+    """In-memory frames ``[T, H, W]`` (GRAY8) or ``[T, H, W, 3]`` (RGB) uint8
+    as a frame source — for recordings that never were video files (HDF5/zarr
+    datasets, TIFF stacks, camera SDKs).
+
+    The array's native timeline is ``k / input_fps`` and the same exact
+    fps-filter resampling as the file backends maps it onto the requested
+    output ``fps`` grid; ``input_fps=None`` means the frames are already
+    sampled at ``fps`` (pure passthrough apart from ``start``/``stop``
+    clamping). RGB input is reduced to BT.601 luma; ``sar`` defaults to the
+    square pixels an array implies.
+    """
+
+    def __init__(self, frames, *, start: float = 0.0, stop: float = math.inf,
+                 fps: float = 24.0, input_fps: float | None = None, sar: float = 1.0):
+        frames = np.asarray(frames)
+        if frames.dtype != np.uint8:
+            raise TypeError(f"frame array must be uint8, got {frames.dtype}")
+        if frames.ndim == 4 and frames.shape[-1] == 1:
+            frames = frames[..., 0]
+        if frames.ndim not in (3, 4) or (frames.ndim == 4 and frames.shape[-1] != 3):
+            raise ValueError(
+                "frame array must be [T, H, W] gray or [T, H, W, 3] RGB, got "
+                f"shape {frames.shape}"
+            )
+        if frames.shape[0] == 0:
+            raise ValueError("empty frame array")
+        self.frames = frames
+        self.start = float(start)
+        self.stop = float(stop)
+        self.fps = float(fps)
+        self.duration = self.stop - self.start
+        in_fps = self.fps if input_fps is None else float(input_fps)
+        if in_fps <= 0:
+            raise ValueError(f"input_fps must be > 0, got {input_fps}")
+        t_total, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+        self.info = VideoInfo(width=w, height=h, fps=in_fps, sar=float(sar),
+                              frame_count=t_total)
+        self._native_frac = Fraction(in_fps).limit_denominator(1001000)
+        self._fps_frac = Fraction(self.fps).limit_denominator(1001000)
+        self._start_frac = Fraction(self.start).limit_denominator(1001000)
+        self._in_idx = 0
+        self._init_resampler_state()
+
+    def _next_input(self):
+        while self._in_idx < self.frames.shape[0]:
+            idx = self._in_idx
+            self._in_idx += 1
+            t = Fraction(idx) / self._native_frac
+            tp = t - self._start_frac
+            if tp < Fraction(-1, 2) / self._native_frac:
+                continue  # still before start (same keep window as the decoders)
+            if float(tp) >= self.duration:
+                return None
+            f = self.frames[idx]
+            if f.ndim == 3:
+                f = _rgb_to_gray_u8(f)
+            return f, tp
+        return None
+
+
 def open_source(
-    path: str,
+    path,
     *,
     start: float = 0.0,
     stop: float = math.inf,
@@ -282,8 +376,14 @@ def open_source(
     backend: str = "auto",
     prefetch: int | None = None,
     workers: int | None = None,
+    input_fps: float | None = None,
 ):
     """Open a frame source, preferring the native libav decoder when built.
+
+    ``path`` may also be an in-memory uint8 frame array ``[T, H, W]`` (or RGB
+    ``[T, H, W, 3]``) — see :class:`ArrayFrameSource`; ``input_fps`` states
+    that array's native rate (default: already at ``fps``), and the
+    backend/worker knobs don't apply.
     ``prefetch`` sizes the native decode-ahead ring (frames); the speculative
     ROI pipeline needs it large enough to also RETAIN its in-flight chunks.
 
@@ -293,6 +393,9 @@ def open_source(
     hosts (see :mod:`.parallel_decode`). The parallel source serves full
     frames only (no C++ retained-crop ring), so it suits decode-bound
     workloads; single-worker sources keep the in-ring ROI fast path."""
+    if isinstance(path, np.ndarray):
+        return ArrayFrameSource(path, start=start, stop=stop, fps=fps,
+                                input_fps=input_fps)
     if workers is None:
         try:
             workers = int(os.environ.get("PAWSIO_DECODE_WORKERS", "1"))

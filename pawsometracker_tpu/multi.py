@@ -51,8 +51,13 @@ def track_multi(
     decode_workers: int | None = None,
     diagnostic_file: str | None = None,
     progress=None,
+    input_fps: float | None = None,
 ):
     """Track N targets in one video.
+
+    ``file`` may be an in-memory uint8 frame array ``[T, H, W]`` or
+    ``[T, H, W, 3]`` (see :func:`.api.track`); ``input_fps`` states the
+    array's native rate (default: already at ``fps``).
 
     Each entry of ``start_locations`` is an ``IJ`` or display ``(x, y)``.
     Alternatively pass ``start_locations=None`` with ``n_targets=N`` to
@@ -135,7 +140,7 @@ def track_multi(
 
     src = open_source(
         file, start=start, stop=stop, fps=fps, backend=backend, prefetch=ring,
-        workers=decode_workers,
+        workers=decode_workers, input_fps=input_fps,
     )
     prefetchers = []  # joined in finally BEFORE src.close()
     dia = None  # created INSIDE the try so the encoder can't leak if

@@ -1,0 +1,156 @@
+"""In-memory frame-array input: ``track``/``track_multi``/``track_batch`` on
+``[T, H, W]`` (gray) / ``[T, H, W, 3]`` (RGB) uint8 ndarrays.
+
+The contract under test: tracking an array is BIT-EQUAL to tracking the same
+frames read back from a losslessly encoded (FFV1) file — the array source
+(`io.decode.ArrayFrameSource`) shares the exact fps-filter resampler with the
+file backends, so positions, timestamps, and truncation semantics all match.
+This input kind has no reference counterpart (the reference takes file paths
+only, src/PawsomeTracker.jl:130-146); the tracking semantics it must preserve
+are the reference's.
+"""
+
+import numpy as np
+import pytest
+
+from pawsometracker_tpu import IJ, track, track_batch, track_multi
+from pawsometracker_tpu.io.decode import ArrayFrameSource, open_source
+
+import helpers
+
+
+def _spiral_frames(h=100, w=100, fps=24, seconds=3.0, start_ij=(50, 50), tw=10,
+                   darker=True, seed=0):
+    rng = np.random.default_rng(seed)
+    r = 0.8 * min(start_ij[0], start_ij[1], h - 1 - start_ij[0], w - 1 - start_ij[1])
+    _, tra = helpers.build_trajectory(r, fps, start_ij, rng, seconds=seconds)
+    frames = np.stack([helpers.render_frame(h, w, ij, tw, darker) for ij in tra])
+    return frames, np.asarray(tra, float)
+
+
+def test_track_array_matches_file(tmp_path):
+    frames, truth = _spiral_frames()
+    path = helpers.write_video(list(frames), str(tmp_path / "clip"), 24)
+    kw = dict(start_location=IJ(50, 50), target_width=10)
+    ts_a, ij_a = track(frames, **kw)
+    ts_f, ij_f = track(path, **kw)
+    np.testing.assert_array_equal(ij_a, ij_f)
+    np.testing.assert_allclose(ts_a, ts_f)
+    rmse = float(np.sqrt(np.mean(np.sum((ij_a - truth[: len(ij_a)]) ** 2, axis=1))))
+    assert rmse < 1.0
+
+
+def test_track_array_autodetect_rmse(tmp_path):
+    frames, truth = _spiral_frames()
+    ts, ij = track(frames, target_width=10)  # start_location=None: auto-detect
+    rmse = float(np.sqrt(np.mean(np.sum((ij - truth[: len(ij)]) ** 2, axis=1))))
+    assert rmse < 1.0
+
+
+def test_input_fps_resampling_matches_file(tmp_path):
+    # frames at a 48 fps native rate, tracked on the 24 fps output grid: the
+    # array source must select the same frames as the file backends' fps filter
+    frames, _ = _spiral_frames(fps=48, seconds=2.0)
+    path = helpers.write_video(list(frames), str(tmp_path / "clip48"), 48)
+    kw = dict(start_location=IJ(50, 50), target_width=10, fps=24)
+    ts_a, ij_a = track(frames, input_fps=48, **kw)
+    ts_f, ij_f = track(path, **kw)
+    assert len(ij_a) == len(ij_f)
+    np.testing.assert_array_equal(ij_a, ij_f)
+
+
+def test_rgb_array_matches_gray():
+    frames, _ = _spiral_frames(seconds=1.5)
+    rgb = np.repeat(frames[..., None], 3, axis=-1)
+    kw = dict(start_location=IJ(50, 50), target_width=10)
+    _, ij_g = track(frames, **kw)
+    _, ij_c = track(rgb, **kw)
+    # equal channels -> BT.601 luma is the gray value exactly
+    np.testing.assert_array_equal(ij_g, ij_c)
+
+
+def test_start_stop_subrange_matches_file(tmp_path):
+    frames, _ = _spiral_frames()
+    path = helpers.write_video(list(frames), str(tmp_path / "clip"), 24)
+    kw = dict(start_location=IJ(50, 50), target_width=10, start=1.0, stop=2.5)
+    ts_a, ij_a = track(frames, **kw)
+    ts_f, ij_f = track(path, **kw)
+    np.testing.assert_array_equal(ij_a, ij_f)
+    np.testing.assert_allclose(ts_a, ts_f)
+
+
+def test_segment_list_of_arrays_matches_files(tmp_path):
+    frames, _ = _spiral_frames()
+    segs = helpers.partition(list(frames), 2)
+    paths = [
+        helpers.write_video(s, str(tmp_path / f"seg{k}"), 24)
+        for k, s in enumerate(segs)
+    ]
+    kw = dict(start_location=IJ(50, 50), target_width=10)
+    ts_a, ij_a = track([np.stack(s) for s in segs], **kw)
+    ts_f, ij_f = track(paths, **kw)
+    np.testing.assert_array_equal(ij_a, ij_f)
+    np.testing.assert_allclose(ts_a, ts_f)
+
+
+def test_track_multi_array_matches_file(tmp_path):
+    # two independent blobs wobbling in place
+    h, w, tw = 100, 100, 9
+    rng = np.random.default_rng(3)
+    centers = [(30, 30), (70, 72)]
+    frames = []
+    for t in range(48):
+        img = np.full((h, w), 128, np.uint8)
+        for ci, cj in centers:
+            jit = rng.normal(0, 1.0, 2)
+            import cv2
+
+            cv2.circle(img, (int(cj + jit[1]), int(ci + jit[0])), tw // 2, 0, -1)
+        frames.append(img)
+    frames = np.stack(frames)
+    path = helpers.write_video(list(frames), str(tmp_path / "two"), 24)
+    locs = [IJ(30, 30), IJ(70, 72)]
+    ts_a, ij_a = track_multi(frames, locs, target_width=tw)
+    ts_f, ij_f = track_multi(path, locs, target_width=tw)
+    np.testing.assert_array_equal(ij_a, ij_f)
+
+
+def test_track_batch_mixed_paths_and_arrays(tmp_path):
+    frames, _ = _spiral_frames(seconds=1.5)
+    path = helpers.write_video(list(frames), str(tmp_path / "clip"), 24)
+    kw = dict(start_location=IJ(50, 50), target_width=10)
+    out = track_batch([path, frames], **kw)
+    ts_one, ij_one = track(frames, **kw)
+    for ts_i, ij_i in out:
+        np.testing.assert_array_equal(ij_i, ij_one)
+        np.testing.assert_allclose(ts_i, ts_one)
+
+
+def test_array_source_validation():
+    with pytest.raises(TypeError):
+        ArrayFrameSource(np.zeros((4, 8, 8), np.float32))
+    with pytest.raises(ValueError):
+        ArrayFrameSource(np.zeros((0, 8, 8), np.uint8))
+    with pytest.raises(ValueError):
+        ArrayFrameSource(np.zeros((4, 8, 8, 2), np.uint8))
+    with pytest.raises(ValueError):
+        ArrayFrameSource(np.zeros((4, 8, 8), np.uint8), input_fps=0)
+    with pytest.raises(ValueError):
+        track(np.zeros((4, 8), np.uint8))  # missing the T axis
+
+
+def test_single_channel_4d_accepted():
+    frames, _ = _spiral_frames(seconds=1.0)
+    _, ij_g = track(frames, start_location=IJ(50, 50), target_width=10)
+    _, ij_1 = track(frames[..., None], start_location=IJ(50, 50), target_width=10)
+    np.testing.assert_array_equal(ij_g, ij_1)
+
+
+def test_open_source_array_dispatch():
+    frames = np.random.default_rng(0).integers(0, 255, (6, 16, 20), np.uint8)
+    src = open_source(frames, fps=24.0)
+    assert isinstance(src, ArrayFrameSource)
+    chunk = src.read_chunk(10)
+    assert chunk.shape == (6, 16, 20)
+    np.testing.assert_array_equal(chunk, frames)
+    src.close()

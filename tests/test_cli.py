@@ -214,3 +214,36 @@ def test_cli_progress_flag(clip, tmp_path, capsys):
     cap = capsys.readouterr()
     assert "47/47 frames" in cap.err  # one stream: frames, not frames x N
     capsys.readouterr()
+
+
+def test_cli_npy_frame_stack_input(clip, tmp_path, capsys):
+    # a .npy frame stack tracks bit-equal to the encoded clip it came from
+    from pawsometracker_tpu.__main__ import main
+
+    f, tra = clip
+    frames = np.stack(
+        [helpers.render_frame(100, 100, ij, 10, True) for ij in tra]
+    )
+    npy = str(tmp_path / "frames.npy")
+    np.save(npy, frames)
+    base = ["--start-ij", "50", "50", "--target-width", "10", "--format", "json"]
+    assert main([f, *base]) == 0
+    from_file = json.loads(capsys.readouterr().out)
+    assert main([npy, *base]) == 0
+    from_npy = json.loads(capsys.readouterr().out)
+    assert from_npy["ij"] == from_file["ij"]
+
+    # .npz with a 'frames' key, plus --input-fps resampling runs end to end
+    npz = str(tmp_path / "frames.npz")
+    np.savez(npz, frames=frames)
+    assert main([npz, *base, "--input-fps", "48"]) == 0
+    halved = json.loads(capsys.readouterr().out)
+    # 48 frames at a 48 fps native rate cover slots 0..24 of the 24 fps output
+    # grid (last frame at t=47/48 s -> slot round(23.5) = 24): 25 frames out
+    assert len(halved["ij"]) == 25
+
+    # ambiguous .npz (two arrays, none named 'frames') fails loudly
+    bad = str(tmp_path / "bad.npz")
+    np.savez(bad, a=frames[:2], b=frames[:2])
+    assert main([bad, *base]) == 1
+    assert "frames" in capsys.readouterr().err
