@@ -88,9 +88,11 @@ def _load_input(path: str):
         return path
     import numpy as np
 
-    data = np.load(path)
     if low.endswith(".npy"):
-        return data
+        # memory-mapped: frames materialize one at a time in the source, so
+        # huge stacks track with bounded memory
+        return np.load(path, mmap_mode="r")
+    data = np.load(path)
     keys = list(data.files)
     if "frames" in keys:
         return data["frames"]

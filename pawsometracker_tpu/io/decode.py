@@ -93,11 +93,12 @@ def probe(path) -> VideoInfo:
     reference: src/PawsomeTracker.jl:79-84). For an in-memory frame array the
     geometry comes from its shape (``fps=0.0`` — the native rate is the
     caller's ``input_fps``, unknown here; square pixels)."""
-    if isinstance(path, np.ndarray):
-        if path.ndim not in (3, 4) or path.shape[0] == 0:
-            raise ValueError(f"frame array must be [T, H, W](, 3), got shape {path.shape}")
-        return VideoInfo(width=path.shape[2], height=path.shape[1], fps=0.0,
-                         sar=1.0, frame_count=path.shape[0])
+    if is_frame_stack(path):
+        shape = tuple(path.shape)
+        if shape[0] == 0:
+            raise ValueError(f"frame array must be [T, H, W](, 3), got shape {shape}")
+        return VideoInfo(width=shape[2], height=shape[1], fps=0.0,
+                         sar=1.0, frame_count=shape[0])
     cv2 = _cv2()
     cap = cv2.VideoCapture(str(path))
     if not cap.isOpened():
@@ -306,6 +307,20 @@ def _rgb_to_gray_u8(rgb: np.ndarray) -> np.ndarray:
     return ((r * 4899 + g * 9617 + b * 1868 + 8192) >> 14).astype(np.uint8)
 
 
+def is_frame_stack(obj) -> bool:
+    """True for anything that duck-types as a ``[T, H, W]``/``[T, H, W, C]``
+    frame stack: indexable with a 3-/4-D ``shape`` and a ``dtype`` — ndarrays,
+    ``np.memmap``, h5py/zarr datasets, jax arrays. Frames are materialized one
+    at a time (``obj[k]``), so lazy datasets stream with bounded memory."""
+    return (
+        not isinstance(obj, (str, bytes, os.PathLike))
+        and hasattr(obj, "shape")
+        and hasattr(obj, "dtype")
+        and hasattr(obj, "__getitem__")
+        and len(getattr(obj, "shape", ())) in (3, 4)
+    )
+
+
 class ArrayFrameSource(_ResamplingSource):
     """In-memory frames ``[T, H, W]`` (GRAY8) or ``[T, H, W, 3]`` (RGB) uint8
     as a frame source — for recordings that never were video files (HDF5/zarr
@@ -317,21 +332,25 @@ class ArrayFrameSource(_ResamplingSource):
     sampled at ``fps`` (pure passthrough apart from ``start``/``stop``
     clamping). RGB input is reduced to BT.601 luma; ``sar`` defaults to the
     square pixels an array implies.
+
+    ``frames`` may be any lazily-indexable stack (:func:`is_frame_stack`:
+    h5py/zarr datasets, ``np.memmap``); frames materialize ONE AT A TIME, so
+    an 8-hour dataset streams with the same bounded memory as a video file.
     """
 
     def __init__(self, frames, *, start: float = 0.0, stop: float = math.inf,
                  fps: float = 24.0, input_fps: float | None = None, sar: float = 1.0):
-        frames = np.asarray(frames)
-        if frames.dtype != np.uint8:
+        if not is_frame_stack(frames):
+            frames = np.asarray(frames)  # lists / sequences of frames
+        shape = tuple(frames.shape)
+        if np.dtype(frames.dtype) != np.uint8:
             raise TypeError(f"frame array must be uint8, got {frames.dtype}")
-        if frames.ndim == 4 and frames.shape[-1] == 1:
-            frames = frames[..., 0]
-        if frames.ndim not in (3, 4) or (frames.ndim == 4 and frames.shape[-1] != 3):
+        if len(shape) not in (3, 4) or (len(shape) == 4 and shape[-1] not in (1, 3)):
             raise ValueError(
-                "frame array must be [T, H, W] gray or [T, H, W, 3] RGB, got "
-                f"shape {frames.shape}"
+                "frame array must be [T, H, W] gray or [T, H, W, 1|3], got "
+                f"shape {shape}"
             )
-        if frames.shape[0] == 0:
+        if shape[0] == 0:
             raise ValueError("empty frame array")
         self.frames = frames
         self.start = float(start)
@@ -360,9 +379,9 @@ class ArrayFrameSource(_ResamplingSource):
                 continue  # still before start (same keep window as the decoders)
             if float(tp) >= self.duration:
                 return None
-            f = self.frames[idx]
+            f = np.asarray(self.frames[idx])  # ONE frame materializes
             if f.ndim == 3:
-                f = _rgb_to_gray_u8(f)
+                f = f[..., 0] if f.shape[-1] == 1 else _rgb_to_gray_u8(f)
             return f, tp
         return None
 
@@ -393,7 +412,9 @@ def open_source(
     hosts (see :mod:`.parallel_decode`). The parallel source serves full
     frames only (no C++ retained-crop ring), so it suits decode-bound
     workloads; single-worker sources keep the in-ring ROI fast path."""
-    if isinstance(path, np.ndarray):
+    if isinstance(path, np.ndarray) or is_frame_stack(path):
+        # any ndarray routes here so a wrong-shaped one gets the shape error,
+        # not a "could not open video" from the file backends
         return ArrayFrameSource(path, start=start, stop=stop, fps=fps,
                                 input_fps=input_fps)
     if workers is None:

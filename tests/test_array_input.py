@@ -154,3 +154,44 @@ def test_open_source_array_dispatch():
     assert chunk.shape == (6, 16, 20)
     np.testing.assert_array_equal(chunk, frames)
     src.close()
+
+
+class _LazyStack:
+    """Duck-typed frame stack (h5py/zarr-shaped): indexable, shape/dtype, and
+    NO bulk materialization — ``__array__`` raises to prove the source reads
+    one frame at a time."""
+
+    def __init__(self, arr):
+        self._arr = arr
+        self.shape = arr.shape
+        self.dtype = arr.dtype
+        self.reads = 0
+
+    def __getitem__(self, idx):
+        assert isinstance(idx, (int, np.integer)), f"non-scalar index {idx!r}"
+        self.reads += 1
+        return self._arr[idx]
+
+    def __array__(self, *a, **k):
+        raise AssertionError("lazy stack was bulk-materialized")
+
+
+def test_lazy_stack_streams_one_frame_at_a_time():
+    frames, _ = _spiral_frames(seconds=1.5)
+    lazy = _LazyStack(frames)
+    kw = dict(start_location=IJ(50, 50), target_width=10)
+    _, ij_eager = track(frames, **kw)
+    _, ij_lazy = track(lazy, **kw)
+    np.testing.assert_array_equal(ij_lazy, ij_eager)
+    assert lazy.reads == len(frames)  # each input frame read exactly once
+
+
+def test_memmap_npy_stack(tmp_path):
+    frames, _ = _spiral_frames(seconds=1.5)
+    npy = str(tmp_path / "stack.npy")
+    np.save(npy, frames)
+    mm = np.load(npy, mmap_mode="r")
+    kw = dict(start_location=IJ(50, 50), target_width=10)
+    _, ij_eager = track(frames, **kw)
+    _, ij_mm = track(mm, **kw)
+    np.testing.assert_array_equal(ij_mm, ij_eager)
