@@ -701,6 +701,35 @@ def _e2e_is_degraded(res: dict) -> bool:
     return bool(s) and s.get("max", 0) > 2.5 * max(s.get("min", 0), 1e-9)
 
 
+def _host_phase_note(fps_e2e: float, hostceil_fps: float) -> str | None:
+    """The hostceil and e2e stages run minutes apart and this shared-core
+    host's decode rate swings several-x between phases (see decode_spread):
+    a no-device ceiling measured in a slower host phase can sit below an e2e
+    measured in a faster one. The >100% efficiency value is kept (it is what
+    was measured) but must be named a phase artifact, not free device work."""
+    if not (fps_e2e and hostceil_fps) or fps_e2e <= hostceil_fps:
+        return None
+    return (
+        "e2e exceeded the no-device ceiling measured earlier: the hostceil "
+        "stage ran in a slower host phase (shared-core VM); treat efficiency "
+        "as ~100% and the ceiling as >= e2e_fps"
+    )
+
+
+def _roofline_phase_note(fps_e2e: float, binder: str, binder_fps: float) -> str | None:
+    """A binding ceiling below the achieved e2e means the ceiling stage and
+    the e2e stage saw different host phases — name that instead of shipping a
+    self-contradictory roofline."""
+    if not fps_e2e or binder_fps >= fps_e2e:
+        return None
+    return (
+        f"e2e ({fps_e2e:.1f} fps) exceeded the '{binder}' ceiling "
+        f"({binder_fps:.1f} fps) measured in a different (slower) host phase; "
+        "the binding resource is still the host decode core, but its rate at "
+        "e2e time was >= e2e_fps"
+    )
+
+
 def _e2e_attempts_consistent(attempts: list) -> bool:
     """True when >=2 clean attempts (no error flag, tight intra-stage spread)
     agree within 15% — the link's genuine steady state, not a phase artifact.
@@ -888,6 +917,9 @@ def main():
         detail["e2e_host_efficiency_pct"] = round(
             100.0 * fps_e2e / detail["hostceil_fps"], 1
         )
+        note = _host_phase_note(fps_e2e, detail["hostceil_fps"])
+        if note:
+            detail["e2e_host_efficiency_note"] = note
 
     # MFU / roofline summary (docs/performance.md explains the model): the
     # measured fps of each device stage times its analytic FLOPs-per-frame,
@@ -927,6 +959,9 @@ def main():
             "ceilings_fps": {k: round(v, 1) for k, v in ceilings.items() if v != float("inf")},
             "binds_e2e": binder,
         }
+        note = _roofline_phase_note(fps_e2e, binder, ceilings[binder])
+        if note:
+            detail["roofline"]["phase_note"] = note
     result = {
         "metric": "tracked frames/sec/chip, end-to-end 1080p (decode+track)",
         "value": fps_e2e,

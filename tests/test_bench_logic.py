@@ -244,3 +244,17 @@ def test_rerun_respects_deadline(bench, monkeypatch):
         bad, "/nonexistent", 1, deadline=bench.time.perf_counter() - 1.0
     )
     assert out["e2e_fps"] == 3.0 and "e2e_attempts" not in out
+
+
+def test_host_phase_note_only_when_e2e_exceeds_ceiling(bench):
+    assert bench._host_phase_note(314.6, 248.4) is not None
+    assert bench._host_phase_note(248.4, 314.6) is None
+    assert bench._host_phase_note(0.0, 100.0) is None
+    assert bench._host_phase_note(100.0, 0.0) is None
+
+
+def test_roofline_phase_note_names_the_binder(bench):
+    note = bench._roofline_phase_note(314.6, "host pipeline no-device ceiling", 248.4)
+    assert note is not None and "host pipeline no-device ceiling" in note
+    assert bench._roofline_phase_note(200.0, "x", 248.4) is None
+    assert bench._roofline_phase_note(0.0, "x", 1.0) is None
