@@ -129,6 +129,51 @@ def make_chained(scan_bounded):
 
 
 @functools.lru_cache(maxsize=256)
+def make_super_chain(scan_bounded, S: int, subpixel: bool):
+    """One jitted program that runs ``S`` consecutive bounded chunk scans,
+    chaining positions on device (``pos0(s) = out(s-1)[-1] + delta(s)``).
+
+    On a remote-attached TPU every jit call is a tunnel RPC; coalescing S
+    per-chunk dispatches into one program + one result fetch cuts the
+    per-chunk round-trip overhead ~S× (measured 1.4-1.7× e2e on the v5e
+    tunnel at S=4..8 with realistic decode gaps). The body is the SAME inner
+    scan the per-chunk path jits, composed the same way as
+    :func:`make_chained`, so positions are bit-identical — and the
+    containment validation + replay machinery never depends on dispatch
+    shape anyway."""
+    import jax
+    import jax.numpy as jnp
+
+    inner = getattr(scan_bounded, "__wrapped__", scan_bounded)
+
+    def sup(crops, prev_all, deltas, fill, los, his):
+        outs = []
+        p = prev_all[-1]
+        for s in range(S):
+            out = inner(crops[s], (p + deltas[s]).astype(jnp.int32), fill,
+                        los[s], his[s])
+            outs.append(out)
+            p = out[0][-1] if subpixel else out[-1]
+        return outs
+
+    return jax.jit(sup)
+
+
+class _GroupHandle:
+    """Per-chunk result handle for group dispatch: resolves to one slot of
+    the group task's result list once the group is flushed."""
+
+    __slots__ = ("fut", "idx")
+
+    def __init__(self):
+        self.fut = None
+        self.idx = 0
+
+    def result(self):
+        return self.fut.result()[self.idx]
+
+
+@functools.lru_cache(maxsize=256)
 def make_chained_batch(scan_bounded_batch):
     """Batched analog of :func:`make_chained` (same memoization rationale):
     ``prev_all`` is ``[B, K, 2]``, ``delta`` is ``[B, 2]``."""
@@ -465,7 +510,22 @@ class _SerialDispatcher:
 
 class _SingleEngine:
     """Lane adapter for L=1 over the UNBATCHED scans — keeps the measured
-    single-target engine (fused Pallas or XLA) byte-for-byte."""
+    single-target engine (fused Pallas or XLA) byte-for-byte.
+
+    **Group dispatch**: on a remote-attached TPU each jit call is a tunnel
+    RPC, and at the decode rates the native layer reaches the per-chunk
+    round trip is the residual bottleneck (hostceil bench stage). The engine
+    therefore STAGES dispatches and flushes ``group_target`` of them as ONE
+    jitted program (:func:`make_super_chain`) + one result fetch. Crop H2D
+    still starts at stage time (a transfer task per chunk on the FIFO
+    worker) so upload keeps overlapping decode. ``group_target`` starts at 1
+    and is grown by the controller when the lagged drain still blocks at max
+    depth; a mispredict replay resets it (staler aim buys only replays).
+    Results are bit-identical at every group size — same inner scan, same
+    chaining math — and the containment validation never depends on
+    dispatch shape. ``PAWS_DISPATCH_GROUP`` pins the size (debug/tests)."""
+
+    GROUP_MAX = 4
 
     def __init__(self, scan_first, scan_chain, crop_shape, frame_shape, fill, subpixel, timer):
         import jax.numpy as jnp
@@ -481,11 +541,28 @@ class _SingleEngine:
         self._disp = _SerialDispatcher()
         self._prev = None
         self._prev_origin = None
+        self._stage: list = []  # (xfer_future, origin, P0, handle), main thread only
+        self._chain_started = False
+        pin = os.environ.get("PAWS_DISPATCH_GROUP")
+        self._group_pinned = bool(pin) and pin != "0"
+        self.group_target = min(int(pin), self.GROUP_MAX) if self._group_pinned else 1
 
     def reset(self):
-        """Invalidate the on-device chain (EOF of a replayed span). Queued:
-        see :class:`_SerialDispatcher` on why a direct clear would race."""
+        """Invalidate the on-device chain (replay / run start). The stage
+        list is main-thread state (cleared here — the controller never
+        drains these handles again); the device-side clear is queued so a
+        stale in-flight task's ``_prev`` assignment cannot overwrite it."""
+        self._stage.clear()
+        self._chain_started = False
+        if not self._group_pinned:
+            self.group_target = 1
         self._disp.submit(self._reset_task)
+
+    def grow_group(self):
+        """Controller signal: the lagged drain still blocks at max pipeline
+        depth — coalesce more chunk dispatches per RPC."""
+        if not self._group_pinned and self.group_target < self.GROUP_MAX:
+            self.group_target += 1
 
     def _reset_task(self):
         self._prev = None
@@ -493,24 +570,34 @@ class _SingleEngine:
 
     def dispatch(self, buf, origins, P_abs):
         # copy everything the controller mutates after dispatch (P_abs is
-        # the live self.P; origins is fresh per iteration but cheap to pin)
-        return self._disp.submit(
-            self._dispatch_task, buf, origins[0].copy(), P_abs[0].copy()
-        )
+        # the live self.P; origins is fresh per iteration but cheap to pin);
+        # start the H2D now so upload overlaps the next chunk's decode
+        xfut = self._disp.submit(self._jnp.asarray, buf[0])
+        h = _GroupHandle()
+        self._stage.append((xfut, origins[0].copy(), P_abs[0].copy(), h))
+        # the first dispatch of a chain flushes alone: the group program
+        # assumes an existing on-device chain (scan_first handles pos0)
+        if len(self._stage) >= self.group_target or not self._chain_started:
+            self._flush()
+        self._chain_started = True
+        return h
 
-    def _dispatch_task(self, buf, o, P0):
-        jnp = self._jnp
+    def _flush(self):
+        if not self._stage:
+            return
+        entries, self._stage = self._stage, []
+        fut = self._disp.submit(self._group_task, entries)
+        for i, (_, _, _, h) in enumerate(entries):
+            h.fut, h.idx = fut, i
+
+    def _bounds(self, o):
         lo = np.maximum([-o[0], -o[1]], 0).astype(np.int32)
         hi = np.minimum(
             [self.ch - 1, self.cw - 1], [self.H - 1 - o[0], self.W - 1 - o[1]]
         ).astype(np.int32)
-        with self.timer.section("device"):
-            if self._prev is None:
-                pos_rel = jnp.asarray((P0 - o).astype(np.int32))
-                out = self.scan_first(buf[0], pos_rel, self.fill_dev, lo, hi)
-            else:
-                delta = (self._prev_origin - o).astype(np.int32)
-                out = self.scan_chain(buf[0], self._prev, delta, self.fill_dev, lo, hi)
+        return lo, hi
+
+    def _finish(self, out, o):
         if self.subpixel:
             pos, off = out
             _to_host_async(pos, off)
@@ -520,7 +607,48 @@ class _SingleEngine:
         self._prev, self._prev_origin = pos, o
         return (pos, off)
 
+    def _group_task(self, entries):
+        jnp = self._jnp
+        results = [None] * len(entries)
+        i = 0
+        if self._prev is None:
+            xfut, o, P0, _ = entries[0]
+            lo, hi = self._bounds(o)
+            pos_rel = jnp.asarray((P0 - o).astype(np.int32))
+            with self.timer.section("device"):
+                out = self.scan_first(xfut.result(), pos_rel, self.fill_dev, lo, hi)
+            results[0] = self._finish(out, o)
+            i = 1
+        rest = entries[i:]
+        if len(rest) == 1:
+            xfut, o, _, _ = rest[0]
+            lo, hi = self._bounds(o)
+            delta = (self._prev_origin - o).astype(np.int32)
+            with self.timer.section("device"):
+                out = self.scan_chain(xfut.result(), self._prev, delta,
+                                      self.fill_dev, lo, hi)
+            results[i] = self._finish(out, o)
+        elif rest:
+            S = len(rest)
+            sup = make_super_chain(self.scan_first, S, self.subpixel)
+            origins = [e[1] for e in rest]
+            prev_o = [self._prev_origin] + origins[:-1]
+            deltas = np.stack(
+                [prev_o[s] - origins[s] for s in range(S)]
+            ).astype(np.int32)
+            bounds = [self._bounds(o) for o in origins]
+            los = np.stack([b[0] for b in bounds])
+            his = np.stack([b[1] for b in bounds])
+            crops = tuple(e[0].result() for e in rest)
+            with self.timer.section("device"):
+                outs = sup(crops, self._prev, deltas, self.fill_dev, los, his)
+            for s, out in enumerate(outs):
+                results[i + s] = self._finish(out, origins[s])
+        return results
+
     def to_host(self, handle):
+        if handle.fut is None:
+            self._flush()  # drained before its group filled: flush partial
         pos, off = handle.result()
         pos_np = np.asarray(pos)[None]  # [1, K, 2]
         off_np = None if off is None else np.asarray(off)[None]
@@ -553,6 +681,10 @@ class _BatchedEngine:
 
     def reset(self):
         self._disp.submit(self._reset_task)
+
+    def grow_group(self):
+        """Group dispatch not implemented for the batched engine (the batch
+        axis already amortizes the per-RPC cost L×)."""
 
     def _reset_task(self):
         self._prev = None
@@ -1003,10 +1135,17 @@ class SpeculativePipeline:
             t0 = time.perf_counter()
             pos_np, off_np = self.engine.to_host(handle)
             blocked = time.perf_counter() - t0
-        if self.auto_depth and blocked > AUTO_DRAIN_BLOCK_S and self.depth_cur < self.depth_max:
-            # the lagged download still blocked: the pipeline isn't deep
-            # enough to hide the round trip — add a chunk of slack
-            self.depth_cur += 1
+        if self.auto_depth and blocked > AUTO_DRAIN_BLOCK_S:
+            if self.depth_cur < self.depth_max:
+                # the lagged download still blocked: the pipeline isn't deep
+                # enough to hide the round trip — add a chunk of slack
+                self.depth_cur += 1
+            else:
+                # depth exhausted and the drain STILL blocks: the per-chunk
+                # RPC round trip itself is the residual — coalesce dispatches
+                grow = getattr(self.engine, "grow_group", None)  # duck-typed
+                if grow is not None:
+                    grow()
         if self.mode == "predict" and not self._contained(pos_np, origins, valid):
             self._replay([entry] + list(self._pending))
             self._pending.clear()

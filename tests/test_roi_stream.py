@@ -337,6 +337,97 @@ def test_serial_dispatcher_fifo_and_sync_fallback(monkeypatch):
     d2.close()
 
 
+@pytest.mark.parametrize("group", [2, 4])
+def test_roi_group_dispatch_matches_full(tmp_path, monkeypatch, group):
+    """Group dispatch (S chunk scans coalesced into one jitted program) must
+    be bit-identical to full-frame streaming for any followable motion —
+    near-radius random steps maximize both prediction error and the chance
+    that a wrong chain would show."""
+    import cv2
+
+    rng = np.random.default_rng(300 + group)
+    h, w, T = 160, 160, 44
+    ij = np.array([80, 80])
+    frames = []
+    for t in range(T):
+        step = rng.integers(-9, 10, size=2)
+        ij = np.clip(ij + step, 6, [h - 7, w - 7])
+        img = np.full((h, w), 128, np.uint8)
+        cv2.circle(img, (int(ij[1]), int(ij[0])), 4, 0, -1)
+        frames.append(img)
+    f = helpers.write_video(frames, str(tmp_path / "walk"), 24)
+    kw = dict(fps=24, start_location=IJ(80, 80), target_width=8, window_size=21)
+    _, ij_full = track(f, stream="full", **kw)
+    _, ij_sub = track(f, stream="roi", roi_frames=4, pipeline_depth=0,
+                      subpixel=True, **kw)
+    monkeypatch.setenv("PAWS_DISPATCH_GROUP", str(group))
+    _, ij_grp = track(f, stream="roi", roi_frames=4, pipeline_depth=3, **kw)
+    np.testing.assert_array_equal(ij_grp, ij_full)
+    # subpixel grouping chains through the (pos, off) pytree
+    _, ij_gsub = track(f, stream="roi", roi_frames=4, pipeline_depth=3,
+                       subpixel=True, **kw)
+    np.testing.assert_array_equal(ij_gsub, ij_sub)
+
+
+def test_roi_group_dispatch_replay_identical(tmp_path, monkeypatch):
+    """Velocity-defeating motion under forced group dispatch: the mispredict
+    replay must reset the chain/stage correctly and stay identical."""
+    import cv2
+
+    from pawsometracker_tpu import pipeline
+
+    h, w, T = 200, 200, 48
+    frames = []
+    for t in range(T):
+        ph = t % 12
+        tri = 12 * ph if ph < 6 else 12 * (12 - ph)
+        img = np.full((h, w), 128, np.uint8)
+        cv2.circle(img, (100, 60 + tri), 5, 0, -1)
+        frames.append(img)
+    f = helpers.write_video(frames, str(tmp_path / "jump"), 24)
+    kw = dict(fps=24, start_location=IJ(60, 100), target_width=10, window_size=31)
+    _, ij_full = track(f, stream="full", **kw)
+    monkeypatch.setenv("PAWS_DISPATCH_GROUP", "3")
+    before = pipeline.replay_count
+    _, ij_grp = track(f, stream="roi", roi_frames=4, pipeline_depth="auto", **kw)
+    np.testing.assert_array_equal(ij_grp, ij_full)
+    assert pipeline.replay_count > before
+
+
+def test_group_target_adaptation(monkeypatch):
+    """grow_group raises the coalescing target (capped), reset drops it back
+    to 1 and restarts the chain; a pinned PAWS_DISPATCH_GROUP disables both."""
+    from pawsometracker_tpu.models.dog_tracker import make_spec, tracker_fns
+    from pawsometracker_tpu.pipeline import _SingleEngine, make_chained
+
+    class _T:
+        def section(self, _):
+            import contextlib
+
+            return contextlib.nullcontext()
+
+    spec = make_spec((61, 61), 21, 10, True)
+    base = tracker_fns(spec).scan_bounded
+    eng = _SingleEngine(base, make_chained(base), (61, 61), (200, 200), 128,
+                        False, _T())
+    assert eng.group_target == 1
+    for _ in range(10):
+        eng.grow_group()
+    assert eng.group_target == _SingleEngine.GROUP_MAX
+    eng.reset()
+    assert eng.group_target == 1 and not eng._chain_started
+    eng.close()
+
+    monkeypatch.setenv("PAWS_DISPATCH_GROUP", "2")
+    eng2 = _SingleEngine(base, make_chained(base), (61, 61), (200, 200), 128,
+                         False, _T())
+    assert eng2.group_target == 2
+    eng2.grow_group()
+    eng2.reset()
+    assert eng2.group_target == 2  # pinned: adaptation disabled
+    eng2.close()
+
+
 def test_roi_async_equals_sync_dispatch(tmp_path, monkeypatch):
     """track() results must be bit-identical with the dispatch worker on
     (default) and off (PAWS_SYNC_DISPATCH=1) — including across a replay."""
