@@ -32,6 +32,10 @@ CONFIGS = [
     ("predict_d3_k16", {"pipeline_depth": 3, "roi_frames": 16, "speculate": "predict"}),
     ("predict_d5_k8", {"pipeline_depth": 5, "roi_frames": 8, "speculate": "predict"}),
     ("predict_d5_k16", {"pipeline_depth": 5, "roi_frames": 16, "speculate": "predict"}),
+    # A/B of RPC-coalescing group dispatch (S chunk scans in one jitted
+    # program per tunnel round trip) vs per-chunk dispatch — same results
+    ("auto_group1", {"_env": {"PAWS_DISPATCH_GROUP": "1"}}),
+    ("auto_group4", {"_env": {"PAWS_DISPATCH_GROUP": "4"}}),
 ]
 TIMEOUT = 600
 RETRIES = 3
