@@ -203,6 +203,22 @@ def fuzz_params(seeds, base) -> int:
                 if not np.array_equal(np.asarray(roi_sync), np.asarray(roi_async)):
                     fails += 1
                     print(f"params seed {base + seed}: async != sync dispatch {roi_kw}")
+            if rng.random() < 0.4:
+                # group dispatch (S chunk scans coalesced into one jitted
+                # program) vs per-chunk dispatch: bit-identical by
+                # construction (same inner scan, same chaining math)
+                prior = os.environ.get("PAWS_DISPATCH_GROUP")
+                try:
+                    os.environ["PAWS_DISPATCH_GROUP"] = str(int(rng.integers(2, 5)))
+                    _, roi_grp = track(path, **roi_kw)
+                finally:
+                    if prior is None:
+                        os.environ.pop("PAWS_DISPATCH_GROUP", None)
+                    else:
+                        os.environ["PAWS_DISPATCH_GROUP"] = prior
+                if not np.array_equal(np.asarray(roi_grp), np.asarray(roi)):
+                    fails += 1
+                    print(f"params seed {base + seed}: grouped != per-chunk dispatch {roi_kw}")
     print(f"params: {fails} failures / {seeds}")
     return fails
 
