@@ -1290,6 +1290,27 @@ def make_chained_full(scan):
     return jax.jit(chained)
 
 
+@functools.lru_cache(maxsize=256)
+def make_super_full(scan, S: int, subpixel: bool):
+    """Full-frame analog of :func:`make_super_chain`: S chained chunk scans
+    in one jitted program (one tunnel RPC instead of S)."""
+    import jax
+    import jax.numpy as jnp
+
+    inner = getattr(scan, "__wrapped__", scan)
+
+    def sup(chunks, prev_all, fill):
+        outs = []
+        p = prev_all[-1]
+        for s in range(S):
+            out = inner(chunks[s], p.astype(jnp.int32), fill)
+            outs.append(out)
+            p = out[0][-1] if subpixel else out[-1]
+        return outs
+
+    return jax.jit(sup)
+
+
 def run_full_pipeline(
     src,
     spec,
@@ -1321,18 +1342,22 @@ def run_full_pipeline(
     tracked = 0
     state = {"prev": None}  # owned by the dispatch worker (serial tasks)
     disp = _SerialDispatcher()
-    pending: deque = deque()  # (future -> (out, off), k, frames_for_dia)
+    pending: deque = deque()  # (_GroupHandle, k, frames_for_dia)
+    stage: list = []  # (xfer_future, handle), main thread only
 
     from .diagnose import Dont
 
     keep = not isinstance(dia, Dont)
 
-    def dispatch_task(chunk_in):
-        with timer.section("device"):
-            if state["prev"] is None:
-                out = scan(chunk_in, pos0, fill_dev)
-            else:
-                out = scan_chain(chunk_in, state["prev"], fill_dev)
+    # group dispatch, as in _SingleEngine: coalesce up to depth+1 staged
+    # chunk scans into one jitted program per RPC; adapts on blocked drains,
+    # PAWS_DISPATCH_GROUP pins (results identical — same inner scan + chain)
+    pin = os.environ.get("PAWS_DISPATCH_GROUP")
+    pinned = bool(pin) and pin != "0"
+    group_cap = max(1, depth + 1)
+    group = {"target": min(int(pin), group_cap) if pinned else 1}
+
+    def _finish(out):
         if subpixel:
             out, off = out
             _to_host_async(out, off)
@@ -1342,12 +1367,50 @@ def run_full_pipeline(
         state["prev"] = out
         return out, off
 
+    def group_task(entries):
+        results = [None] * len(entries)
+        i = 0
+        if state["prev"] is None:
+            with timer.section("device"):
+                results[0] = _finish(scan(entries[0][0].result(), pos0, fill_dev))
+            i = 1
+        rest = entries[i:]
+        if len(rest) == 1:
+            with timer.section("device"):
+                results[i] = _finish(
+                    scan_chain(rest[0][0].result(), state["prev"], fill_dev)
+                )
+        elif rest:
+            sup = make_super_full(scan, len(rest), subpixel)
+            chunks = tuple(e[0].result() for e in rest)
+            with timer.section("device"):
+                outs = sup(chunks, state["prev"], fill_dev)
+            for s, out in enumerate(outs):
+                results[i + s] = _finish(out)
+        return results
+
+    def flush():
+        if not stage:
+            return
+        entries = list(stage)
+        stage.clear()
+        fut = disp.submit(group_task, entries)
+        for i, (_, h) in enumerate(entries):
+            h.fut, h.idx = fut, i
+
     def drain_one():
         nonlocal tracked
-        fut, k, frames = pending.popleft()
+        handle, k, frames = pending.popleft()
+        if handle.fut is None:
+            flush()
         with timer.section("drain"):
-            out, off = fut.result()
+            t0 = time.perf_counter()
+            out, off = handle.result()
+            blocked = time.perf_counter() - t0
             out_np = np.asarray(out)
+        if (not pinned and blocked > AUTO_DRAIN_BLOCK_S
+                and group["target"] < group_cap):
+            group["target"] += 1  # the RPC round trip is the residual
         positions.append(out_np[:k])
         if off is not None:
             offsets.append(np.asarray(off)[:k])
@@ -1369,10 +1432,18 @@ def run_full_pipeline(
     prefetchers.append(prefetch)
     pos0 = jnp.asarray(np.asarray(pos0_abs, np.int32))
     try:
+        first = True
         for chunk, chunk_in, k in padded_chunks(prefetch, chunk_size):
             while len(pending) > depth:
                 drain_one()
-            pending.append((disp.submit(dispatch_task, chunk_in), k, chunk))
+            h = _GroupHandle()
+            stage.append((disp.submit(jnp.asarray, chunk_in), h))
+            pending.append((h, k, chunk))
+            # the first chunk flushes alone (scan vs scan_chain split lives
+            # in group_task's prev-is-None branch, valid only at slot 0)
+            if len(stage) >= group["target"] or first:
+                flush()
+            first = False
         while pending:
             drain_one()
     finally:

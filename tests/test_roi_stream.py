@@ -394,6 +394,22 @@ def test_roi_group_dispatch_replay_identical(tmp_path, monkeypatch):
     assert pipeline.replay_count > before
 
 
+def test_full_stream_group_dispatch_matches(tmp_path, monkeypatch):
+    """Group dispatch on the FULL-FRAME pipeline (make_super_full) must be
+    bit-identical to the synchronous full path, incl. subpixel chaining."""
+    rng = np.random.default_rng(310)
+    _, tra = helpers.build_trajectory(30, 24, (60, 60), rng)
+    f = helpers.trajectory2video(tra, str(tmp_path), 24, 140, 140, 10, True)
+    kw = dict(fps=24, start_location=IJ(60, 60), target_width=10, stream="full")
+    _, want = track(f, pipeline_depth=0, **kw)
+    _, want_sub = track(f, pipeline_depth=0, subpixel=True, **kw)
+    monkeypatch.setenv("PAWS_DISPATCH_GROUP", "3")
+    _, got = track(f, pipeline_depth=3, chunk_size=4, **kw)
+    np.testing.assert_array_equal(got, want)
+    _, got_sub = track(f, pipeline_depth=3, chunk_size=4, subpixel=True, **kw)
+    np.testing.assert_array_equal(got_sub, want_sub)
+
+
 def test_group_target_adaptation(monkeypatch):
     """grow_group raises the coalescing target (capped), reset drops it back
     to 1 and restarts the chain; a pinned PAWS_DISPATCH_GROUP disables both."""
