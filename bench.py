@@ -312,6 +312,33 @@ def stage_device_roi(d):
     out_d = {"device_roi_fps": s["med"], "device_roi_spread": s}
     if probe > 0.1:
         out_d["device_roi_degraded"] = f"per-dispatch probe {probe*1e3:.0f} ms (link-bound)"
+
+    # grouped dispatch: S=4 chained chunk scans per jit call (the production
+    # group-dispatch shape, pipeline.make_super_chain) — the ratio
+    # grouped/per-chunk shows how much of device_roi_fps is link RPC
+    from pawsometracker_tpu.pipeline import make_super_chain
+
+    S = 4
+    sup = make_super_chain(fns.scan_bounded, S, False)
+    crops_s = tuple(crops for _ in range(S))
+    deltas = np.zeros((S, 2), np.int32)
+    los = np.tile(np.asarray(lo)[None], (S, 1))
+    his = np.tile(np.asarray(hi)[None], (S, 1))
+    outs = sup(crops_s, out, deltas, fill, los, his)
+    jax.block_until_ready(outs)
+    g_rounds = max(1, rounds // S)
+    fpss_g = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        o = outs[-1]
+        for _ in range(g_rounds):
+            outs = sup(crops_s, o, deltas, fill, los, his)
+            o = outs[-1]
+        jax.block_until_ready(o)
+        fpss_g.append(g_rounds * S * K / (time.perf_counter() - t0))
+    sg = _stats(fpss_g)
+    out_d["device_roi_grouped_fps"] = sg["med"]
+    out_d["device_roi_grouped_spread"] = sg
     return out_d
 
 
