@@ -149,6 +149,33 @@ DEFAULT_ROI_FRAMES = None
 DEFAULT_PIPELINE_DEPTH = "auto"
 
 
+def _auto_ring_gate(file, roi_frames: int, depth_gate: int) -> int:
+    """Memory-aware depth gate for ``pipeline_depth="auto"`` ring sizing:
+    when the frame size is knowable BEFORE open (ndarray input, or a cheap
+    native header probe), clamp the gate so the retained C++ decode ring
+    ((gate+2)*K preallocated gray8 frames) respects PAWS_RING_BUDGET_MB —
+    the same bound :func:`pipeline.auto_depth_cap` applies to the runtime
+    depth, so the controller never outruns the ring. Unprobeable inputs keep
+    the unclamped gate (the ring is then merely never undersized)."""
+    from .pipeline import auto_depth_cap
+
+    shape = None
+    if hasattr(file, "shape") and getattr(file, "ndim", 0) >= 3:
+        shape = (int(file.shape[1]), int(file.shape[2]))
+    else:
+        try:
+            from .io.native_io import native_probe
+
+            info = native_probe(file)
+            if info.height > 0 and info.width > 0:
+                shape = (int(info.height), int(info.width))
+        except Exception:
+            shape = None
+    if shape is None:
+        return depth_gate
+    return min(depth_gate, auto_depth_cap(shape, roi_frames))
+
+
 def _resolve_roi_frames(roi_frames, pipeline_depth: int, speculate: str = "predict") -> int:
     if roi_frames is not None:
         return int(roi_frames)
@@ -233,6 +260,8 @@ def _track_one(
         stream != "full" and depth_gate > 0 and speculate == "predict"
         and isinstance(dia, Dont)
     )
+    if pipeline_depth == "auto":
+        depth_gate = _auto_ring_gate(file, roi_frames, depth_gate)
     ring = (depth_gate + 2) * roi_frames + 8 if retention_possible else None
     src = open_source(
         file, start=start, stop=stop, fps=fps, backend=backend, prefetch=ring,
@@ -310,6 +339,7 @@ def _track_one(
                 prefetchers=prefetchers,
                 speculate=speculate,
                 progress=progress,
+                auto_cap=depth_gate if pipeline_depth == "auto" else None,
             )
             positions.extend(pos_blocks)
             offsets.extend(off_blocks)
@@ -326,8 +356,12 @@ def _track_one(
                 fill,
                 n - 1,
                 chunk_size=chunk_size,
-                # full-frame chunks are memory-heavy; "auto" keeps depth 1 here
-                depth=1 if pipeline_depth == "auto" else pipeline_depth,
+                # full-frame chunks are memory-heavy; "auto" keeps this
+                # shallow — depth 3 on small frames (auto only picks the full
+                # stream there; depth 3 allows dispatch groups of 2), depth 1
+                # when the user forces stream="full" on large frames
+                depth=(3 if frame_shape[0] * frame_shape[1] <= 640 * 480 else 1)
+                if pipeline_depth == "auto" else pipeline_depth,
                 scan=scan,
                 subpixel=subpixel,
                 dia=dia,

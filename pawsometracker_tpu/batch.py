@@ -237,6 +237,16 @@ def _track_batch_uniform(
     retention_possible = (
         stream != "full" and mode == "predict" and all(p is None for p in dia_paths)
     )
+    if auto_depth:
+        from .api import _auto_ring_gate
+
+        # clamp by the LARGEST probeable frame: the controller's runtime
+        # depth cap uses the true decoded size, so the ring is never smaller
+        # than the cap needs
+        depth_gate = min(
+            (_auto_ring_gate(f, roi_frames, depth_gate) for f in files),
+            default=depth_gate,
+        )
     ring = (depth_gate + 2) * roi_frames + 8 if retention_possible else None
 
     sources = []
@@ -387,9 +397,14 @@ def _track_batch_uniform(
                 spec=spec,
                 mode=mode,
                 depth="auto" if auto_depth else depth_gate,
+                auto_cap=depth_gate if auto_depth else None,
                 engine=_BatchedEngine(
                     scan_bounded, (ch, cw), frame_shape, fills_dev, subpixel,
-                    timer, shard=roi_engine.shard_chunk,
+                    timer,
+                    # meshless: shard=None enables group dispatch (the engine
+                    # places host arrays with jnp.asarray itself); under a
+                    # mesh the explicit placement fn pins per-chunk dispatch
+                    shard=None if roi_engine.mesh is None else roi_engine.shard_chunk,
                 ),
                 source=PerVideoSource(
                     sources, K=roi_frames, ch=ch, cw=cw, fills=fills, dias=dias,

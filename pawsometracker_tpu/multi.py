@@ -132,6 +132,10 @@ def track_multi(
     else:
         pipeline_depth = depth_gate = max(0, int(pipeline_depth))
     roi_frames = _resolve_roi_frames(roi_frames, depth_gate, "predict")
+    if pipeline_depth == "auto":
+        from .api import _auto_ring_gate
+
+        depth_gate = _auto_ring_gate(file, roi_frames, depth_gate)
     # the multi-target native path crops per target via advance/recrop at
     # EVERY depth (contain mode included), so size the ring whenever ROI
     # streaming is possible
@@ -224,6 +228,7 @@ def track_multi(
                 subpixel=subpixel,
                 dia=dia,
                 progress=progress,
+                auto_cap=depth_gate if pipeline_depth == "auto" else None,
             )
             out.extend(pos_blocks)
             offs.extend(off_blocks)

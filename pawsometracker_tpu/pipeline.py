@@ -66,9 +66,27 @@ __all__ = ["roi_geometry", "make_chained", "make_chained_batch", "run_roi_pipeli
 #: mispredict replays since import (observability: tests + debugging)
 replay_count = 0
 
-#: cap for pipeline_depth="auto" (bounds buffer/ring memory; in predict mode
-#: geometry is depth-independent so the cap costs nothing to raise later)
-AUTO_DEPTH_MAX = 3
+#: cap for pipeline_depth="auto". Deep enough that group dispatch can keep
+#: TWO full groups in flight (group cap = (depth+1)//2, so depth 7 -> S=4:
+#: one group executes while the next stages — without that overlap grouping
+#: LOSES, measured e2e). In predict mode crop geometry is depth-independent,
+#: so depth costs no bytes/frame — only retained-ring memory, bounded by
+#: :func:`auto_depth_cap`.
+AUTO_DEPTH_MAX = 7
+
+#: retained-ring memory budget for pipeline_depth="auto" (MB); the auto
+#: depth cap shrinks on large frames so the C++ decode ring
+#: ((depth+2)*K gray8 frames) stays inside it. Override: PAWS_RING_BUDGET_MB.
+RING_BUDGET_MB = 512
+
+
+def auto_depth_cap(frame_shape, k_frames: int) -> int:
+    """Depth cap for ``pipeline_depth="auto"``: :data:`AUTO_DEPTH_MAX`,
+    bounded so the retained decode ring ((depth+2)*K frames plus the decode
+    margin) stays within :data:`RING_BUDGET_MB` for this frame size."""
+    budget = float(os.environ.get("PAWS_RING_BUDGET_MB", RING_BUDGET_MB)) * 1e6
+    frames = int(budget // max(float(frame_shape[0]) * float(frame_shape[1]), 1.0))
+    return max(1, min(AUTO_DEPTH_MAX, (frames - 8) // max(k_frames, 1) - 2))
 
 #: pipeline_depth="auto" deepens when the lagged drain blocks longer than
 #: this — one constant because there is one drain controller
@@ -186,6 +204,29 @@ def make_chained_batch(scan_bounded_batch):
         )
 
     return jax.jit(chained)
+
+
+@functools.lru_cache(maxsize=256)
+def make_super_chain_batch(scan_bounded_batch, S: int, subpixel: bool):
+    """Batched analog of :func:`make_super_chain`: S chained batched chunk
+    scans in one jitted program. ``crops`` is a tuple of S ``[L, K, ch, cw]``
+    arrays; ``deltas``/``los``/``his`` are ``[S, L, 2]``."""
+    import jax
+    import jax.numpy as jnp
+
+    inner = getattr(scan_bounded_batch, "__wrapped__", scan_bounded_batch)
+
+    def sup(crops, prev_all, deltas, fills, los, his):
+        outs = []
+        p = prev_all[:, -1]
+        for s in range(S):
+            out = inner(crops[s], (p + deltas[s]).astype(jnp.int32), fills,
+                        los[s], his[s])
+            outs.append(out)
+            p = out[0][:, -1] if subpixel else out[:, -1]
+        return outs
+
+    return jax.jit(sup)
 
 
 def _engine_cache_path() -> str:
@@ -558,10 +599,14 @@ class _SingleEngine:
             self.group_target = 1
         self._disp.submit(self._reset_task)
 
-    def grow_group(self):
+    def grow_group(self, cap: int = GROUP_MAX):
         """Controller signal: the lagged drain still blocks at max pipeline
-        depth — coalesce more chunk dispatches per RPC."""
-        if not self._group_pinned and self.group_target < self.GROUP_MAX:
+        depth — coalesce more chunk dispatches per RPC. ``cap`` is the
+        overlap bound (depth+1)//2: beyond it a group cannot finish executing
+        before its leader is drained, and grouping would SERIALIZE decode
+        against the device instead of amortizing the RPC (measured: pinned
+        S=4 at shallow depth is ~25% slower e2e than S=1)."""
+        if not self._group_pinned and self.group_target < min(cap, self.GROUP_MAX):
             self.group_target += 1
 
     def _reset_task(self):
@@ -661,7 +706,15 @@ class _SingleEngine:
 class _BatchedEngine:
     """Lane adapter over the batched bounded scans ``fn([L,K,ch,cw], [L,2],
     [L], [L,2], [L,2])`` — vmapped XLA, the grid=(L,T) fused Pallas kernel,
-    or the mesh-sharded variants (``shard`` places host arrays on the mesh)."""
+    or the mesh-sharded variants (``shard`` places host arrays on the mesh).
+
+    Group dispatch works as in :class:`_SingleEngine` (the per-chunk RPC
+    cost is per DISPATCH, not per lane, so N-target streams gain the same
+    ~S× reduction) — except under a mesh, where the super-program would need
+    explicit shardings for its intermediates; the sharded path keeps
+    per-chunk dispatch."""
+
+    GROUP_MAX = 4
 
     def __init__(self, scan_bounded, crop_shape, frame_shape, fills_dev, subpixel, timer, shard=None):
         import jax.numpy as jnp
@@ -674,52 +727,60 @@ class _BatchedEngine:
         self.fills_dev = fills_dev
         self.subpixel = subpixel
         self.timer = timer
+        self._meshless = shard is None
         self.shard = shard if shard is not None else jnp.asarray
         self._disp = _SerialDispatcher()
         self._prev = None
         self._prev_origins = None
+        self._stage: list = []  # (xfer_future, origins, P_abs, handle)
+        self._chain_started = False
+        pin = os.environ.get("PAWS_DISPATCH_GROUP")
+        self._group_pinned = bool(pin) and pin != "0"
+        want = min(int(pin), self.GROUP_MAX) if self._group_pinned else 1
+        self.group_target = want if self._meshless else 1
 
     def reset(self):
+        self._stage.clear()
+        self._chain_started = False
+        if not self._group_pinned:
+            self.group_target = 1
         self._disp.submit(self._reset_task)
 
-    def grow_group(self):
-        """Group dispatch not implemented for the batched engine (the batch
-        axis already amortizes the per-RPC cost L×)."""
+    def grow_group(self, cap: int = GROUP_MAX):
+        if (self._meshless and not self._group_pinned
+                and self.group_target < min(cap, self.GROUP_MAX)):
+            self.group_target += 1
 
     def _reset_task(self):
         self._prev = None
         self._prev_origins = None
 
     def dispatch(self, buf, origins, P_abs):
-        return self._disp.submit(
-            self._dispatch_task, buf, origins.copy(), P_abs.copy()
-        )
+        xfut = self._disp.submit(self.shard, buf)
+        h = _GroupHandle()
+        self._stage.append((xfut, origins.copy(), P_abs.copy(), h))
+        if len(self._stage) >= self.group_target or not self._chain_started:
+            self._flush()
+        self._chain_started = True
+        return h
 
-    def _dispatch_task(self, buf, origins, P_abs):
-        jnp = self._jnp
+    def _flush(self):
+        if not self._stage:
+            return
+        entries, self._stage = self._stage, []
+        fut = self._disp.submit(self._group_task, entries)
+        for i, (_, _, _, h) in enumerate(entries):
+            h.fut, h.idx = fut, i
+
+    def _bounds(self, origins):
         L = origins.shape[0]
         lo = np.maximum(-origins, 0).astype(np.int32)
         hi = np.minimum(
             [[self.ch - 1, self.cw - 1]] * L, self.frame_max[None] - origins
         ).astype(np.int32)
-        with self.timer.section("device"):
-            if self._prev is None:
-                out = self.scan(
-                    self.shard(buf),
-                    jnp.asarray((P_abs - origins).astype(np.int32)),
-                    self.fills_dev,
-                    self.shard(lo),
-                    self.shard(hi),
-                )
-            else:
-                out = self.chain(
-                    self.shard(buf),
-                    self._prev,
-                    jnp.asarray((self._prev_origins - origins).astype(np.int32)),
-                    self.fills_dev,
-                    self.shard(lo),
-                    self.shard(hi),
-                )
+        return lo, hi
+
+    def _finish(self, out, origins):
         if self.subpixel:
             pos, off = out
             _to_host_async(pos, off)
@@ -730,7 +791,58 @@ class _BatchedEngine:
         self._prev, self._prev_origins = pos, origins
         return (pos, off)
 
+    def _group_task(self, entries):
+        jnp = self._jnp
+        results = [None] * len(entries)
+        i = 0
+        if self._prev is None:
+            xfut, origins, P_abs, _ = entries[0]
+            lo, hi = self._bounds(origins)
+            with self.timer.section("device"):
+                out = self.scan(
+                    xfut.result(),
+                    jnp.asarray((P_abs - origins).astype(np.int32)),
+                    self.fills_dev,
+                    self.shard(lo),
+                    self.shard(hi),
+                )
+            results[0] = self._finish(out, origins)
+            i = 1
+        rest = entries[i:]
+        if len(rest) == 1:
+            xfut, origins, _, _ = rest[0]
+            lo, hi = self._bounds(origins)
+            with self.timer.section("device"):
+                out = self.chain(
+                    xfut.result(),
+                    self._prev,
+                    jnp.asarray((self._prev_origins - origins).astype(np.int32)),
+                    self.fills_dev,
+                    self.shard(lo),
+                    self.shard(hi),
+                )
+            results[i] = self._finish(out, origins)
+        elif rest:
+            S = len(rest)
+            sup = make_super_chain_batch(self.scan, S, self.subpixel)
+            origins_l = [e[1] for e in rest]
+            prev_o = [self._prev_origins] + origins_l[:-1]
+            deltas = np.stack(
+                [prev_o[s] - origins_l[s] for s in range(S)]
+            ).astype(np.int32)
+            bounds = [self._bounds(o) for o in origins_l]
+            los = np.stack([b[0] for b in bounds])
+            his = np.stack([b[1] for b in bounds])
+            crops = tuple(e[0].result() for e in rest)
+            with self.timer.section("device"):
+                outs = sup(crops, self._prev, deltas, self.fills_dev, los, his)
+            for s, out in enumerate(outs):
+                results[i + s] = self._finish(out, origins_l[s])
+        return results
+
     def to_host(self, handle):
+        if handle.fut is None:
+            self._flush()
         pos, off = handle.result()
         return np.asarray(pos), (None if off is None else np.asarray(off))
 
@@ -1034,7 +1146,7 @@ class SpeculativePipeline:
     """
 
     def __init__(self, *, L, K, crop_shape, margin, spec, mode, depth, engine,
-                 source, sink, timer):
+                 source, sink, timer, auto_cap=None):
         self.L, self.K = L, K
         self.ch, self.cw = crop_shape
         self.margin = np.asarray(margin)
@@ -1045,7 +1157,14 @@ class SpeculativePipeline:
         self.frame_max = np.array([self.H - 1, self.W - 1])
         self.mode = mode
         self.auto_depth = depth == "auto"
-        self.depth_max = AUTO_DEPTH_MAX if self.auto_depth else depth
+        if self.auto_depth:
+            # memory cap from the TRUE decoded frame size, further bounded by
+            # the frontend's ring gate (auto_cap) so the controller can never
+            # deepen past what the retained decode ring was sized for
+            cap = auto_depth_cap(spec.frame_shape, K)
+            self.depth_max = min(cap, auto_cap) if auto_cap is not None else cap
+        else:
+            self.depth_max = depth
         self.depth_cur = 1 if self.auto_depth else depth
         self.engine = engine
         self.source = source
@@ -1058,6 +1177,14 @@ class SpeculativePipeline:
                       for _ in range(self.depth_max + 2)]
         self._pending: deque = deque()  # (handle, origins, valid, tokens, buf)
 
+    #: per-axis curvature clamp (px/frame²) for the quadratic aim term:
+    #: physical turning motion has small true curvature (the bench circle:
+    #: ~0.1), while secant-difference noise on erratic motion is large —
+    #: the clamp keeps curvature tracking for smooth paths without letting
+    #: noise amplified by stale² swing the aim (a bad aim is only a replay,
+    #: but replays reset the pipeline depth)
+    ACCEL_CLAMP = 0.25
+
     # -- aiming -------------------------------------------------------------
     def _aim(self):
         if self.mode == "predict":
@@ -1066,7 +1193,13 @@ class SpeculativePipeline:
             stale = np.zeros(self.L, np.int64)
             for _, _, valid, _, _ in self._pending:
                 stale += valid
-            pred = self.P + self.vel * stale[:, None]
+            s = stale[:, None].astype(np.float64)
+            # quadratic extrapolation: at the deep-pipeline horizons group
+            # dispatch wants (depth 7 ≈ 64 stale frames), linear aim error on
+            # a turning path grows ~R·θ²/2 past the margin slack; the
+            # (clamped) curvature term keeps smoothly-curving targets inside
+            # the crop so the deep pipeline doesn't oscillate through replays
+            pred = self.P + self.vel * s + 0.5 * self.accel * s * s
             return np.round(pred).astype(np.int64) - self.margin
         return self.P - self.margin
 
@@ -1101,7 +1234,17 @@ class SpeculativePipeline:
         for lane in range(self.L):
             k = int(valid[lane])
             if k > 1:
-                self.vel[lane] = (abs_pos[lane, k - 1] - abs_pos[lane, 0]) / (k - 1)
+                new_vel = (abs_pos[lane, k - 1] - abs_pos[lane, 0]) / (k - 1)
+                if self._last_k[lane] > 1:
+                    # curvature from consecutive chunk secants (midpoints
+                    # ~(k_prev+k)/2 frames apart), clamped — see ACCEL_CLAMP
+                    gap = 0.5 * (self._last_k[lane] + k)
+                    self.accel[lane] = np.clip(
+                        (new_vel - self.vel[lane]) / gap,
+                        -self.ACCEL_CLAMP, self.ACCEL_CLAMP,
+                    )
+                self.vel[lane] = new_vel
+                self._last_k[lane] = k
             if k > 0:
                 self.P[lane] = abs_pos[lane, k - 1]
         self.tracked += valid
@@ -1118,6 +1261,7 @@ class SpeculativePipeline:
         if self.auto_depth:
             # long speculation horizons don't pay for this motion
             self.depth_cur = 1
+        self.accel[:] = 0.0  # the curvature estimate just failed its test
         self.engine.reset()  # the device chain past this point is invalid
         for _, _, valid, tokens, buf in entries:
             origins = self.P - self.margin
@@ -1143,9 +1287,10 @@ class SpeculativePipeline:
             else:
                 # depth exhausted and the drain STILL blocks: the per-chunk
                 # RPC round trip itself is the residual — coalesce dispatches
+                # (capped so two groups stay in flight: overlap, not batching)
                 grow = getattr(self.engine, "grow_group", None)  # duck-typed
                 if grow is not None:
-                    grow()
+                    grow(max(1, (self.depth_cur + 1) // 2))
         if self.mode == "predict" and not self._contained(pos_np, origins, valid):
             self._replay([entry] + list(self._pending))
             self._pending.clear()
@@ -1158,6 +1303,8 @@ class SpeculativePipeline:
         positions ``pos0_abs [L, 2]``. Returns per-lane tracked counts."""
         self.P = np.asarray(pos0_abs, np.int64).reshape(self.L, 2).copy()
         self.vel = np.zeros((self.L, 2))
+        self.accel = np.zeros((self.L, 2))
+        self._last_k = np.zeros(self.L, np.int64)
         self.tracked = np.zeros(self.L, np.int64)
         self.engine.reset()
         try:
@@ -1206,6 +1353,7 @@ def run_roi_pipeline(
     prefetchers: list,
     speculate: str = "predict",
     progress=None,
+    auto_cap: int | None = None,
 ):
     """Track ``n_rest`` frames of ``src`` by pipelined ROI streaming
     (single video, single target — :class:`SpeculativePipeline` with L=1 and
@@ -1226,7 +1374,12 @@ def run_roi_pipeline(
     recompiles.
     """
     K = roi_frames
-    depth_max = AUTO_DEPTH_MAX if depth == "auto" else depth
+    if depth == "auto":
+        depth_max = auto_depth_cap(spec.frame_shape, K)
+        if auto_cap is not None:
+            depth_max = min(depth_max, auto_cap)
+    else:
+        depth_max = depth
     mode = speculate if depth_max > 0 else "contain"
     ch, cw, margin = roi_geometry(spec, K, depth_max, mode)
     roi_spec = make_spec((ch, cw), spec.window_size, spec.target_width, spec.darker_target)
@@ -1265,6 +1418,7 @@ def run_roi_pipeline(
         spec=spec,
         mode=mode,
         depth=depth,
+        auto_cap=depth_max if depth == "auto" else None,
         engine=_SingleEngine(scan_first, scan_chain, (ch, cw), spec.frame_shape,
                              fill, subpixel, timer),
         source=SingleVideoSource(src, K=K, ch=ch, cw=cw, fill=fill, dia=dia,
@@ -1349,13 +1503,15 @@ def run_full_pipeline(
 
     keep = not isinstance(dia, Dont)
 
-    # group dispatch, as in _SingleEngine: coalesce up to depth+1 staged
-    # chunk scans into one jitted program per RPC; adapts on blocked drains,
+    # group dispatch, as in _SingleEngine: coalesce staged chunk scans into
+    # one jitted program per RPC; adapts on blocked drains, capped at
+    # (depth+1)//2 so two groups stay in flight (overlap — without it
+    # grouping serializes decode against the device and LOSES, measured).
     # PAWS_DISPATCH_GROUP pins (results identical — same inner scan + chain)
     pin = os.environ.get("PAWS_DISPATCH_GROUP")
     pinned = bool(pin) and pin != "0"
-    group_cap = max(1, depth + 1)
-    group = {"target": min(int(pin), group_cap) if pinned else 1}
+    group_cap = max(1, (depth + 1) // 2)
+    group = {"target": min(int(pin), depth + 1) if pinned else 1}
 
     def _finish(out):
         if subpixel:
@@ -1466,6 +1622,7 @@ def run_multi_roi_pipeline(
     subpixel: bool = False,
     dia=None,
     progress=None,
+    auto_cap: int | None = None,
 ):
     """Speculative pipelined ROI streaming for N targets in ONE stream
     (:class:`SpeculativePipeline` with L=N and :class:`FanoutSource`): each
@@ -1487,7 +1644,12 @@ def run_multi_roi_pipeline(
     from .parallel.mesh import ShardedBatchTracker
 
     K = roi_frames
-    depth_max = AUTO_DEPTH_MAX if depth == "auto" else depth
+    if depth == "auto":
+        depth_max = auto_depth_cap(spec.frame_shape, roi_frames)
+        if auto_cap is not None:
+            depth_max = min(depth_max, auto_cap)
+    else:
+        depth_max = depth
     mode = "predict" if depth_max > 0 else "contain"
     ch, cw, margin = roi_geometry(spec, K, depth_max, mode)
     roi_spec = make_spec((ch, cw), spec.window_size, spec.target_width, spec.darker_target)
@@ -1515,6 +1677,7 @@ def run_multi_roi_pipeline(
         spec=spec,
         mode=mode,
         depth=depth,
+        auto_cap=depth_max if depth == "auto" else None,
         engine=_BatchedEngine(scan_bounded, (ch, cw), spec.frame_shape,
                               jnp.asarray(np.full(N, fill, np.uint8)), subpixel, timer),
         source=FanoutSource(src, N=N, K=K, ch=ch, cw=cw, fill=fill, mode=mode,

@@ -410,6 +410,45 @@ def test_full_stream_group_dispatch_matches(tmp_path, monkeypatch):
     np.testing.assert_array_equal(got_sub, want_sub)
 
 
+def test_batch_and_multi_group_dispatch_matches(tmp_path, monkeypatch):
+    """Forced group dispatch on the BATCHED engine (track_batch lanes,
+    track_multi fan-out) must equal the per-chunk results exactly."""
+    from pawsometracker_tpu.batch import track_batch
+    from pawsometracker_tpu.multi import track_multi
+
+    rng = np.random.default_rng(320)
+    _, tra = helpers.build_trajectory(30, 24, (60, 60), rng)
+    f = helpers.trajectory2video(tra, str(tmp_path), 24, 140, 140, 10, True)
+    kw = dict(fps=24, target_width=10)
+    want = track_batch([f, f], start_location=IJ(60, 60), stream="roi",
+                       roi_frames=4, pipeline_depth=3, **kw)
+    _, mwant = track_multi(f, [IJ(60, 60)], stream="roi", roi_frames=4,
+                           pipeline_depth=3, **kw)
+    monkeypatch.setenv("PAWS_DISPATCH_GROUP", "3")
+    got = track_batch([f, f], start_location=IJ(60, 60), stream="roi",
+                      roi_frames=4, pipeline_depth=3, **kw)
+    for (_, a), (_, b) in zip(want, got):
+        np.testing.assert_array_equal(a, b)
+    _, mgot = track_multi(f, [IJ(60, 60)], stream="roi", roi_frames=4,
+                          pipeline_depth=3, **kw)
+    np.testing.assert_array_equal(mgot, mwant)
+
+
+def test_auto_depth_cap_memory_bound(monkeypatch):
+    """pipeline_depth='auto' caps at AUTO_DEPTH_MAX on small frames and
+    shrinks on large frames so the retained ring respects the byte budget."""
+    from pawsometracker_tpu.pipeline import AUTO_DEPTH_MAX, auto_depth_cap
+
+    assert auto_depth_cap((1080, 1920), 8) == AUTO_DEPTH_MAX
+    cap_4k = auto_depth_cap((2160, 3840), 8)
+    assert 1 <= cap_4k < AUTO_DEPTH_MAX
+    # ring frames implied by the cap stay inside the budget
+    ring = (cap_4k + 2) * 8 + 8
+    assert ring * 2160 * 3840 <= 512e6
+    monkeypatch.setenv("PAWS_RING_BUDGET_MB", "64")
+    assert auto_depth_cap((1080, 1920), 8) < AUTO_DEPTH_MAX
+
+
 def test_group_target_adaptation(monkeypatch):
     """grow_group raises the coalescing target (capped), reset drops it back
     to 1 and restarts the chain; a pinned PAWS_DISPATCH_GROUP disables both."""

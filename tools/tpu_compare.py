@@ -33,9 +33,12 @@ CONFIGS = [
     ("predict_d5_k8", {"pipeline_depth": 5, "roi_frames": 8, "speculate": "predict"}),
     ("predict_d5_k16", {"pipeline_depth": 5, "roi_frames": 16, "speculate": "predict"}),
     # A/B of RPC-coalescing group dispatch (S chunk scans in one jitted
-    # program per tunnel round trip) vs per-chunk dispatch — same results
+    # program per tunnel round trip) vs per-chunk dispatch — same results.
+    # NB: grouping only wins with two groups in flight (depth >= 2S-1);
+    # auto_default adapts both; the pinned variants isolate the group effect
     ("auto_group1", {"_env": {"PAWS_DISPATCH_GROUP": "1"}}),
-    ("auto_group4", {"_env": {"PAWS_DISPATCH_GROUP": "4"}}),
+    ("d7_group4", {"pipeline_depth": 7, "_env": {"PAWS_DISPATCH_GROUP": "4"}}),
+    ("d7_group1", {"pipeline_depth": 7, "_env": {"PAWS_DISPATCH_GROUP": "1"}}),
 ]
 TIMEOUT = 600
 RETRIES = 3
