@@ -482,6 +482,20 @@ def _crop_with_fill(frame: np.ndarray, o, ch: int, cw: int, fill: int, out=None)
     return out
 
 
+def _grouping_pays() -> bool:
+    """Adaptive group growth is for RPC-linked devices (TPU): on the CPU
+    backend a jit call is a function call, so growing groups there only
+    compiles extra program sizes for nothing (and would make warm-call
+    compile counts timing-dependent). ``PAWS_DISPATCH_GROUP`` still pins a
+    size on any backend (tests, experiments)."""
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _to_host_async(*arrays):
     """Start device->host transfers early so the lagged drain doesn't block."""
     for a in arrays:
@@ -1170,6 +1184,7 @@ class SpeculativePipeline:
         self.source = source
         self.sink = sink
         self.timer = timer
+        self._grow_groups = _grouping_pays()
         # rotating crop buffers: a buffer is reused only after its chunk's
         # result is drained, so an in-flight device transfer never reads a
         # mutated buffer
@@ -1284,7 +1299,7 @@ class SpeculativePipeline:
                 # the lagged download still blocked: the pipeline isn't deep
                 # enough to hide the round trip — add a chunk of slack
                 self.depth_cur += 1
-            else:
+            elif self._grow_groups:
                 # depth exhausted and the drain STILL blocks: the per-chunk
                 # RPC round trip itself is the residual — coalesce dispatches
                 # (capped so two groups stay in flight: overlap, not batching)
@@ -1510,6 +1525,7 @@ def run_full_pipeline(
     # PAWS_DISPATCH_GROUP pins (results identical — same inner scan + chain)
     pin = os.environ.get("PAWS_DISPATCH_GROUP")
     pinned = bool(pin) and pin != "0"
+    grow_groups = _grouping_pays()
     group_cap = max(1, (depth + 1) // 2)
     group = {"target": min(int(pin), depth + 1) if pinned else 1}
 
@@ -1564,7 +1580,7 @@ def run_full_pipeline(
             out, off = handle.result()
             blocked = time.perf_counter() - t0
             out_np = np.asarray(out)
-        if (not pinned and blocked > AUTO_DRAIN_BLOCK_S
+        if (not pinned and grow_groups and blocked > AUTO_DRAIN_BLOCK_S
                 and group["target"] < group_cap):
             group["target"] += 1  # the RPC round trip is the residual
         positions.append(out_np[:k])
