@@ -150,3 +150,48 @@ for start in [(-50, -120), (300, 48), (48, 500)]:
 print("ok")
 """
     )
+
+
+def test_grouped_super_program_parity_on_hardware():
+    """The S=3 super-program (group dispatch) must produce the same positions
+    as three consecutive per-chunk chained dispatches on the real chip."""
+    out = _run(
+        """
+import json
+import numpy as np
+import jax
+import jax.numpy as jnp
+assert jax.default_backend() == "tpu", jax.default_backend()
+from pawsometracker_tpu.models.dog_tracker import make_spec, tracker_fns
+from pawsometracker_tpu.pipeline import make_chained, make_super_chain, roi_geometry
+spec = make_spec((1080, 1920), 41, 25, True)
+ch, cw, _ = roi_geometry(spec, 8, 1, "predict")
+rs = make_spec((ch, cw), 41, 25, True)
+fns = tracker_fns(rs)
+chain = make_chained(fns.scan_bounded)
+rng = np.random.default_rng(3)
+yy, xx = np.mgrid[:ch, :cw]
+crops = []
+for s in range(4):
+    bi, bj = ch // 2 + 5 * s, cw // 2 - 3 * s
+    blob = np.exp(-((yy - bi) ** 2 + (xx - bj) ** 2) / (2 * 9.0 ** 2))
+    frame = np.clip(128 - 110 * blob, 0, 255).astype(np.uint8)
+    crops.append(np.broadcast_to(frame, (8, ch, cw)).copy())
+pos = jnp.asarray(np.array([ch // 2, cw // 2], np.int32))
+lo = np.zeros(2, np.int32); hi = np.array([ch - 1, cw - 1], np.int32)
+f = np.uint8(128); d = np.zeros(2, np.int32)
+out0 = fns.scan_bounded(crops[0], pos, f, lo, hi)
+seq = [np.asarray(out0)]
+prev = out0
+for s in range(1, 4):
+    prev = chain(crops[s], prev, d, f, lo, hi)
+    seq.append(np.asarray(prev))
+sup3 = make_super_chain(fns.scan_bounded, 3, False)
+outs = sup3(tuple(jnp.asarray(c) for c in crops[1:]), out0,
+            np.zeros((3, 2), np.int32), f, np.tile(lo, (3, 1)), np.tile(hi, (3, 1)))
+match = all(np.array_equal(np.asarray(outs[s - 1]), seq[s]) for s in range(1, 4))
+print(json.dumps({"match": bool(match)}))
+"""
+    )
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["match"] is True, res
