@@ -41,7 +41,12 @@ from .models.dog_tracker import (
 )
 from .ops.dog_kernel import fix_window_size, guess_window_size
 from .ops.filters import mode_u8_host
-from .pipeline import roi_geometry, run_full_pipeline, run_roi_pipeline
+from .pipeline import (
+    auto_depth_cap as _pipeline_auto_depth_cap,
+    roi_geometry,
+    run_full_pipeline,
+    run_roi_pipeline,
+)
 
 #: 24 hours minus 1 millisecond (reference: src/PawsomeTracker.jl:19)
 DEFAULT_MAX_DURATION_SECONDS = 86399.999
@@ -149,7 +154,7 @@ DEFAULT_ROI_FRAMES = None
 DEFAULT_PIPELINE_DEPTH = "auto"
 
 
-def _auto_ring_gate(file, roi_frames: int, depth_gate: int) -> int:
+def _auto_ring_gate(file, roi_frames: int, depth_gate: int, lanes: int = 1) -> int:
     """Memory-aware depth gate for ``pipeline_depth="auto"`` ring sizing:
     when the frame size is knowable BEFORE open (ndarray input, or a cheap
     native header probe), clamp the gate so the retained C++ decode ring
@@ -173,7 +178,7 @@ def _auto_ring_gate(file, roi_frames: int, depth_gate: int) -> int:
             shape = None
     if shape is None:
         return depth_gate
-    return min(depth_gate, auto_depth_cap(shape, roi_frames))
+    return min(depth_gate, auto_depth_cap(shape, roi_frames, lanes=lanes))
 
 
 def _resolve_roi_frames(roi_frames, pipeline_depth: int, speculate: str = "predict") -> int:
@@ -357,10 +362,11 @@ def _track_one(
                 n - 1,
                 chunk_size=chunk_size,
                 # full-frame chunks are memory-heavy; "auto" keeps this
-                # shallow — depth 3 on small frames (auto only picks the full
-                # stream there; depth 3 allows dispatch groups of 2), depth 1
-                # when the user forces stream="full" on large frames
-                depth=(3 if frame_shape[0] * frame_shape[1] <= 640 * 480 else 1)
+                # shallow: at most 3, bounded by the same ring budget that
+                # governs the ROI path ((depth+2)*chunk_size full frames in
+                # flight — small frames get 3, which allows dispatch groups
+                # of 2; 4K drops to 1)
+                depth=min(3, _pipeline_auto_depth_cap(frame_shape, chunk_size))
                 if pipeline_depth == "auto" else pipeline_depth,
                 scan=scan,
                 subpixel=subpixel,

@@ -240,11 +240,12 @@ def _track_batch_uniform(
     if auto_depth:
         from .api import _auto_ring_gate
 
-        # clamp by the LARGEST probeable frame: the controller's runtime
-        # depth cap uses the true decoded size, so the ring is never smaller
-        # than the cap needs
+        # each of the B videos opens its own retained ring, so the budget is
+        # divided across lanes (PAWS_RING_BUDGET_MB bounds the TOTAL);
+        # clamp by the LARGEST probeable frame so no source's ring is
+        # smaller than the shared controller depth needs
         depth_gate = min(
-            (_auto_ring_gate(f, roi_frames, depth_gate) for f in files),
+            (_auto_ring_gate(f, roi_frames, depth_gate, lanes=B) for f in files),
             default=depth_gate,
         )
     ring = (depth_gate + 2) * roi_frames + 8 if retention_possible else None
@@ -330,6 +331,7 @@ def _track_batch_uniform(
             _BatchedEngine,
             _select_batched_bounded,
             _select_sharded_bounded,
+            auto_depth_cap,
             roi_geometry,
         )
         from .utils.profiling import Timer
@@ -397,7 +399,12 @@ def _track_batch_uniform(
                 spec=spec,
                 mode=mode,
                 depth="auto" if auto_depth else depth_gate,
-                auto_cap=depth_gate if auto_depth else None,
+                # ring gate, re-bounded by the TRUE decoded size (covers
+                # unprobeable inputs whose gate stayed unclamped)
+                auto_cap=min(
+                    depth_gate,
+                    auto_depth_cap(frame_shape, roi_frames, lanes=B),
+                ) if auto_depth else None,
                 engine=_BatchedEngine(
                     scan_bounded, (ch, cw), frame_shape, fills_dev, subpixel,
                     timer,

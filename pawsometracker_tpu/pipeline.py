@@ -50,11 +50,14 @@ correctness change cannot silently diverge between them.
 from __future__ import annotations
 
 import functools
+import logging
 import os
 import time
 from collections import deque
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from .io.decode import ChunkPrefetcher
 from .models.dog_tracker import make_spec, tracker_fns
@@ -80,13 +83,34 @@ AUTO_DEPTH_MAX = 7
 RING_BUDGET_MB = 512
 
 
-def auto_depth_cap(frame_shape, k_frames: int) -> int:
+def auto_depth_cap(frame_shape, k_frames: int, lanes: int = 1) -> int:
     """Depth cap for ``pipeline_depth="auto"``: :data:`AUTO_DEPTH_MAX`,
     bounded so the retained decode ring ((depth+2)*K frames plus the decode
-    margin) stays within :data:`RING_BUDGET_MB` for this frame size."""
+    margin) stays within :data:`RING_BUDGET_MB` for this frame size.
+    ``lanes`` divides the budget between concurrent streams (track_batch
+    opens one ring per video). The cap floors at depth 1 — a ring smaller
+    than (1+2)*K+8 frames cannot run the pipeline at all — and warns once
+    when that floor overruns the requested budget."""
     budget = float(os.environ.get("PAWS_RING_BUDGET_MB", RING_BUDGET_MB)) * 1e6
-    frames = int(budget // max(float(frame_shape[0]) * float(frame_shape[1]), 1.0))
-    return max(1, min(AUTO_DEPTH_MAX, (frames - 8) // max(k_frames, 1) - 2))
+    fb = max(float(frame_shape[0]) * float(frame_shape[1]), 1.0) * max(lanes, 1)
+    frames = int(budget // fb)
+    cap = min(AUTO_DEPTH_MAX, (frames - 8) // max(k_frames, 1) - 2)
+    if cap < 1:
+        _warn_ring_budget(round(budget / 1e6), lanes, frame_shape[1],
+                          frame_shape[0], round((3 * k_frames + 8) * fb / 1e6))
+        return 1
+    return cap
+
+
+@functools.lru_cache(maxsize=64)
+def _warn_ring_budget(budget_mb, lanes, w, h, need_mb) -> None:
+    """One-time (per configuration) warning that the depth-1 floor overruns
+    the requested ring budget."""
+    logger.warning(
+        "PAWS_RING_BUDGET_MB=%s cannot hold the minimum decode ring for "
+        "%d lane(s) of %dx%d frames (need ~%s MB); running at depth 1 "
+        "beyond the budget", budget_mb, lanes, w, h, need_mb,
+    )
 
 #: pipeline_depth="auto" deepens when the lagged drain blocks longer than
 #: this — one constant because there is one drain controller
@@ -1172,11 +1196,13 @@ class SpeculativePipeline:
         self.mode = mode
         self.auto_depth = depth == "auto"
         if self.auto_depth:
-            # memory cap from the TRUE decoded frame size, further bounded by
-            # the frontend's ring gate (auto_cap) so the controller can never
-            # deepen past what the retained decode ring was sized for
-            cap = auto_depth_cap(spec.frame_shape, K)
-            self.depth_max = min(cap, auto_cap) if auto_cap is not None else cap
+            # auto_cap is the single owner of the memory/ring bound when the
+            # frontend computed one (it already folded auto_depth_cap in);
+            # direct constructions without it get the memory cap here
+            self.depth_max = (
+                auto_cap if auto_cap is not None
+                else auto_depth_cap(spec.frame_shape, K)
+            )
         else:
             self.depth_max = depth
         self.depth_cur = 1 if self.auto_depth else depth
@@ -1276,7 +1302,12 @@ class SpeculativePipeline:
         if self.auto_depth:
             # long speculation horizons don't pay for this motion
             self.depth_cur = 1
-        self.accel[:] = 0.0  # the curvature estimate just failed its test
+        # the curvature estimate just failed its test: zero it AND the
+        # secant history, so accel stays off until two fresh post-replay
+        # chunks establish a new pair (without clearing _last_k, the very
+        # first replayed _accept would recompute accel from the same motion)
+        self.accel[:] = 0.0
+        self._last_k[:] = 0
         self.engine.reset()  # the device chain past this point is invalid
         for _, _, valid, tokens, buf in entries:
             origins = self.P - self.margin
@@ -1527,7 +1558,10 @@ def run_full_pipeline(
     pinned = bool(pin) and pin != "0"
     grow_groups = _grouping_pays()
     group_cap = max(1, (depth + 1) // 2)
-    group = {"target": min(int(pin), depth + 1) if pinned else 1}
+    # pin cap matches the ROI engines (GROUP_MAX): the same env var must
+    # mean the same maximum on every path
+    group = {"target": min(int(pin), _SingleEngine.GROUP_MAX) if pinned else 1,
+             "drained": 0}
 
     def _finish(out):
         if subpixel:
@@ -1580,8 +1614,13 @@ def run_full_pipeline(
             out, off = handle.result()
             blocked = time.perf_counter() - t0
             out_np = np.asarray(out)
-        if (not pinned and grow_groups and blocked > AUTO_DRAIN_BLOCK_S
-                and group["target"] < group_cap):
+        group["drained"] += 1
+        # warm-up exclusion: the first drains block on XLA compiles, not the
+        # link RPC — growing on them would compile super-programs mid-stream
+        # on a healthy link (the ROI controller gets this for free: depth
+        # must exhaust before its group grows)
+        if (not pinned and grow_groups and group["drained"] > depth + 2
+                and blocked > AUTO_DRAIN_BLOCK_S and group["target"] < group_cap):
             group["target"] += 1  # the RPC round trip is the residual
         positions.append(out_np[:k])
         if off is not None:
