@@ -319,3 +319,40 @@ def test_explicit_native_backend_raises_when_unavailable(counter_video, monkeypa
     src = decode.open_source(counter_video, backend="auto")
     assert isinstance(src, decode.OpenCVFrameSource)
     src.close()
+
+
+def test_fast_decode_tracks_inside_oracle(tmp_path, monkeypatch):
+    """PAWSIO_FAST_DECODE=1 skips the h264 in-loop deblocking filter
+    (pawsio.cpp open_impl) — pixels are NOT bit-exact vs a spec decode, but
+    the zero-sum DoG argmax must stay inside the <1 px oracle, and the
+    resampled frame GRID (count + timestamps) must be unchanged."""
+    import cv2
+
+    from pawsometracker_tpu import IJ, track
+
+    h, w, T = 120, 160, 48
+    path = str(tmp_path / "fast264.mp4")
+    wtr = native_io.NativeVideoWriter(path, w, h, 24)
+    truth = []
+    for t in range(T):
+        ij = (40 + t // 2, 50 + t)
+        truth.append(ij)
+        f = np.full((h, w), 128, np.uint8)
+        cv2.circle(f, (ij[1], ij[0]), 5, 0, -1)
+        wtr.write(f)
+    wtr.release()
+
+    ts_exact, ij_exact = track(
+        path, fps=24, start_location=IJ(40, 50), target_width=10, backend="native"
+    )
+    monkeypatch.setenv("PAWSIO_FAST_DECODE", "1")
+    ts_fast, ij_fast = track(
+        path, fps=24, start_location=IJ(40, 50), target_width=10, backend="native"
+    )
+    np.testing.assert_array_equal(ts_fast, ts_exact)
+    assert len(ij_fast) == T
+    err = np.linalg.norm(np.asarray(ij_fast) - np.asarray(truth), axis=1)
+    assert np.sqrt(np.mean(err**2)) < 1.0
+    # the loop-filter skip may move an argmax by at most a hair on this
+    # high-contrast synthetic target
+    assert np.max(np.abs(np.asarray(ij_fast) - np.asarray(ij_exact))) <= 1
