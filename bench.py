@@ -105,17 +105,17 @@ def _degraded_plan(probe_fps: float, wedged_below: float, slow_below: float):
 E2E_HEALTHY_PROBE_FPS = 100
 #: a MEASURED e2e median below this marks a mid-grade tunnel phase even when
 #: the probe looked healthy and the spread is tight (probe->steady ratio is
-#: noisy: probe ~100 can precede a ~200 fps steady phase). History: 290 was
-#: the post-memoization healthy capability (299 med / 291-330 reps); the bar
-#: now sits at the post-decode-fix + async-dispatch PROJECTION (~400-500
-#: capability: the measured host ceiling moved ~410 -> ~480-520 fps and the
-#: ~20-25% dispatch residual is overlapped; docs/bench_history.md) pending a
-#: healthy-tunnel measurement. If the projection overshoots, the
-#: consistent-attempts early-stop (_e2e_attempts_consistent) caps the cost
-#: at ONE extra audited attempt. Attempts below the bar get the bounded,
-#: fully-audited retry — best median wins, every attempt recorded in
-#: ``e2e_attempts``.
-E2E_HEALTHY_RESULT_FPS = 380
+#: noisy: probe ~100 can precede a ~200 fps steady phase). The 380 bar was
+#: the post-decode-fix + async-dispatch PROJECTION; the healthy-phase
+#: measurement it was pending (2026-08-19, quiet host, warm compiles,
+#: docs/bench_history.md "continued-3") landed clean default-config runs at
+#: 279-326 fps with the crop-section host ceiling at ~360-446 — the
+#: projection overshot (decode and dispatch share the single host core, so
+#: overlapping the dispatch residual cannot reclaim all of it). Bar sits
+#: just under the measured healthy band: above it, stop; below it, the
+#: bounded fully-audited retry (best median wins, every attempt recorded in
+#: ``e2e_attempts``; the consistent-attempts early-stop caps the cost).
+E2E_HEALTHY_RESULT_FPS = 290
 #: how long the headline stage may WAIT for a healthy tunnel phase before
 #: measuring anyway (phases last seconds-to-minutes; a measured 300 s window
 #: can sit entirely inside one bad phase — probe history of the r3 runs — so
@@ -555,7 +555,11 @@ def stage_pallas(d):
 
 
 def _cpu_loop(frames, truth, n, correlate):
-    """The reference hot loop shape: pad, window, DoG FIR, colmajor argmax."""
+    """The reference hot loop shape: pad, window, DoG FIR, colmajor argmax.
+    ``frames`` may be any iterable — when it streams from a decoder the
+    measured time includes decode, as the reference's own track() does."""
+    import itertools
+
     from pawsometracker_tpu.ops.dog_kernel import dog_kernel_2d, get_sigma
 
     k, L = dog_kernel_2d(get_sigma(TARGET_WIDTH), True)
@@ -563,7 +567,7 @@ def _cpu_loop(frames, truth, n, correlate):
     half = L // 2
     pos = tuple(int(v) for v in truth[0])
     t0 = time.perf_counter()
-    for f in frames[:n]:
+    for f in itertools.islice(frames, n):
         pad = np.pad(
             f.astype(np.float64),
             ((r + half, r + half), (r + half, r + half)),
@@ -613,6 +617,45 @@ def stage_cpu_mt(d):
     fpss = [_cpu_loop(frames, truth, n, corr) for _ in range(REPS)]
     s = _stats(fpss)
     return {"cpu_mt_fps": s["med"], "cpu_mt_spread": s, "cpu_threads": os.cpu_count() or 1}
+
+
+def stage_cpu_e2e(d):
+    """Reference-pipeline proxy measured END-TO-END — the vs_baseline
+    denominator. The reference's track() streams full frames from an ffmpeg
+    pipe and filters each one (src/PawsomeTracker.jl:155-174): it cannot
+    track faster than it decodes, so the filter-only proxy (stage_cpu_mt)
+    OVERSTATES it by the decode share of the core. This stage runs the same
+    hot loop as stage_cpu_mt (multithreaded FIR via torch conv2d) but pulls
+    frames straight from the decoder inside the timed loop — apples-to-apples
+    with our e2e stage, which also pays its decode. Filter-only and 1-thread
+    ratios stay reported alongside."""
+    import torch
+
+    from pawsometracker_tpu.io.decode import open_source
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    path, truth = _clip(d)
+    n = min(N_FRAMES, 96)
+
+    def corr(patch, k):
+        pt = torch.from_numpy(patch)[None, None]
+        kt = torch.from_numpy(np.ascontiguousarray(k))[None, None]
+        return torch.nn.functional.conv2d(pt, kt)[0, 0].numpy()
+
+    def stream(src):
+        while True:
+            f = src.read()
+            if f is None:
+                return
+            yield f
+
+    def one_pass():
+        with open_source(path, fps=FPS) as src:
+            return _cpu_loop(stream(src), truth, n, corr)
+
+    fpss = [one_pass() for _ in range(REPS)]
+    s = _stats(fpss)
+    return {"cpu_e2e_fps": s["med"], "cpu_e2e_spread": s}
 
 
 def stage_pdecode(d):
@@ -703,6 +746,7 @@ STAGES = {
     "hostceil": (stage_hostceil, 420),
     "cpu": (stage_cpu, 420),
     "cpu_mt": (stage_cpu_mt, 420),
+    "cpu_e2e": (stage_cpu_e2e, 420),
     "e2e": (stage_e2e, 1200),
     "batch": (stage_batch, 900),
     "pdecode": (stage_pdecode, 420),
@@ -871,7 +915,10 @@ def main():
         "clip_frames": N_FRAMES,
         "host_cores": os.cpu_count() or 1,
         "note": (
-            "medians of {} reps with min/max spread; decode_fps = full frames "
+            "medians of {} reps with min/max spread; vs_baseline = e2e_fps / "
+            "cpu_e2e_fps, BOTH measured end-to-end on this host (the reference "
+            "pipeline pays full-frame decode too — filter-only vs_baseline_mt "
+            "and 1-thread vs_baseline_1t also reported); decode_fps = full frames "
             "into Python while e2e crops ROIs in C++ (e2e may exceed decode); "
             "tunnel-attached TPU varies ~15x run-to-run — wide spreads mark "
             "degraded phases. On a 1-core host both single and batch e2e are "
@@ -935,6 +982,21 @@ def main():
     fps_mt = fps_mt or HIST_CPU_MT_FPS
     detail["vs_baseline_1t"] = round(fps_e2e / fps_1t, 2)
     detail["vs_baseline_mt"] = round(fps_e2e / fps_mt, 2)
+    # headline denominator: the reference pipeline measured END-TO-END
+    # (stream decode + multithreaded FIR — the reference cannot track faster
+    # than it decodes; stage_cpu_e2e docstring). When the stage is missing,
+    # compose the serialized share honestly from the measured decode and
+    # filter rates on the same core and say so.
+    fps_ce = detail.get("cpu_e2e_fps")
+    if not fps_ce:
+        HIST_DECODE_FPS = 158.9  # BENCH_r02 median
+        dec = detail.get("decode_fps") or HIST_DECODE_FPS
+        fps_ce = 1.0 / (1.0 / dec + 1.0 / fps_mt)
+        detail["cpu_e2e_source"] = (
+            "stage missing this run; composed 1/(1/decode_fps + 1/cpu_mt_fps) "
+            f"= {fps_ce:.1f} fps"
+        )
+    detail["vs_baseline_e2e"] = round(fps_e2e / fps_ce, 2)
     if detail.get("device_roi_fps"):
         # hot-loop vs hot-loop: device-resident ROI scan vs the CPU FIR step
         detail["hotloop_vs_cpu_mt"] = round(detail["device_roi_fps"] / fps_mt, 1)
@@ -993,7 +1055,7 @@ def main():
         "metric": "tracked frames/sec/chip, end-to-end 1080p (decode+track)",
         "value": fps_e2e,
         "unit": "frames/sec",
-        "vs_baseline": detail["vs_baseline_mt"],
+        "vs_baseline": detail["vs_baseline_e2e"],
         "detail": detail,
     }
     print(json.dumps(result))

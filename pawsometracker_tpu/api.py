@@ -265,7 +265,9 @@ def _track_one(
         stream != "full" and depth_gate > 0 and speculate == "predict"
         and isinstance(dia, Dont)
     )
-    if pipeline_depth == "auto":
+    if pipeline_depth == "auto" and stream != "full":
+        # (the full-frame path derives its own budgeted depth and never
+        # retains a ring, so the header probe would be dead per-call I/O)
         depth_gate = _auto_ring_gate(file, roi_frames, depth_gate)
     ring = (depth_gate + 2) * roi_frames + 8 if retention_possible else None
     src = open_source(

@@ -1612,8 +1612,11 @@ def run_full_pipeline(
         with timer.section("drain"):
             t0 = time.perf_counter()
             out, off = handle.result()
-            blocked = time.perf_counter() - t0
+            # the result materialization is where the link wait actually
+            # lands (the group task returns lazy device arrays): include it
+            # in the blocked window, like the ROI controller's to_host()
             out_np = np.asarray(out)
+            blocked = time.perf_counter() - t0
         group["drained"] += 1
         # warm-up exclusion: the first drains block on XLA compiles, not the
         # link RPC — growing on them would compile super-programs mid-stream

@@ -23,12 +23,12 @@ def test_degraded_detection(bench):
         {"e2e_fps": 300, "e2e_spread": {"med": 300, "min": 100, "max": 320}}
     )
     # a tight spread below the healthy-phase capability is a mid-grade phase
-    # (bar = post-decode-fix + async-dispatch projection, ~400-500 capability;
-    # the consistency early-stop bounds retries if the projection overshoots)
+    # (bar = measured healthy band 2026-08-19, just under its 279-326 floor;
+    # the consistency early-stop bounds retries either way)
     assert bench._e2e_is_degraded(
         {"e2e_fps": 222, "e2e_spread": {"med": 222, "min": 214, "max": 259}}
     )
-    assert bench._e2e_is_degraded(
+    assert not bench._e2e_is_degraded(
         {"e2e_fps": 299, "e2e_spread": {"med": 299, "min": 292, "max": 327}}
     )
     assert not bench._e2e_is_degraded(

@@ -342,6 +342,7 @@ def test_fast_decode_tracks_inside_oracle(tmp_path, monkeypatch):
         wtr.write(f)
     wtr.release()
 
+    monkeypatch.delenv("PAWSIO_FAST_DECODE", raising=False)
     ts_exact, ij_exact = track(
         path, fps=24, start_location=IJ(40, 50), target_width=10, backend="native"
     )

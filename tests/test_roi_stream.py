@@ -439,6 +439,7 @@ def test_auto_depth_cap_memory_bound(monkeypatch):
     shrinks on large frames so the retained ring respects the byte budget."""
     from pawsometracker_tpu.pipeline import AUTO_DEPTH_MAX, auto_depth_cap
 
+    monkeypatch.delenv("PAWS_RING_BUDGET_MB", raising=False)
     assert auto_depth_cap((1080, 1920), 8) == AUTO_DEPTH_MAX
     cap_4k = auto_depth_cap((2160, 3840), 8)
     assert 1 <= cap_4k < AUTO_DEPTH_MAX

@@ -10,6 +10,11 @@ Usage:
     python tools/tpu_interleave.py dispatch [pairs]   # async vs sync dispatch
     python tools/tpu_interleave.py group [pairs]      # group=1 vs group=4 @ depth 7
     python tools/tpu_interleave.py depth [pairs]      # auto depth vs depth=1
+    python tools/tpu_interleave.py autod3 [pairs]     # shipped auto vs fixed depth 3
+
+Every mode sets BOTH arms' env explicitly (ambient PAWS_* pins from a prior
+shell experiment would otherwise leak into "default" arms and mistune the
+comparison).
 
 Prints one JSON line with per-rep fps for both arms and the paired ratios.
 """
@@ -32,23 +37,23 @@ MODES = {
         {},
     ),
     "group": (
-        {"PAWS_DISPATCH_GROUP": "1"},
+        {"PAWS_DISPATCH_GROUP": "1", "PAWS_SYNC_DISPATCH": "0"},
         {"pipeline_depth": 7},
-        {"PAWS_DISPATCH_GROUP": "4"},
+        {"PAWS_DISPATCH_GROUP": "4", "PAWS_SYNC_DISPATCH": "0"},
         {"pipeline_depth": 7},
     ),
     "depth": (
-        {"PAWS_DISPATCH_GROUP": "1"},
+        {"PAWS_DISPATCH_GROUP": "1", "PAWS_SYNC_DISPATCH": "0"},
         {},
-        {"PAWS_DISPATCH_GROUP": "1"},
+        {"PAWS_DISPATCH_GROUP": "1", "PAWS_SYNC_DISPATCH": "0"},
         {"pipeline_depth": 1},
     ),
     # the shipped auto controller vs the best fixed point from the round-2
     # K/depth sweep — auto must match it or the default is mistuned
     "autod3": (
+        {"PAWS_DISPATCH_GROUP": "", "PAWS_SYNC_DISPATCH": "0"},
         {},
-        {},
-        {},
+        {"PAWS_DISPATCH_GROUP": "", "PAWS_SYNC_DISPATCH": "0"},
         {"pipeline_depth": 3, "roi_frames": 8, "speculate": "predict"},
     ),
 }
