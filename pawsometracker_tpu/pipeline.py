@@ -587,44 +587,42 @@ class _SerialDispatcher:
             self._ex = None
 
 
-class _SingleEngine:
-    """Lane adapter for L=1 over the UNBATCHED scans — keeps the measured
-    single-target engine (fused Pallas or XLA) byte-for-byte.
+class _GroupDispatchBase:
+    """RPC-coalescing group dispatch, shared by every engine adapter.
 
-    **Group dispatch**: on a remote-attached TPU each jit call is a tunnel
-    RPC, and at the decode rates the native layer reaches the per-chunk
-    round trip is the residual bottleneck (hostceil bench stage). The engine
-    therefore STAGES dispatches and flushes ``group_target`` of them as ONE
-    jitted program (:func:`make_super_chain`) + one result fetch. Crop H2D
-    still starts at stage time (a transfer task per chunk on the FIFO
-    worker) so upload keeps overlapping decode. ``group_target`` starts at 1
-    and is grown by the controller when the lagged drain still blocks at max
-    depth; a mispredict replay resets it (staler aim buys only replays).
-    Results are bit-identical at every group size — same inner scan, same
-    chaining math — and the containment validation never depends on
-    dispatch shape. ``PAWS_DISPATCH_GROUP`` pins the size (debug/tests)."""
+    On a remote-attached TPU each jit call is a tunnel RPC, and at the
+    decode rates the native layer reaches the per-chunk round trip is the
+    residual bottleneck (hostceil bench stage). Engines therefore STAGE
+    dispatches and flush ``group_target`` of them as ONE jitted program
+    (the ``make_super_*`` factories) + one result fetch. H2D still starts
+    at stage time (a transfer task per entry on the FIFO worker) so upload
+    keeps overlapping decode. ``group_target`` starts at 1 and is grown by
+    the controller when the lagged drain still blocks at max depth; a
+    mispredict replay resets it (staler aim buys only replays). Results are
+    bit-identical at every group size — same inner scan, same chaining math
+    — and containment validation never depends on dispatch shape.
+    ``PAWS_DISPATCH_GROUP`` pins the size (debug/tests).
+
+    Subclasses keep their on-device chain state in ``_prev`` (+ whatever
+    else ``_reset_task`` clears), stage entries as tuples whose LAST element
+    is the :class:`_GroupHandle`, and implement the device work:
+    ``_run_first(entry)`` (no chain yet — consumes the absolute start),
+    ``_run_chain(entry)`` (single chained scan) and ``_run_super(rest)``
+    (S>=2 scans in one super-program), each returning per-entry results.
+    All three run on the FIFO worker thread."""
 
     GROUP_MAX = 4
 
-    def __init__(self, scan_first, scan_chain, crop_shape, frame_shape, fill, subpixel, timer):
-        import jax.numpy as jnp
-
-        self._jnp = jnp
-        self.scan_first = scan_first
-        self.scan_chain = scan_chain
-        self.ch, self.cw = crop_shape
-        self.H, self.W = frame_shape
-        self.fill_dev = np.uint8(fill)
-        self.subpixel = subpixel
-        self.timer = timer
+    def _init_grouping(self, group_allowed: bool = True):
         self._disp = _SerialDispatcher()
         self._prev = None
-        self._prev_origin = None
-        self._stage: list = []  # (xfer_future, origin, P0, handle), main thread only
+        self._stage: list = []  # staged entries, main thread only
         self._chain_started = False
         pin = os.environ.get("PAWS_DISPATCH_GROUP")
         self._group_pinned = bool(pin) and pin != "0"
-        self.group_target = min(int(pin), self.GROUP_MAX) if self._group_pinned else 1
+        self._group_allowed = group_allowed
+        want = min(int(pin), self.GROUP_MAX) if self._group_pinned else 1
+        self.group_target = want if group_allowed else 1
 
     def reset(self):
         """Invalidate the on-device chain (replay / run start). The stage
@@ -644,8 +642,75 @@ class _SingleEngine:
         before its leader is drained, and grouping would SERIALIZE decode
         against the device instead of amortizing the RPC (measured: pinned
         S=4 at shallow depth is ~25% slower e2e than S=1)."""
-        if not self._group_pinned and self.group_target < min(cap, self.GROUP_MAX):
+        if (self._group_allowed and not self._group_pinned
+                and self.group_target < min(cap, self.GROUP_MAX)):
             self.group_target += 1
+
+    def _reset_task(self):
+        self._prev = None
+
+    def _stage_entry(self, entry):
+        """Stage one dispatch; flush when the group fills. The first dispatch
+        of a chain flushes alone: the group program assumes an existing
+        on-device chain (``_run_first`` handles the absolute start)."""
+        self._stage.append(entry)
+        if len(self._stage) >= self.group_target or not self._chain_started:
+            self._flush()
+        self._chain_started = True
+        return entry[-1]
+
+    def _flush(self):
+        if not self._stage:
+            return
+        entries, self._stage = self._stage, []
+        fut = self._disp.submit(self._group_task, entries)
+        for i, e in enumerate(entries):
+            e[-1].fut, e[-1].idx = fut, i
+
+    def _group_task(self, entries):
+        results = [None] * len(entries)
+        i = 0
+        if self._prev is None:
+            results[0] = self._run_first(entries[0])
+            i = 1
+        rest = entries[i:]
+        if len(rest) == 1:
+            results[i] = self._run_chain(rest[0])
+        elif rest:
+            for s, r in enumerate(self._run_super(rest)):
+                results[i + s] = r
+        return results
+
+    def _materialize(self, handle):
+        """Join a handle's group (flushing a partial group first if the
+        controller drained before it filled)."""
+        if handle.fut is None:
+            self._flush()
+        return handle.result()
+
+    def close(self):
+        self._disp.close()
+
+
+class _SingleEngine(_GroupDispatchBase):
+    """Lane adapter for L=1 over the UNBATCHED scans — keeps the measured
+    single-target engine (fused Pallas or XLA) byte-for-byte. Group dispatch
+    via :class:`_GroupDispatchBase` (super-programs from
+    :func:`make_super_chain`)."""
+
+    def __init__(self, scan_first, scan_chain, crop_shape, frame_shape, fill, subpixel, timer):
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        self.scan_first = scan_first
+        self.scan_chain = scan_chain
+        self.ch, self.cw = crop_shape
+        self.H, self.W = frame_shape
+        self.fill_dev = np.uint8(fill)
+        self.subpixel = subpixel
+        self.timer = timer
+        self._prev_origin = None
+        self._init_grouping()
 
     def _reset_task(self):
         self._prev = None
@@ -656,22 +721,9 @@ class _SingleEngine:
         # the live self.P; origins is fresh per iteration but cheap to pin);
         # start the H2D now so upload overlaps the next chunk's decode
         xfut = self._disp.submit(self._jnp.asarray, buf[0])
-        h = _GroupHandle()
-        self._stage.append((xfut, origins[0].copy(), P_abs[0].copy(), h))
-        # the first dispatch of a chain flushes alone: the group program
-        # assumes an existing on-device chain (scan_first handles pos0)
-        if len(self._stage) >= self.group_target or not self._chain_started:
-            self._flush()
-        self._chain_started = True
-        return h
-
-    def _flush(self):
-        if not self._stage:
-            return
-        entries, self._stage = self._stage, []
-        fut = self._disp.submit(self._group_task, entries)
-        for i, (_, _, _, h) in enumerate(entries):
-            h.fut, h.idx = fut, i
+        return self._stage_entry(
+            (xfut, origins[0].copy(), P_abs[0].copy(), _GroupHandle())
+        )
 
     def _bounds(self, o):
         lo = np.maximum([-o[0], -o[1]], 0).astype(np.int32)
@@ -690,58 +742,47 @@ class _SingleEngine:
         self._prev, self._prev_origin = pos, o
         return (pos, off)
 
-    def _group_task(self, entries):
-        jnp = self._jnp
-        results = [None] * len(entries)
-        i = 0
-        if self._prev is None:
-            xfut, o, P0, _ = entries[0]
-            lo, hi = self._bounds(o)
-            pos_rel = jnp.asarray((P0 - o).astype(np.int32))
-            with self.timer.section("device"):
-                out = self.scan_first(xfut.result(), pos_rel, self.fill_dev, lo, hi)
-            results[0] = self._finish(out, o)
-            i = 1
-        rest = entries[i:]
-        if len(rest) == 1:
-            xfut, o, _, _ = rest[0]
-            lo, hi = self._bounds(o)
-            delta = (self._prev_origin - o).astype(np.int32)
-            with self.timer.section("device"):
-                out = self.scan_chain(xfut.result(), self._prev, delta,
-                                      self.fill_dev, lo, hi)
-            results[i] = self._finish(out, o)
-        elif rest:
-            S = len(rest)
-            sup = make_super_chain(self.scan_first, S, self.subpixel)
-            origins = [e[1] for e in rest]
-            prev_o = [self._prev_origin] + origins[:-1]
-            deltas = np.stack(
-                [prev_o[s] - origins[s] for s in range(S)]
-            ).astype(np.int32)
-            bounds = [self._bounds(o) for o in origins]
-            los = np.stack([b[0] for b in bounds])
-            his = np.stack([b[1] for b in bounds])
-            crops = tuple(e[0].result() for e in rest)
-            with self.timer.section("device"):
-                outs = sup(crops, self._prev, deltas, self.fill_dev, los, his)
-            for s, out in enumerate(outs):
-                results[i + s] = self._finish(out, origins[s])
-        return results
+    def _run_first(self, entry):
+        xfut, o, P0, _ = entry
+        lo, hi = self._bounds(o)
+        pos_rel = self._jnp.asarray((P0 - o).astype(np.int32))
+        with self.timer.section("device"):
+            out = self.scan_first(xfut.result(), pos_rel, self.fill_dev, lo, hi)
+        return self._finish(out, o)
+
+    def _run_chain(self, entry):
+        xfut, o, _, _ = entry
+        lo, hi = self._bounds(o)
+        delta = (self._prev_origin - o).astype(np.int32)
+        with self.timer.section("device"):
+            out = self.scan_chain(xfut.result(), self._prev, delta,
+                                  self.fill_dev, lo, hi)
+        return self._finish(out, o)
+
+    def _run_super(self, rest):
+        S = len(rest)
+        sup = make_super_chain(self.scan_first, S, self.subpixel)
+        origins = [e[1] for e in rest]
+        prev_o = [self._prev_origin] + origins[:-1]
+        deltas = np.stack(
+            [prev_o[s] - origins[s] for s in range(S)]
+        ).astype(np.int32)
+        bounds = [self._bounds(o) for o in origins]
+        los = np.stack([b[0] for b in bounds])
+        his = np.stack([b[1] for b in bounds])
+        crops = tuple(e[0].result() for e in rest)
+        with self.timer.section("device"):
+            outs = sup(crops, self._prev, deltas, self.fill_dev, los, his)
+        return [self._finish(out, origins[s]) for s, out in enumerate(outs)]
 
     def to_host(self, handle):
-        if handle.fut is None:
-            self._flush()  # drained before its group filled: flush partial
-        pos, off = handle.result()
+        pos, off = self._materialize(handle)
         pos_np = np.asarray(pos)[None]  # [1, K, 2]
         off_np = None if off is None else np.asarray(off)[None]
         return pos_np, off_np
 
-    def close(self):
-        self._disp.close()
 
-
-class _BatchedEngine:
+class _BatchedEngine(_GroupDispatchBase):
     """Lane adapter over the batched bounded scans ``fn([L,K,ch,cw], [L,2],
     [L], [L,2], [L,2])`` — vmapped XLA, the grid=(L,T) fused Pallas kernel,
     or the mesh-sharded variants (``shard`` places host arrays on the mesh).
@@ -750,9 +791,7 @@ class _BatchedEngine:
     cost is per DISPATCH, not per lane, so N-target streams gain the same
     ~S× reduction) — except under a mesh, where the super-program would need
     explicit shardings for its intermediates; the sharded path keeps
-    per-chunk dispatch."""
-
-    GROUP_MAX = 4
+    per-chunk dispatch (``group_allowed=False``: the pin is ignored too)."""
 
     def __init__(self, scan_bounded, crop_shape, frame_shape, fills_dev, subpixel, timer, shard=None):
         import jax.numpy as jnp
@@ -767,27 +806,8 @@ class _BatchedEngine:
         self.timer = timer
         self._meshless = shard is None
         self.shard = shard if shard is not None else jnp.asarray
-        self._disp = _SerialDispatcher()
-        self._prev = None
         self._prev_origins = None
-        self._stage: list = []  # (xfer_future, origins, P_abs, handle)
-        self._chain_started = False
-        pin = os.environ.get("PAWS_DISPATCH_GROUP")
-        self._group_pinned = bool(pin) and pin != "0"
-        want = min(int(pin), self.GROUP_MAX) if self._group_pinned else 1
-        self.group_target = want if self._meshless else 1
-
-    def reset(self):
-        self._stage.clear()
-        self._chain_started = False
-        if not self._group_pinned:
-            self.group_target = 1
-        self._disp.submit(self._reset_task)
-
-    def grow_group(self, cap: int = GROUP_MAX):
-        if (self._meshless and not self._group_pinned
-                and self.group_target < min(cap, self.GROUP_MAX)):
-            self.group_target += 1
+        self._init_grouping(group_allowed=self._meshless)
 
     def _reset_task(self):
         self._prev = None
@@ -795,20 +815,9 @@ class _BatchedEngine:
 
     def dispatch(self, buf, origins, P_abs):
         xfut = self._disp.submit(self.shard, buf)
-        h = _GroupHandle()
-        self._stage.append((xfut, origins.copy(), P_abs.copy(), h))
-        if len(self._stage) >= self.group_target or not self._chain_started:
-            self._flush()
-        self._chain_started = True
-        return h
-
-    def _flush(self):
-        if not self._stage:
-            return
-        entries, self._stage = self._stage, []
-        fut = self._disp.submit(self._group_task, entries)
-        for i, (_, _, _, h) in enumerate(entries):
-            h.fut, h.idx = fut, i
+        return self._stage_entry(
+            (xfut, origins.copy(), P_abs.copy(), _GroupHandle())
+        )
 
     def _bounds(self, origins):
         L = origins.shape[0]
@@ -829,63 +838,52 @@ class _BatchedEngine:
         self._prev, self._prev_origins = pos, origins
         return (pos, off)
 
-    def _group_task(self, entries):
-        jnp = self._jnp
-        results = [None] * len(entries)
-        i = 0
-        if self._prev is None:
-            xfut, origins, P_abs, _ = entries[0]
-            lo, hi = self._bounds(origins)
-            with self.timer.section("device"):
-                out = self.scan(
-                    xfut.result(),
-                    jnp.asarray((P_abs - origins).astype(np.int32)),
-                    self.fills_dev,
-                    self.shard(lo),
-                    self.shard(hi),
-                )
-            results[0] = self._finish(out, origins)
-            i = 1
-        rest = entries[i:]
-        if len(rest) == 1:
-            xfut, origins, _, _ = rest[0]
-            lo, hi = self._bounds(origins)
-            with self.timer.section("device"):
-                out = self.chain(
-                    xfut.result(),
-                    self._prev,
-                    jnp.asarray((self._prev_origins - origins).astype(np.int32)),
-                    self.fills_dev,
-                    self.shard(lo),
-                    self.shard(hi),
-                )
-            results[i] = self._finish(out, origins)
-        elif rest:
-            S = len(rest)
-            sup = make_super_chain_batch(self.scan, S, self.subpixel)
-            origins_l = [e[1] for e in rest]
-            prev_o = [self._prev_origins] + origins_l[:-1]
-            deltas = np.stack(
-                [prev_o[s] - origins_l[s] for s in range(S)]
-            ).astype(np.int32)
-            bounds = [self._bounds(o) for o in origins_l]
-            los = np.stack([b[0] for b in bounds])
-            his = np.stack([b[1] for b in bounds])
-            crops = tuple(e[0].result() for e in rest)
-            with self.timer.section("device"):
-                outs = sup(crops, self._prev, deltas, self.fills_dev, los, his)
-            for s, out in enumerate(outs):
-                results[i + s] = self._finish(out, origins_l[s])
-        return results
+    def _run_first(self, entry):
+        xfut, origins, P_abs, _ = entry
+        lo, hi = self._bounds(origins)
+        with self.timer.section("device"):
+            out = self.scan(
+                xfut.result(),
+                self._jnp.asarray((P_abs - origins).astype(np.int32)),
+                self.fills_dev,
+                self.shard(lo),
+                self.shard(hi),
+            )
+        return self._finish(out, origins)
+
+    def _run_chain(self, entry):
+        xfut, origins, _, _ = entry
+        lo, hi = self._bounds(origins)
+        with self.timer.section("device"):
+            out = self.chain(
+                xfut.result(),
+                self._prev,
+                self._jnp.asarray((self._prev_origins - origins).astype(np.int32)),
+                self.fills_dev,
+                self.shard(lo),
+                self.shard(hi),
+            )
+        return self._finish(out, origins)
+
+    def _run_super(self, rest):
+        S = len(rest)
+        sup = make_super_chain_batch(self.scan, S, self.subpixel)
+        origins_l = [e[1] for e in rest]
+        prev_o = [self._prev_origins] + origins_l[:-1]
+        deltas = np.stack(
+            [prev_o[s] - origins_l[s] for s in range(S)]
+        ).astype(np.int32)
+        bounds = [self._bounds(o) for o in origins_l]
+        los = np.stack([b[0] for b in bounds])
+        his = np.stack([b[1] for b in bounds])
+        crops = tuple(e[0].result() for e in rest)
+        with self.timer.section("device"):
+            outs = sup(crops, self._prev, deltas, self.fills_dev, los, his)
+        return [self._finish(out, origins_l[s]) for s, out in enumerate(outs)]
 
     def to_host(self, handle):
-        if handle.fut is None:
-            self._flush()
-        pos, off = handle.result()
+        pos, off = self._materialize(handle)
         return np.asarray(pos), (None if off is None else np.asarray(off))
-
-    def close(self):
-        self._disp.close()
 
 
 # ---------------------------------------------------------------------------
@@ -1511,6 +1509,60 @@ def make_super_full(scan, S: int, subpixel: bool):
     return jax.jit(sup)
 
 
+class _FullFrameEngine(_GroupDispatchBase):
+    """Engine adapter for the full-frame path: chunks are whole frames, so
+    there are no origins/bounds — the chain state is just the previous
+    chunk's (lazy) positions. Group dispatch via :class:`_GroupDispatchBase`
+    (super-programs from :func:`make_super_full`)."""
+
+    def __init__(self, scan, pos0_abs, fill, subpixel, timer):
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        self.scan = scan
+        self.scan_chain = make_chained_full(scan)
+        self.pos0 = jnp.asarray(np.asarray(pos0_abs, np.int32))
+        self.fill_dev = np.uint8(fill)
+        self.subpixel = subpixel
+        self.timer = timer
+        self._init_grouping()
+
+    def dispatch(self, chunk_in):
+        xfut = self._disp.submit(self._jnp.asarray, chunk_in)
+        return self._stage_entry((xfut, _GroupHandle()))
+
+    def _finish(self, out):
+        if self.subpixel:
+            out, off = out
+            _to_host_async(out, off)
+        else:
+            off = None
+            _to_host_async(out)
+        self._prev = out
+        return out, off
+
+    def _run_first(self, entry):
+        with self.timer.section("device"):
+            return self._finish(self.scan(entry[0].result(), self.pos0, self.fill_dev))
+
+    def _run_chain(self, entry):
+        with self.timer.section("device"):
+            return self._finish(
+                self.scan_chain(entry[0].result(), self._prev, self.fill_dev)
+            )
+
+    def _run_super(self, rest):
+        sup = make_super_full(self.scan, len(rest), self.subpixel)
+        chunks = tuple(e[0].result() for e in rest)
+        with self.timer.section("device"):
+            outs = sup(chunks, self._prev, self.fill_dev)
+        return [self._finish(out) for out in outs]
+
+    def to_host(self, handle):
+        out, off = self._materialize(handle)
+        return np.asarray(out), (None if off is None else np.asarray(off))
+
+
 def run_full_pipeline(
     src,
     spec,
@@ -1532,102 +1584,43 @@ def run_full_pipeline(
     positions ``depth`` chunks behind (no origins, no speculation — frames are
     whole, so results are trivially identical to the synchronous loop).
     Dispatch (the full-frame H2D is 2 MB/frame at 1080p) runs on the same
-    FIFO worker the engine adapters use — see :class:`_SerialDispatcher`."""
-    import jax.numpy as jnp
-
-    scan_chain = make_chained_full(scan)
-    fill_dev = np.uint8(fill)
+    FIFO worker the engine adapters use — see :class:`_SerialDispatcher`;
+    group dispatch adapts on blocked drains exactly as in the ROI engines,
+    capped at (depth+1)//2 so two groups stay in flight (overlap — without
+    it grouping serializes decode against the device and LOSES, measured)."""
     positions: list[np.ndarray] = []
     offsets: list[np.ndarray] = []
     tracked = 0
-    state = {"prev": None}  # owned by the dispatch worker (serial tasks)
-    disp = _SerialDispatcher()
     pending: deque = deque()  # (_GroupHandle, k, frames_for_dia)
-    stage: list = []  # (xfer_future, handle), main thread only
 
     from .diagnose import Dont
 
     keep = not isinstance(dia, Dont)
-
-    # group dispatch, as in _SingleEngine: coalesce staged chunk scans into
-    # one jitted program per RPC; adapts on blocked drains, capped at
-    # (depth+1)//2 so two groups stay in flight (overlap — without it
-    # grouping serializes decode against the device and LOSES, measured).
-    # PAWS_DISPATCH_GROUP pins (results identical — same inner scan + chain)
-    pin = os.environ.get("PAWS_DISPATCH_GROUP")
-    pinned = bool(pin) and pin != "0"
+    eng = _FullFrameEngine(scan, pos0_abs, fill, subpixel, timer)
     grow_groups = _grouping_pays()
     group_cap = max(1, (depth + 1) // 2)
-    # pin cap matches the ROI engines (GROUP_MAX): the same env var must
-    # mean the same maximum on every path
-    group = {"target": min(int(pin), _SingleEngine.GROUP_MAX) if pinned else 1,
-             "drained": 0}
-
-    def _finish(out):
-        if subpixel:
-            out, off = out
-            _to_host_async(out, off)
-        else:
-            off = None
-            _to_host_async(out)
-        state["prev"] = out
-        return out, off
-
-    def group_task(entries):
-        results = [None] * len(entries)
-        i = 0
-        if state["prev"] is None:
-            with timer.section("device"):
-                results[0] = _finish(scan(entries[0][0].result(), pos0, fill_dev))
-            i = 1
-        rest = entries[i:]
-        if len(rest) == 1:
-            with timer.section("device"):
-                results[i] = _finish(
-                    scan_chain(rest[0][0].result(), state["prev"], fill_dev)
-                )
-        elif rest:
-            sup = make_super_full(scan, len(rest), subpixel)
-            chunks = tuple(e[0].result() for e in rest)
-            with timer.section("device"):
-                outs = sup(chunks, state["prev"], fill_dev)
-            for s, out in enumerate(outs):
-                results[i + s] = _finish(out)
-        return results
-
-    def flush():
-        if not stage:
-            return
-        entries = list(stage)
-        stage.clear()
-        fut = disp.submit(group_task, entries)
-        for i, (_, h) in enumerate(entries):
-            h.fut, h.idx = fut, i
+    drained = 0
 
     def drain_one():
-        nonlocal tracked
+        nonlocal tracked, drained
         handle, k, frames = pending.popleft()
-        if handle.fut is None:
-            flush()
         with timer.section("drain"):
             t0 = time.perf_counter()
-            out, off = handle.result()
-            # the result materialization is where the link wait actually
-            # lands (the group task returns lazy device arrays): include it
-            # in the blocked window, like the ROI controller's to_host()
-            out_np = np.asarray(out)
+            # to_host materializes the result — that is where the link wait
+            # actually lands (the group task returns lazy device arrays), so
+            # it belongs inside the blocked window
+            out_np, off_np = eng.to_host(handle)
             blocked = time.perf_counter() - t0
-        group["drained"] += 1
+        drained += 1
         # warm-up exclusion: the first drains block on XLA compiles, not the
         # link RPC — growing on them would compile super-programs mid-stream
         # on a healthy link (the ROI controller gets this for free: depth
         # must exhaust before its group grows)
-        if (not pinned and grow_groups and group["drained"] > depth + 2
-                and blocked > AUTO_DRAIN_BLOCK_S and group["target"] < group_cap):
-            group["target"] += 1  # the RPC round trip is the residual
+        if grow_groups and drained > depth + 2 and blocked > AUTO_DRAIN_BLOCK_S:
+            eng.grow_group(group_cap)  # the RPC round trip is the residual
         positions.append(out_np[:k])
-        if off is not None:
-            offsets.append(np.asarray(off)[:k])
+        if off_np is not None:
+            offsets.append(off_np[:k])
         if keep:
             with timer.section("diagnose"):
                 for i in range(k):
@@ -1644,24 +1637,15 @@ def run_full_pipeline(
 
     prefetch = ChunkPrefetcher(src, chunk_size, max_frames=n_rest)
     prefetchers.append(prefetch)
-    pos0 = jnp.asarray(np.asarray(pos0_abs, np.int32))
     try:
-        first = True
         for chunk, chunk_in, k in padded_chunks(prefetch, chunk_size):
             while len(pending) > depth:
                 drain_one()
-            h = _GroupHandle()
-            stage.append((disp.submit(jnp.asarray, chunk_in), h))
-            pending.append((h, k, chunk))
-            # the first chunk flushes alone (scan vs scan_chain split lives
-            # in group_task's prev-is-None branch, valid only at slot 0)
-            if len(stage) >= group["target"] or first:
-                flush()
-            first = False
+            pending.append((eng.dispatch(chunk_in), k, chunk))
         while pending:
             drain_one()
     finally:
-        disp.close()
+        eng.close()
     return positions, offsets, tracked
 
 
