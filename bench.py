@@ -965,6 +965,14 @@ def main():
         # re-interrupted by a watchdog's follow-up signal.)
         detail["bench_interrupted"] = str(e)
 
+    print(json.dumps(_finalize(detail)))
+
+
+def _finalize(detail: dict) -> dict:
+    """Pure aggregation of the stage results into the one-line artifact:
+    baseline ratios (with honest fallbacks when a stage is missing), host
+    efficiency, MFU, and the roofline verdict. Separated from main() so the
+    derivation rules are unit-testable (tests/test_bench_logic.py)."""
     fps_e2e = detail.get("e2e_fps", 0.0)
     # when the CPU baseline stages were skipped (budget) or errored, fall
     # back to their HISTORICAL medians on this host rather than dividing by
@@ -1051,14 +1059,13 @@ def main():
         note = _roofline_phase_note(fps_e2e, binder, ceilings[binder])
         if note:
             detail["roofline"]["phase_note"] = note
-    result = {
+    return {
         "metric": "tracked frames/sec/chip, end-to-end 1080p (decode+track)",
         "value": fps_e2e,
         "unit": "frames/sec",
         "vs_baseline": detail["vs_baseline_e2e"],
         "detail": detail,
     }
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -258,3 +258,38 @@ def test_roofline_phase_note_names_the_binder(bench):
     assert note is not None and "host pipeline no-device ceiling" in note
     assert bench._roofline_phase_note(200.0, "x", 248.4) is None
     assert bench._roofline_phase_note(0.0, "x", 1.0) is None
+
+def test_finalize_headline_uses_e2e_denominator(bench):
+    """vs_baseline divides two END-TO-END rates (e2e_fps / cpu_e2e_fps);
+    the filter-only and 1-thread ratios stay reported alongside."""
+    detail = {"e2e_fps": 320.0, "cpu_1t_fps": 4.0, "cpu_mt_fps": 28.0,
+              "cpu_e2e_fps": 32.0}
+    out = bench._finalize(detail)
+    assert out["value"] == 320.0
+    assert out["vs_baseline"] == 10.0
+    d = out["detail"]
+    assert d["vs_baseline_e2e"] == 10.0
+    assert d["vs_baseline_mt"] == round(320.0 / 28.0, 2)
+    assert d["vs_baseline_1t"] == 80.0
+    assert "cpu_e2e_source" not in d  # measured, not composed
+
+
+def test_finalize_composes_missing_cpu_e2e(bench):
+    """A missing cpu_e2e stage composes the serialized decode+filter share
+    from the measured rates and SAYS SO in the artifact."""
+    detail = {"e2e_fps": 300.0, "cpu_1t_fps": 4.0, "cpu_mt_fps": 30.0,
+              "decode_fps": 150.0}
+    out = bench._finalize(detail)
+    composed = 1.0 / (1.0 / 150.0 + 1.0 / 30.0)  # = 25.0
+    assert out["vs_baseline"] == round(300.0 / composed, 2)
+    assert "composed" in out["detail"]["cpu_e2e_source"]
+
+
+def test_finalize_missing_cpu_stages_fall_back_honestly(bench):
+    """No CPU stages at all: historical medians, flagged — never a silent
+    divide-by-1 that would fabricate a ~300x speedup."""
+    out = bench._finalize({"e2e_fps": 280.0})
+    d = out["detail"]
+    assert "baseline_source" in d and "historical" in d["baseline_source"]
+    assert d["vs_baseline_mt"] == round(280.0 / 28.4, 2)
+    assert out["vs_baseline"] > 0
