@@ -115,7 +115,7 @@ E2E_HEALTHY_PROBE_FPS = 100
 #: just under the measured healthy band: above it, stop; below it, the
 #: bounded fully-audited retry (best median wins, every attempt recorded in
 #: ``e2e_attempts``; the consistent-attempts early-stop caps the cost).
-E2E_HEALTHY_RESULT_FPS = 290
+E2E_HEALTHY_RESULT_FPS = 275
 #: how long the headline stage may WAIT for a healthy tunnel phase before
 #: measuring anyway (phases last seconds-to-minutes; a measured 300 s window
 #: can sit entirely inside one bad phase — probe history of the r3 runs — so
@@ -596,8 +596,10 @@ def _cpu_loop(frames, truth, n, correlate):
     r = WINDOW // 2
     half = L // 2
     pos = tuple(int(v) for v in truth[0])
+    processed = 0
     t0 = time.perf_counter()
     for f in itertools.islice(frames, n):
+        processed += 1
         pad = np.pad(
             f.astype(np.float64),
             ((r + half, r + half), (r + half, r + half)),
@@ -610,7 +612,9 @@ def _cpu_loop(frames, truth, n, correlate):
             min(max(pos[0] - r + idx[1], 0), H - 1),
             min(max(pos[1] - r + idx[0], 0), W - 1),
         )
-    return n / (time.perf_counter() - t0)
+    # frames actually processed, not the requested n — a stream that yields
+    # fewer frames must not inflate the reported rate
+    return processed / (time.perf_counter() - t0)
 
 
 def stage_cpu(d):

@@ -56,22 +56,12 @@ def synthesize_demo_clips(d: str):
 
 
 def video_duration_s(path: str) -> float:
-    """Container duration via the native prober, cv2 fallback."""
-    try:
-        from pawsometracker_tpu.io.native_io import native_probe
+    """Container duration via the library's prober (native layer first,
+    cv2 fallback inside)."""
+    from pawsometracker_tpu.io.decode import probe
 
-        info = native_probe(path)
-        if info.frame_count > 0 and info.fps > 0:
-            return info.frame_count / info.fps
-    except Exception:
-        pass
-    import cv2
-
-    cap = cv2.VideoCapture(path)
-    n = cap.get(cv2.CAP_PROP_FRAME_COUNT)
-    fps = cap.get(cv2.CAP_PROP_FPS) or 24
-    cap.release()
-    return float(n / fps) if n > 0 else 0.0
+    info = probe(path)
+    return info.frame_count / info.fps if info.frame_count > 0 and info.fps > 0 else 0.0
 
 
 def main():

@@ -506,25 +506,28 @@ def test_auto_depth_memo_warm_starts_same_geometry():
     from pawsometracker_tpu.pipeline import _AUTO_DEPTH_MEMO, SpeculativePipeline
 
     _AUTO_DEPTH_MEMO.clear()
-    spec = make_spec((200, 200), 21, 10, True)
-    kw = dict(L=1, K=8, crop_shape=(61, 61), margin=(30, 30), spec=spec,
-              mode="predict", depth="auto", engine=None, source=None,
-              sink=None, timer=None)
-    p1 = SpeculativePipeline(**kw)
-    assert p1.depth_cur == 1
-    # simulate a converged run's recording (run() does this on clean exit)
-    p1.depth_cur = 5
-    _AUTO_DEPTH_MEMO[p1._memo_key] = p1.depth_cur
+    try:
+        spec = make_spec((200, 200), 21, 10, True)
+        kw = dict(L=1, K=8, crop_shape=(61, 61), margin=(30, 30), spec=spec,
+                  mode="predict", depth="auto", engine=None, source=None,
+                  sink=None, timer=None)
+        p1 = SpeculativePipeline(**kw)
+        assert p1.depth_cur == 1
+        # simulate a converged run's recording (run() does this on clean exit)
+        p1.depth_cur = 5
+        _AUTO_DEPTH_MEMO[p1._memo_key] = p1.depth_cur
 
-    p2 = SpeculativePipeline(**kw)
-    assert p2.depth_cur == 5
-    # the memo never exceeds this pipeline's own depth_max
-    p3 = SpeculativePipeline(**{**kw, "auto_cap": 2})
-    assert p3.depth_cur == 2
-    # a different geometry still ramps from 1
-    p4 = SpeculativePipeline(**{**kw, "K": 4})
-    assert p4.depth_cur == 1
-    # fixed depth ignores the memo entirely
-    p5 = SpeculativePipeline(**{**kw, "depth": 3})
-    assert p5.depth_cur == 3
-    _AUTO_DEPTH_MEMO.clear()
+        p2 = SpeculativePipeline(**kw)
+        assert p2.depth_cur == 5
+        # the memo never exceeds this pipeline's own depth_max
+        p3 = SpeculativePipeline(**{**kw, "auto_cap": 2})
+        assert p3.depth_cur == 2
+        # a different geometry still ramps from 1
+        p4 = SpeculativePipeline(**{**kw, "K": 4})
+        assert p4.depth_cur == 1
+        # fixed depth ignores the memo entirely
+        p5 = SpeculativePipeline(**{**kw, "depth": 3})
+        assert p5.depth_cur == 3
+    finally:
+        # a mid-test failure must not leak depth 5 into later tests' runs
+        _AUTO_DEPTH_MEMO.clear()

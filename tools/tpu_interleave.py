@@ -75,7 +75,13 @@ def main():
     if clip_dir is None:
         tmp = tempfile.mkdtemp()
         clip_dir = tmp
-        bench.synthesize_clip(clip_dir)
+        try:
+            bench.synthesize_clip(clip_dir)
+        except BaseException:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
     path = os.path.join(clip_dir, "bench1080.mp4")
     truth = np.load(os.path.join(clip_dir, "truth.npy"))
     p0 = IJ(int(truth[0][0]), int(truth[0][1]))
@@ -90,34 +96,38 @@ def main():
         err = np.linalg.norm(np.asarray(ij) - truth[: len(ij)], axis=1)
         return len(ij) / dt, float(np.sqrt(np.mean(err**2)))
 
-    # warm both arms (compiles + engine-decision cache) before measuring
-    t0 = time.perf_counter()
-    run(env_a, kw_a)
-    run(env_b, kw_b)
-    warm_s = time.perf_counter() - t0
+    import statistics
 
-    a_fps, b_fps, rmses = [], [], []
-    for _ in range(pairs):
-        fa, ra = run(env_a, kw_a)
-        fb, rb = run(env_b, kw_b)
-        a_fps.append(round(fa, 1))
-        b_fps.append(round(fb, 1))
-        rmses.extend([ra, rb])
-    ratios = [round(b / a, 3) for a, b in zip(a_fps, b_fps)]
-    out = {
-        "mode": mode,
-        "warm_s": round(warm_s, 1),
-        "a": {"env": env_a, "kw": kw_a, "fps": a_fps},
-        "b": {"env": env_b, "kw": kw_b, "fps": b_fps},
-        "b_over_a": ratios,
-        "median_ratio": sorted(ratios)[len(ratios) // 2],
-        "rmse_max": round(max(rmses), 3),
-    }
-    print(json.dumps(out))
-    if tmp is not None:
-        import shutil
+    try:
+        # warm both arms (compiles + engine-decision cache) before measuring
+        t0 = time.perf_counter()
+        run(env_a, kw_a)
+        run(env_b, kw_b)
+        warm_s = time.perf_counter() - t0
 
-        shutil.rmtree(tmp, ignore_errors=True)
+        a_fps, b_fps, rmses = [], [], []
+        for _ in range(pairs):
+            fa, ra = run(env_a, kw_a)
+            fb, rb = run(env_b, kw_b)
+            a_fps.append(round(fa, 1))
+            b_fps.append(round(fb, 1))
+            rmses.extend([ra, rb])
+        ratios = [round(b / a, 3) for a, b in zip(a_fps, b_fps)]
+        out = {
+            "mode": mode,
+            "warm_s": round(warm_s, 1),
+            "a": {"env": env_a, "kw": kw_a, "fps": a_fps},
+            "b": {"env": env_b, "kw": kw_b, "fps": b_fps},
+            "b_over_a": ratios,
+            "median_ratio": round(statistics.median(ratios), 3),
+            "rmse_max": round(max(rmses), 3),
+        }
+        print(json.dumps(out))
+    finally:
+        if tmp is not None:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
