@@ -60,6 +60,22 @@ def load_checkpoint(path: str):
         return None
 
 
+def _slice_worker(args):
+    """Run one slice's track() — module-level so multiprocessing 'spawn' can
+    import it. Used by ``isolate_slices=True`` (see track_resumable)."""
+    file, t0, t1, fps, loc, kw, platforms = args
+    if platforms:
+        # replicate the parent's platform pin (e.g. the test suite pins the
+        # CPU backend via jax.config, which a spawned child does not inherit)
+        import jax
+
+        jax.config.update("jax_platforms", platforms)
+    from .api import track
+
+    _, ij = track(file, start=t0, stop=t1, fps=fps, start_location=loc, **kw)
+    return np.asarray(ij)
+
+
 def _save(path: str, ts, ij, next_time: float, done: bool):
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:  # atomic: write-fsync-rename
@@ -78,17 +94,34 @@ def track_resumable(
     fps: float = 24,
     checkpoint_every: float = 60.0,
     start_location=None,
+    isolate_slices: bool = False,
     _max_slices: int | None = None,
     **track_kwargs,
 ):
     """Track ``file`` in checkpointed slices; resume from ``checkpoint_path``
     if it exists. Returns ``(ts, positions)`` for the WHOLE tracked range.
 
+    ``isolate_slices=True`` runs each slice's track() in a fresh spawned
+    subprocess. Results are identical (the cross-slice state is the same
+    single position either way); the point is BOUNDED HOST MEMORY on
+    platforms whose device client leaks per-transfer host staging — the
+    tunnel-attached TPU in this dev environment leaks ~1 byte per H2D byte
+    (measured, tools/leak_probe.py; docs/deployment.md "Known platform
+    issue"), which on a multi-hour recording adds up to many GB in-process.
+    Each slice subprocess re-pays jax import + XLA compile (~tens of
+    seconds), so pair it with a LARGE ``checkpoint_every`` (e.g. 600 s).
+    Requires a path input (in-memory frame arrays would be pickled wholesale).
+
     ``_max_slices`` limits the number of slices processed in this call (used
     by tests to simulate interruption); the checkpoint then holds the partial
     result.
     """
     stop = DEFAULT_MAX_DURATION_SECONDS if stop is None else float(stop)
+    if isolate_slices and not isinstance(file, (str, os.PathLike)):
+        raise ValueError(
+            "isolate_slices=True needs a path input (an in-memory frame array "
+            "would be pickled wholesale into every slice subprocess)"
+        )
     # align slice duration to whole frames so slice sampling == one-run sampling
     frames_per_slice = max(1, int(round(checkpoint_every * fps)))
     slice_dur = frames_per_slice / fps
@@ -127,9 +160,22 @@ def track_resumable(
         t1 = min(t0 + slice_dur, stop)
         expected = int(np.round(fps * (t1 - t0)))
         try:
-            _, ij_i = track(
-                file, start=t0, stop=t1, fps=fps, start_location=loc, **track_kwargs
-            )
+            if isolate_slices:
+                import multiprocessing
+
+                import jax
+
+                platforms = jax.config.jax_platforms  # None when env-driven
+                ctx = multiprocessing.get_context("spawn")
+                with ctx.Pool(1) as pool:  # apply() re-raises child exceptions
+                    ij_i = pool.apply(
+                        _slice_worker,
+                        ((file, t0, t1, fps, loc, track_kwargs, platforms),),
+                    )
+            else:
+                _, ij_i = track(
+                    file, start=t0, stop=t1, fps=fps, start_location=loc, **track_kwargs
+                )
         except EOFError:  # stream ended exactly at a slice boundary
             done = True
             dirty = True

@@ -89,3 +89,29 @@ def test_corrupt_checkpoint_recovers(tmp_path, caplog):
     ts, ij = track_resumable(f, checkpoint_path=cp, fps=24,
                              start_location=IJ(50, 50), target_width=10)
     assert len(ts) == len(ij) > 0
+
+
+def test_isolated_slices_match_in_process(tmp_path):
+    """isolate_slices=True (each slice's track() in a spawned subprocess —
+    the bounded-memory mode for the leaky tunnel client, docs/deployment.md)
+    must produce bit-identical results to the in-process run."""
+    f, tra = _make(tmp_path)
+    kw = dict(fps=24, start_location=IJ(50, 50), target_width=10,
+              checkpoint_every=0.5)
+    ts_in, ij_in = track_resumable(
+        f, checkpoint_path=str(tmp_path / "in.npz"), **kw
+    )
+    ts_iso, ij_iso = track_resumable(
+        f, checkpoint_path=str(tmp_path / "iso.npz"), isolate_slices=True, **kw
+    )
+    np.testing.assert_array_equal(ij_iso, ij_in)
+    np.testing.assert_allclose(ts_iso, ts_in)
+
+
+def test_isolated_slices_reject_frame_arrays():
+    import pytest
+
+    frames = np.zeros((4, 32, 32), np.uint8)
+    with pytest.raises(ValueError, match="isolate_slices"):
+        track_resumable(frames, checkpoint_path="/tmp/x.npz",
+                        isolate_slices=True, input_fps=24)
