@@ -548,6 +548,12 @@ class _ImmediateResult:
     def result(self):
         return self._v
 
+    def done(self):
+        return True
+
+    def exception(self):
+        return None
+
 
 class _SerialDispatcher:
     """Run engine dispatch work on ONE worker thread, in submission order.
@@ -687,6 +693,23 @@ class _GroupDispatchBase:
         if handle.fut is None:
             self._flush()
         return handle.result()
+
+    def ready(self, handle) -> bool:
+        """Non-blocking: True when draining ``handle`` will not block — its
+        group task finished AND the positions device array is computed (the
+        D2H copy was started at ``_finish`` time, so ``np.asarray`` is then a
+        join of an already-running copy). Unflushed handles are never ready:
+        eager drains must not force partial-group flushes. The controller
+        uses this to drain opportunistically — see
+        :meth:`SpeculativePipeline.run`."""
+        fut = handle.fut
+        if fut is None or not fut.done():
+            return False
+        if fut.exception() is not None:
+            return True  # draining materializes and raises it
+        pos = fut.result()[handle.idx][0]
+        is_r = getattr(pos, "is_ready", None)
+        return True if is_r is None else bool(is_r())
 
     def close(self):
         self._disp.close()
@@ -1231,6 +1254,19 @@ class SpeculativePipeline:
         self._free = [np.empty((L, K, self.ch, self.cw), np.uint8)
                       for _ in range(self.depth_max + 2)]
         self._pending: deque = deque()  # (handle, origins, valid, tokens, buf)
+        # eager opportunistic drain (PAWS_EAGER_DRAIN=0 disables): drain
+        # results the moment they are READY (non-blocking check) instead of
+        # always running exactly ``depth`` chunks behind. Results are
+        # bit-identical (drain order stays FIFO); the gain is that the aim
+        # staleness tracks the ACTUAL in-flight latency instead of the
+        # worst-case depth*K frames — deep pipelines stop paying for their
+        # slack in extrapolation error (measured: pinned depth 11 replay-
+        # storms with lazy drains), and crop buffers recycle sooner.
+        self._ready = (
+            getattr(engine, "ready", None)
+            if os.environ.get("PAWS_EAGER_DRAIN", "1") != "0"
+            else None
+        )
 
     #: per-axis curvature clamp (px/frame²) for the quadratic aim term:
     #: physical turning motion has small true curvature (the bench circle:
@@ -1372,6 +1408,12 @@ class SpeculativePipeline:
             while remaining > 0:
                 while len(self._pending) > self.depth_cur:
                     self._drain_one()
+                if self._ready is not None:
+                    # finished results cost nothing to take now and freshen
+                    # the aim (see _ready above); a replay inside _drain_one
+                    # clears _pending, which also exits this loop
+                    while self._pending and self._ready(self._pending[0][0]):
+                        self._drain_one()
                 origins = self._aim()
                 buf = self._free.pop()
                 got = self.source.acquire(remaining, origins, buf, self.timer)
@@ -1658,10 +1700,17 @@ def run_full_pipeline(
 
     prefetch = ChunkPrefetcher(src, chunk_size, max_frames=n_rest)
     prefetchers.append(prefetch)
+    eager = (os.environ.get("PAWS_EAGER_DRAIN", "1") != "0")
     try:
         for chunk, chunk_in, k in padded_chunks(prefetch, chunk_size):
             while len(pending) > depth:
                 drain_one()
+            if eager:
+                # finished results cost nothing to take now (frees the
+                # prefetcher's frame buffers sooner) — results identical,
+                # drain order stays FIFO
+                while pending and eng.ready(pending[0][0]):
+                    drain_one()
             pending.append((eng.dispatch(chunk_in), k, chunk))
         while pending:
             drain_one()

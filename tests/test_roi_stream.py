@@ -484,6 +484,60 @@ def test_group_target_adaptation(monkeypatch):
     eng2.close()
 
 
+def test_handle_ready_gating():
+    """Engine.ready is non-blocking truth about whether a drain would block:
+    staged-but-unflushed handles are never ready (an eager drain must not
+    force a partial-group flush); a finished group task is ready; a failed
+    task is ready (draining surfaces the exception)."""
+    from concurrent.futures import Future
+
+    from pawsometracker_tpu.models.dog_tracker import make_spec, tracker_fns
+    from pawsometracker_tpu.pipeline import _GroupHandle, _SingleEngine, make_chained
+
+    class _T:
+        def section(self, _):
+            import contextlib
+
+            return contextlib.nullcontext()
+
+    spec = make_spec((61, 61), 21, 10, True)
+    base = tracker_fns(spec).scan_bounded
+    eng = _SingleEngine(base, make_chained(base), (61, 61), (200, 200), 128,
+                        False, _T())
+    try:
+        h = _GroupHandle()
+        assert not eng.ready(h)  # unflushed: fut is None
+
+        h.fut = Future()  # flushed but still running
+        assert not eng.ready(h)
+
+        h.fut.set_result([(np.zeros((4, 2), np.int32), None)])  # numpy: no is_ready
+        assert eng.ready(h)
+
+        hf = _GroupHandle()
+        hf.fut = Future()
+        hf.fut.set_exception(RuntimeError("boom"))
+        assert eng.ready(hf)  # draining must surface the error, not skip it
+    finally:
+        eng.close()
+
+
+def test_roi_eager_equals_lazy_drain(tmp_path, monkeypatch):
+    """track() results must be bit-identical with eager opportunistic drains
+    (default) and the lazy depth-lagged drain (PAWS_EAGER_DRAIN=0) — the
+    drain schedule may change which crops are cut, never the positions."""
+    rng = np.random.default_rng(78)
+    _, tra = helpers.build_trajectory(28, 24, (50, 50), rng)
+    f = helpers.trajectory2video(tra, str(tmp_path), 24, 100, 100, 10, True)
+    kw = dict(fps=24, start_location=IJ(50, 50), target_width=10,
+              stream="roi", roi_frames=4, pipeline_depth=3)
+    ts_e, ij_e = track(f, **kw)
+    monkeypatch.setenv("PAWS_EAGER_DRAIN", "0")
+    ts_l, ij_l = track(f, **kw)
+    np.testing.assert_array_equal(ij_e, ij_l)
+    np.testing.assert_allclose(ts_e, ts_l)
+
+
 def test_roi_async_equals_sync_dispatch(tmp_path, monkeypatch):
     """track() results must be bit-identical with the dispatch worker on
     (default) and off (PAWS_SYNC_DISPATCH=1) — including across a replay."""

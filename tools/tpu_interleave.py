@@ -48,6 +48,13 @@ MODES = {
         {"PAWS_DISPATCH_GROUP": "1", "PAWS_SYNC_DISPATCH": "0"},
         {"pipeline_depth": 1},
     ),
+    # eager opportunistic drain (shipped default) vs lazy depth-lagged drain
+    "eager": (
+        {"PAWS_EAGER_DRAIN": "1", "PAWS_DISPATCH_GROUP": "", "PAWS_SYNC_DISPATCH": "0"},
+        {},
+        {"PAWS_EAGER_DRAIN": "0", "PAWS_DISPATCH_GROUP": "", "PAWS_SYNC_DISPATCH": "0"},
+        {},
+    ),
     # the shipped auto controller vs the best fixed point from the round-2
     # K/depth sweep — auto must match it or the default is mistuned
     "autod3": (
@@ -88,6 +95,11 @@ def main():
     kw = dict(start_location=p0, target_width=25, window_size=41)
 
     def run(env, extra):
+        # shipped defaults first, then the arm's overrides — an ambient
+        # PAWS_* pin from a prior shell experiment must not leak into arms
+        # that don't mention the knob
+        for k, v in {"PAWS_EAGER_DRAIN": "1"}.items():
+            os.environ[k] = v
         for k, v in env.items():
             os.environ[k] = v
         t0 = time.perf_counter()
