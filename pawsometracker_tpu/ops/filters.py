@@ -41,33 +41,34 @@ def correlate2d_valid(patch: jax.Array, kernel: jax.Array) -> jax.Array:
     return out[0, 0]
 
 
+def _banded(g: jax.Array, in_len: int) -> jax.Array:
+    """Valid-correlation banded matrix ``B [in_len-L+1, in_len]`` with
+    ``B[a, a+k] = g[k]`` — ``B @ x`` correlates ``x`` along its first axis.
+    Built from ``g`` with elementwise ops only, so inside a jitted
+    ``lax.scan`` body it is loop-invariant and XLA hoists it."""
+    L = g.shape[0]
+    out_len = in_len - L + 1
+    d = jnp.arange(in_len)[None, :] - jnp.arange(out_len)[:, None]
+    return jnp.where(
+        (d >= 0) & (d < L), g.astype(jnp.float32)[jnp.clip(d, 0, L - 1)], 0.0
+    )
+
+
 def separable_correlate_valid(patch: jax.Array, g_row: jax.Array, g_col: jax.Array) -> jax.Array:
     """Valid correlation with a rank-1 kernel ``outer(g_row, g_col)``.
 
-    Evaluated as two banded matmuls (MXU-friendly): rows first, then cols.
+    Evaluated as two banded matmuls — ``B_row @ patch @ B_col^T`` — which XLA
+    lowers onto the MXU as plain ``dot_general``. (The obvious alternative, a
+    1-channel ``conv_general_dilated``, lowers catastrophically on TPU:
+    ~1.5 ms per pass for a 105x105 patch vs microseconds for the dots —
+    measured on v5e, it capped the whole e2e pipeline at ~300 fps.)
     ``patch [Ph, Pw]`` -> ``[Ph-Lr+1, Pw-Lc+1]``.
     """
     p = patch.astype(jnp.float32)
-    # correlate along rows: out[a, :] = sum_k g_row[k] * p[a+k, :]
-    out = jax.lax.conv_general_dilated(
-        p[None, None, :, :],
-        g_row.astype(jnp.float32)[None, None, :, None],
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    out = jax.lax.conv_general_dilated(
-        out,
-        g_col.astype(jnp.float32)[None, None, None, :],
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out[0, 0]
+    b_row = _banded(g_row, p.shape[0])
+    b_col = _banded(g_col, p.shape[1])
+    out = jnp.dot(b_row, p, precision=jax.lax.Precision.HIGHEST)
+    return jnp.dot(out, b_col.T, precision=jax.lax.Precision.HIGHEST)
 
 
 def argmax_colmajor(x: jax.Array) -> jax.Array:

@@ -170,16 +170,23 @@ def _scan_fn_cached(
             sc.T,
             preferred_element_type=jnp.float32,
         )
-        # DoG response on the MXU: two banded-matmul pairs
+        # DoG response on the MXU: two banded-matmul pairs. precision=HIGHEST
+        # so interpret mode lowers to the SAME XLA dots as the XLA engine's
+        # separable_correlate_valid — bit-identical responses, hence identical
+        # argmax tie-breaks (on TPU hardware f32 matmuls are exact either way)
         r1 = jnp.dot(
-            jnp.dot(g1r_ref[:], patch, preferred_element_type=jnp.float32),
+            jnp.dot(g1r_ref[:], patch, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST),
             g1c_ref[:].T,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         r2 = jnp.dot(
-            jnp.dot(g2r_ref[:], patch, preferred_element_type=jnp.float32),
+            jnp.dot(g2r_ref[:], patch, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST),
             g2c_ref[:].T,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         resp = r1 - r2
 

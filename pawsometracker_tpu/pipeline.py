@@ -328,7 +328,8 @@ def _pick_engine_measured(roi_spec, k_frames: int, fill: int, batch: int | None,
         map(
             str,
             (
-                "v3",  # decision-rule version (hysteresis)
+                "v4",  # decision-rule version (v4: banded-matmul XLA path —
+                       # re-measure decisions made against the old conv lowering)
                 jax.devices()[0].device_kind,
                 jax.__version__,
                 roi_spec.frame_shape,
@@ -575,22 +576,47 @@ class _SerialDispatcher:
 
     def __init__(self):
         self._ex = None
+        self._stage_ex = None
         if os.environ.get("PAWS_SYNC_DISPATCH") != "1":
             from concurrent.futures import ThreadPoolExecutor
 
             self._ex = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="paws-dispatch"
             )
+            # H2D staging gets its OWN small pool: on the tunnel link
+            # jnp.asarray BLOCKS for the transfer RPC (~2-20 ms per ROI
+            # chunk, measured), and staging tasks are independent of each
+            # other — serializing them with dispatches on the FIFO worker
+            # stalled the chain and showed up as blocked drains. Dispatch
+            # tasks join their entries' staging futures, so every ordering
+            # the engines rely on (chain state, buffer recycle at drain)
+            # is preserved. PAWS_STAGE_THREADS=0 restores the single-worker
+            # staging (A/B: tools/tpu_interleave.py stage).
+            n = int(os.environ.get("PAWS_STAGE_THREADS", "2"))
+            if n > 0:
+                self._stage_ex = ThreadPoolExecutor(
+                    max_workers=n, thread_name_prefix="paws-stage"
+                )
 
     def submit(self, fn, *args):
         if self._ex is None:
             return _ImmediateResult(fn(*args))
         return self._ex.submit(fn, *args)
 
+    def submit_stage(self, fn, *args):
+        """Submit an order-independent H2D staging task (falls back to the
+        FIFO worker when the staging pool is disabled)."""
+        if self._stage_ex is not None:
+            return self._stage_ex.submit(fn, *args)
+        return self.submit(fn, *args)
+
     def close(self):
         if self._ex is not None:
             self._ex.shutdown(wait=True)
             self._ex = None
+        if self._stage_ex is not None:
+            self._stage_ex.shutdown(wait=True)
+            self._stage_ex = None
 
 
 class _GroupDispatchBase:
@@ -743,7 +769,7 @@ class _SingleEngine(_GroupDispatchBase):
         # copy everything the controller mutates after dispatch (P_abs is
         # the live self.P; origins is fresh per iteration but cheap to pin);
         # start the H2D now so upload overlaps the next chunk's decode
-        xfut = self._disp.submit(self._jnp.asarray, buf[0])
+        xfut = self._disp.submit_stage(self._jnp.asarray, buf[0])
         return self._stage_entry(
             (xfut, origins[0].copy(), P_abs[0].copy(), _GroupHandle())
         )
@@ -837,7 +863,7 @@ class _BatchedEngine(_GroupDispatchBase):
         self._prev_origins = None
 
     def dispatch(self, buf, origins, P_abs):
-        xfut = self._disp.submit(self.shard, buf)
+        xfut = self._disp.submit_stage(self.shard, buf)
         return self._stage_entry(
             (xfut, origins.copy(), P_abs.copy(), _GroupHandle())
         )
@@ -1591,7 +1617,7 @@ class _FullFrameEngine(_GroupDispatchBase):
         self._init_grouping()
 
     def dispatch(self, chunk_in):
-        xfut = self._disp.submit(self._jnp.asarray, chunk_in)
+        xfut = self._disp.submit_stage(self._jnp.asarray, chunk_in)
         return self._stage_entry((xfut, _GroupHandle()))
 
     def _finish(self, out):

@@ -25,11 +25,27 @@ def test_banded_matrix_correlates(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+def draw_blob_aniso(h, w, ij, ry, rx, bg=128):
+    """Filled-ellipse target: anisotropic so the DoG response has NO exact
+    symmetry ties. A circular blob clipped by the frame corner produces
+    bit-exact response ties across the diagonal, and exact ties are not
+    stable across differently-compiled programs (XLA may fuse/accumulate the
+    same dots differently per program) — the engines legitimately disagree
+    by 1 px there. Tie-break SEMANTICS are pinned by
+    test_argmax_colmajor_tiebreak on a single program; this test pins the
+    kernel logic (DMA alignment, VMEM rotation, SMEM chaining, clamps)."""
+    img = np.full((h, w), bg, np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w]
+    mask = ((yy - ij[0]) / ry) ** 2 + ((xx - ij[1]) / rx) ** 2 <= 1.0
+    img[mask] = 0
+    return img
+
+
 @pytest.mark.parametrize("start", [(30, 20), (1, 1), (95, 95), (50, 3)])
 def test_interpret_scan_matches_jax(start):
     h, w, T = 100, 100, 12
     path = [(min(start[0] + t, h - 3), min(start[1] + t, w - 3)) for t in range(T)]
-    frames = np.stack([draw_blob(h, w, ij, 4) for ij in path])
+    frames = np.stack([draw_blob_aniso(h, w, ij, 4, 3) for ij in path])
     spec = make_spec((h, w), 21, 8, True)
     want = np.asarray(
         tracker_fns(spec).scan(jnp.asarray(frames), jnp.array(start, np.int32), np.uint8(128))

@@ -48,6 +48,13 @@ MODES = {
         {"PAWS_DISPATCH_GROUP": "1", "PAWS_SYNC_DISPATCH": "0"},
         {"pipeline_depth": 1},
     ),
+    # parallel H2D staging pool (shipped default) vs staging on the FIFO worker
+    "stage": (
+        {"PAWS_STAGE_THREADS": "2", "PAWS_DISPATCH_GROUP": "", "PAWS_SYNC_DISPATCH": "0"},
+        {},
+        {"PAWS_STAGE_THREADS": "0", "PAWS_DISPATCH_GROUP": "", "PAWS_SYNC_DISPATCH": "0"},
+        {},
+    ),
     # eager opportunistic drain (shipped default) vs lazy depth-lagged drain
     "eager": (
         {"PAWS_EAGER_DRAIN": "1", "PAWS_DISPATCH_GROUP": "", "PAWS_SYNC_DISPATCH": "0"},
@@ -98,7 +105,7 @@ def main():
         # shipped defaults first, then the arm's overrides — an ambient
         # PAWS_* pin from a prior shell experiment must not leak into arms
         # that don't mention the knob
-        for k, v in {"PAWS_EAGER_DRAIN": "1"}.items():
+        for k, v in {"PAWS_EAGER_DRAIN": "1", "PAWS_STAGE_THREADS": "2"}.items():
             os.environ[k] = v
         for k, v in env.items():
             os.environ[k] = v
