@@ -531,9 +531,10 @@ def stage_mfu(d):
     wh = 2 * roi_spec.radii[0] + 1
     ww = 2 * roi_spec.radii[1] + 1
     ph, pw = roi_spec.patch_shape
-    # XLA separable path per tracked frame: row+col valid correlations for
-    # center AND surround gaussians (2 multiply-adds per tap)
-    flops_xla = 2 * (2 * L * wh * pw + 2 * L * wh * ww)
+    # XLA separable path per tracked frame: banded matmuls B_row[wh,ph] @
+    # patch[ph,pw] @ B_col^T[pw,ww] for center AND surround gaussians (the
+    # band structure is not exploited by dot_general — full matmul FLOPs)
+    flops_xla = 2 * (2 * wh * ph * pw + 2 * wh * pw * ww)
     # Pallas path per tracked frame: two banded matmul pairs + the two
     # residual-offset selection matmuls over the aligned DMA superset
     R8 = -(-(ph + 7) // 8) * 8

@@ -69,11 +69,16 @@ def _batch_frame_response(spec: TrackerSpec):
     whole-frame detectors build on this so they can never disagree.
 
     Deliberately NOT built on :func:`..ops.filters.separable_correlate_valid`:
-    that helper is single-patch NCHW=(1,1,...); here one batched conv over
-    the [B,1,H,W] layout keeps whole-frame detection a single XLA conv per
-    gaussian (a vmap of the helper would shard B separate convs). Any
+    that helper is single-patch; here one batched matmul pair per gaussian
+    covers the whole [B, H, W] stack. Same banded-matmul formulation as the
+    helper — a 1-channel conv lowers catastrophically on TPU (minutes of
+    compile for a 1080p frame; see filters.separable_correlate_valid). Under
+    a space-sharded mesh the row contraction gathers the row axis instead of
+    a conv halo exchange — acceptable for a once-per-video detection. Any
     semantics change to the filter (precision, tap order) must be mirrored
     here — the parity is pinned by the detector-vs-tracker tests."""
+    from ..ops.filters import _banded
+
     gc_np, gs_np, direction, L = dog_kernel_separable(spec.sigma, spec.darker_target)
     gc = jnp.asarray(gc_np, jnp.float32)
     gs = jnp.asarray(gs_np, jnp.float32)
@@ -90,29 +95,14 @@ def _batch_frame_response(spec: TrackerSpec):
             ((half, half), (half, half)),
         )
         x = x * mask + fill * (1.0 - mask)
-        lhs = x[:, None, :, :]
 
         def corr(g):
-            r = jax.lax.conv_general_dilated(
-                lhs,
-                g[None, None, :, None],
-                (1, 1),
-                "VALID",
-                dimension_numbers=("NCHW", "OIHW", "NCHW"),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            return jax.lax.conv_general_dilated(
-                r,
-                g[None, None, None, :],
-                (1, 1),
-                "VALID",
-                dimension_numbers=("NCHW", "OIHW", "NCHW"),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            br = _banded(g, x.shape[1])  # [H, H+L-1]
+            bc = _banded(g, x.shape[2])  # [W, W+L-1]
+            r = jnp.matmul(br, x, precision=jax.lax.Precision.HIGHEST)
+            return jnp.matmul(r, bc.T, precision=jax.lax.Precision.HIGHEST)
 
-        return direction * (corr(gc) - corr(gs))[:, 0]  # [B, H, W]
+        return direction * (corr(gc) - corr(gs))  # [B, H, W]
 
     return response
 
