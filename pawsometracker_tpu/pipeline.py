@@ -328,8 +328,8 @@ def _pick_engine_measured(roi_spec, k_frames: int, fill: int, batch: int | None,
         map(
             str,
             (
-                "v4",  # decision-rule version (v4: banded-matmul XLA path —
-                       # re-measure decisions made against the old conv lowering)
+                "v5",  # decision-rule version (v4: banded-matmul XLA path;
+                       # v5: probe times device-staged inputs, not H2D)
                 jax.devices()[0].device_kind,
                 jax.__version__,
                 roi_spec.frame_shape,
@@ -380,13 +380,19 @@ def _pick_engine_measured(roi_spec, k_frames: int, fill: int, batch: int | None,
         hi = np.tile(np.array([[ch - 1, cw - 1]], np.int32), (batch, 1))
         f = jnp.full((batch,), fill, jnp.uint8)
 
+    # stage the crops on device BEFORE timing: with numpy inputs the probe
+    # mostly measured the H2D transfer (identical for both engines, and
+    # 10-20x the exec time on a tunnel link) — the production pipeline
+    # stages crops separately, so the decision must rank dispatch+exec+fetch
+    crops_dev = jnp.asarray(crops)
+
     def run(fn, reps=3):
-        out = fn(crops, pos, f, lo, hi)
+        out = fn(crops_dev, pos, f, lo, hi)
         jax.block_until_ready(out)  # compile + warm
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = fn(crops, pos, f, lo, hi)
+            out = fn(crops_dev, pos, f, lo, hi)
             jax.block_until_ready(out)
             best = min(best, time.perf_counter() - t0)
         if subpixel:
