@@ -82,11 +82,14 @@ struct Decoder {
   bool demux_eof = false;
   bool force_sws = false;  // PAWSIO_EXACT_GRAY=1: always use swscale
 
-  // fps resampler state — fixed buffers, swapped (never reallocated) so the
-  // steady-state cost is one sws/luma write per emitted frame; emission into
-  // a vector sink (the prefetch ring) SWAPS the staging buffer instead of
-  // copying it whenever the staged frame can never be re-read
-  std::vector<uint8_t> pending, prev, scratch, roi_scratch;
+  // fps resampler state — holds REFS to decoded frames (av_frame_ref of the
+  // codec's refcounted DPB buffers: no pixel copies move through the
+  // resampler at all). Gray conversion happens at the emission sink: the
+  // sync read paths convert directly into the caller's buffer, the prefetch
+  // ring stores the frame ref itself and crops read the luma sub-rect
+  // straight from the decoder's buffer (see RingSlot / to_gray).
+  AVFrame *pending_f = nullptr, *prev_f = nullptr;
+  std::vector<uint8_t> roi_scratch;
   int pending_slot = 0;
   bool has_pending = false, has_prev = false, flushed = false;
   int emit_slot = 0;
@@ -109,10 +112,17 @@ struct Decoder {
   std::thread th;
   std::mutex mu;
   std::condition_variable cv_push, cv_pop;
-  // per-slot buffers (not one contiguous block) so the resampler can SWAP a
-  // finished staging frame into a slot — zero full-frame copies in steady
-  // state between decode and the retained crop reads
-  std::vector<std::vector<uint8_t>> ring_slots;
+  // per-slot retained frames: the common formats keep an AVFrame REF (the
+  // luma plane IS the gray image — crops read it in place, zero full-frame
+  // copies between decode and the retained crop reads); formats that need
+  // swscale (force_sws / exotic pix fmts) convert once into the slot's gray
+  // vector at insert time, exactly the old behavior
+  struct RingSlot {
+    AVFrame *fr = nullptr;
+    std::vector<uint8_t> gray;
+    bool is_frame = false;
+  };
+  std::vector<RingSlot> ring_slots;
   size_t ring_depth = 0, ring_head = 0, ring_count = 0, ring_read = 0;
   std::atomic<bool> stop_thread{false};
   bool thread_eof = false;
@@ -134,6 +144,10 @@ struct Decoder {
     }
     if (sws) sws_freeContext(sws);
     if (frame) av_frame_free(&frame);
+    if (pending_f) av_frame_free(&pending_f);
+    if (prev_f) av_frame_free(&prev_f);
+    for (auto &s : ring_slots)
+      if (s.fr) av_frame_free(&s.fr);
     if (pkt) av_packet_free(&pkt);
     if (dec) avcodec_free_context(&dec);
     if (fmt) avformat_close_input(&fmt);
@@ -148,9 +162,37 @@ struct Decoder {
         (AVRounding)(AV_ROUND_NEAR_INF | AV_ROUND_PASS_MINMAX));
   }
 
-  // Next decoded gray frame into `out` with shifted time t' = t - start.
+  // True when `f`'s luma plane IS the gray image (up to an affine range map
+  // for limited-range YUV, which the zero-sum DoG filter is invariant to —
+  // positions are unchanged vs the swscale path; PAWSIO_EXACT_GRAY=1 forces
+  // swscale range expansion everywhere).
+  bool fast_gray(const AVFrame *f) const {
+    if (force_sws) return false;
+    AVPixelFormat pf = (AVPixelFormat)f->format;
+    return pf == AV_PIX_FMT_GRAY8 || pf == AV_PIX_FMT_YUV420P ||
+           pf == AV_PIX_FMT_YUVJ420P || pf == AV_PIX_FMT_NV12 ||
+           pf == AV_PIX_FMT_YUV422P || pf == AV_PIX_FMT_YUV444P;
+  }
+
+  // Full-frame gray conversion of a decoded frame into `out` (luma row copy
+  // on the fast path, swscale otherwise).
+  void to_gray(const AVFrame *f, uint8_t *out) {
+    if (fast_gray(f)) {
+      for (int r = 0; r < height; r++)
+        std::memcpy(out + (size_t)r * width,
+                    f->data[0] + (size_t)r * f->linesize[0], width);
+    } else {
+      uint8_t *dst[1] = {out};
+      int dst_stride[1] = {width};
+      sws_scale(sws, f->data, f->linesize, 0, height, dst, dst_stride);
+    }
+  }
+
+  // Next decoded frame (left in `this->frame`, valid until the next call)
+  // with shifted time t' = t - start. No pixel copies — the resampler refs
+  // the frame; gray conversion happens at the emission sink.
   // Returns 1 ok, 0 eof, <0 error.
-  int next_input(uint8_t *out, double *tprime, int64_t *pts_shifted) {
+  int next_input_frame(double *tprime, int64_t *pts_shifted) {
     while (true) {
       int ret = avcodec_receive_frame(dec, frame);
       if (ret == 0) {
@@ -158,10 +200,10 @@ struct Decoder {
         if (pts == AV_NOPTS_VALUE) pts = frame->pts;
         double t = (pts == AV_NOPTS_VALUE) ? 0.0 : pts * tb;
         double tp = t - start;
-        // NB: no av_frame_make_writable here — the frame is only READ below
-        // (luma memcpy / sws_scale); making it writable forced a full-frame
-        // copy out of the decoder's refcounted DPB pool for nearly every
-        // h264 frame (~3 MB at 1080p) in the decode-bound hot loop
+        // NB: no av_frame_make_writable anywhere — frames are only READ
+        // (luma copy / sws_scale / in-place crops); making one writable
+        // forced a full-frame copy out of the decoder's refcounted DPB pool
+        // for nearly every h264 frame (~3 MB at 1080p) in the hot loop
         double keep_thresh =
             keep_from > -1e29 ? keep_from : slot0 / fps - 0.5 / native_fps;
         if (tp < keep_thresh) {
@@ -172,24 +214,6 @@ struct Decoder {
           av_frame_unref(frame);
           return 0;
         }
-        AVPixelFormat pf = (AVPixelFormat)frame->format;
-        if (!force_sws &&
-            (pf == AV_PIX_FMT_GRAY8 || pf == AV_PIX_FMT_YUV420P ||
-             pf == AV_PIX_FMT_YUVJ420P || pf == AV_PIX_FMT_NV12 ||
-             pf == AV_PIX_FMT_YUV422P || pf == AV_PIX_FMT_YUV444P)) {
-          // fast path: the luma plane IS the grayscale image (up to an affine
-          // range map for limited-range YUV, which the zero-sum DoG filter is
-          // invariant to — positions are unchanged vs the swscale path; set
-          // PAWSIO_EXACT_GRAY=1 to force swscale range expansion)
-          for (int r = 0; r < height; r++)
-            std::memcpy(out + (size_t)r * width,
-                        frame->data[0] + (size_t)r * frame->linesize[0], width);
-        } else {
-          uint8_t *dst[1] = {out};
-          int dst_stride[1] = {width};
-          sws_scale(sws, frame->data, frame->linesize, 0, height, dst, dst_stride);
-        }
-        av_frame_unref(frame);
         if (getenv("PAWSIO_DEBUG"))
           fprintf(stderr, "[pawsio] pts=%lld tb=%.9f t=%.9f tp=%.9f\n", (long long)pts, tb, t, tp);
         *tprime = tp;
@@ -225,51 +249,51 @@ struct Decoder {
     }
   }
 
-  // One fps-resampled frame into either a raw pointer (`dst`) or a vector
-  // sink (`dstv`, exactly one non-null). The vector sink lets the hot
-  // emissions SWAP the staging buffer into the ring slot instead of copying
-  // 2 MB/frame — legal exactly when the staged frame can never be re-read
-  // (no gap duplicate of it is still owed). Returns 1 ok, 0 eof, <0 error.
-  int read_resampled_sink(uint8_t *dst, std::vector<uint8_t> *dstv) {
-    const size_t nb = frame_bytes();
-    if (scratch.size() != nb) {
-      scratch.resize(nb);
-      pending.resize(nb);
-      prev.resize(nb);
+  // Take a ref of the current input frame into `dst_f` (replacing whatever
+  // ref it held). Allocation happens once; refs are O(1).
+  int ref_into(AVFrame *&dst_f, const AVFrame *src) {
+    if (!dst_f) dst_f = av_frame_alloc();
+    if (!dst_f) {
+      set_error("av_frame_alloc failed");
+      return -1;
     }
-    if (dstv && dstv->size() != nb) dstv->resize(nb);
-    // emit by copy: the source buffer will (or may) be read again
-    auto emit_copy = [&](const uint8_t *src) {
-      std::memcpy(dstv ? dstv->data() : dst, src, nb);
-    };
-    // emit by take: the source staging buffer is dead after this emission
-    auto emit_take = [&](std::vector<uint8_t> &src) {
-      if (dstv)
-        std::swap(*dstv, src);  // zero-copy handoff into the ring slot
-      else
-        std::memcpy(dst, src.data(), nb);
-    };
+    av_frame_unref(dst_f);
+    int ret = av_frame_ref(dst_f, src);
+    if (ret < 0) {
+      set_averror("frame_ref", ret);
+      return -1;
+    }
+    return 0;
+  }
+
+  // One fps-resampled frame: `*out` borrows the emitted frame (valid until
+  // the next resampler call — sinks must consume or ref it immediately).
+  // The slot math is byte-identical to the old buffer-swapping resampler
+  // (pinned by the resampler property tests and span-parity verification);
+  // only the pixel carrier changed from gray vectors to frame refs, which
+  // makes gap DUPLICATES free (another ref) instead of a 2 MB copy each.
+  // Returns 1 ok, 0 eof, <0 error.
+  int read_resampled_frame(AVFrame **out) {
     while (true) {
       if (has_pending && emit_slot < pending_slot) {
-        // duplicate the earlier frame into the gap (it may be duplicated
-        // again next call — must copy)
+        // duplicate the earlier frame into the gap
         emit_slot++;
         if ((emit_slot - 1) / fps >= duration) return 0;
-        emit_copy(has_prev ? prev.data() : pending.data());
+        *out = has_prev ? prev_f : pending_f;
         last_emit_pts = has_prev ? prev_pts : pending_pts;
         last_emit_slot = emit_slot - 1;
         return 1;
       }
       double tp = 0;
       int64_t ptss = 0;
-      int ret = next_input(scratch.data(), &tp, &ptss);
+      int ret = next_input_frame(&tp, &ptss);
       if (ret < 0) return ret;
       if (ret == 0) {
         if (has_pending && !flushed) {
           flushed = true;
           emit_slot = std::max(emit_slot, pending_slot) + 1;
           if ((emit_slot - 1) / fps >= duration) return 0;
-          emit_take(pending);  // final frame: pending is never read again
+          *out = pending_f;  // final frame
           last_emit_pts = pending_pts;
           last_emit_slot = emit_slot - 1;
           return 1;
@@ -278,7 +302,7 @@ struct Decoder {
       }
       int slot = slot_of(ptss);
       if (!has_pending) {
-        std::swap(pending, scratch);
+        if (ref_into(pending_f, frame) < 0) return -1;
         pending_pts = ptss;
         pending_slot = std::max(slot, (int)slot0);
         emit_slot = pending_slot;
@@ -288,30 +312,23 @@ struct Decoder {
       }
       if (slot <= pending_slot) {
         // zero output slots for the pending frame: the newer one takes over
-        std::swap(pending, scratch);
+        if (ref_into(pending_f, frame) < 0) return -1;
         pending_pts = ptss;
         continue;
       }
       // pending frame covers [pending_slot, slot): emit it now, duplicates
       // (if any) flow from the top of the loop via `prev`
-      std::swap(prev, pending);
+      std::swap(prev_f, pending_f);
       prev_pts = pending_pts;
       has_prev = true;
-      std::swap(pending, scratch);
+      if (ref_into(pending_f, frame) < 0) return -1;
       pending_pts = ptss;
       int old_slot = pending_slot;
       pending_slot = slot;
       if (emit_slot == old_slot) {
         emit_slot++;
         if ((emit_slot - 1) / fps >= duration) return 0;
-        if (emit_slot < pending_slot) {
-          // gap duplicates of this frame are still owed from `prev`
-          emit_copy(prev.data());
-        } else {
-          // steady CFR path: `prev` is dead until the next input frame
-          // overwrites it — hand the buffer to the ring, zero-copy
-          emit_take(prev);
-        }
+        *out = prev_f;
         last_emit_pts = prev_pts;
         last_emit_slot = emit_slot - 1;
         return 1;
@@ -319,7 +336,13 @@ struct Decoder {
     }
   }
 
-  int read_resampled(uint8_t *dst) { return read_resampled_sink(dst, nullptr); }
+  int read_resampled(uint8_t *dst) {
+    AVFrame *f = nullptr;
+    int ret = read_resampled_frame(&f);
+    if (ret != 1) return ret;
+    to_gray(f, dst);
+    return 1;
+  }
 
   void prefetch_loop() {
     while (!stop_thread) {
@@ -330,9 +353,25 @@ struct Decoder {
         if (stop_thread) return;
         slot = (ring_head + ring_count) % ring_depth;
       }
-      // decode the next resampled frame DIRECTLY into the free ring slot
-      // (vector sink: the steady-state emission swaps buffers, no copy)
-      int ret = read_resampled_sink(nullptr, &ring_slots[slot]);
+      // stash the next resampled frame in the free ring slot: a frame REF
+      // on the fast-gray path (zero copies — crops read the luma in place),
+      // one gray conversion for swscale formats (the old behavior)
+      AVFrame *f = nullptr;
+      int ret = read_resampled_frame(&f);
+      if (ret == 1) {
+        RingSlot &s = ring_slots[slot];  // reserved: producer-exclusive
+        if (fast_gray(f)) {
+          if (ref_into(s.fr, f) < 0) {
+            ret = -1;
+          } else {
+            s.is_frame = true;
+          }
+        } else {
+          if (s.gray.size() != frame_bytes()) s.gray.resize(frame_bytes());
+          to_gray(f, s.gray.data());
+          s.is_frame = false;
+        }
+      }
       std::unique_lock<std::mutex> lk(mu);
       if (ret != 1) {
         if (ret < 0) {  // decode error, not clean EOF
@@ -637,7 +676,10 @@ int pawsio_start_prefetch(void *h, int depth) {
   auto d = static_cast<Decoder *>(h);
   if (d->th.joinable()) return 0;
   d->ring_depth = depth > 0 ? depth : 8;
-  d->ring_slots.assign(d->ring_depth, std::vector<uint8_t>(d->frame_bytes()));
+  // slots start empty: frame refs / gray vectors materialize on first use
+  // (fast-gray streams never allocate the gray vectors at all)
+  d->ring_slots.clear();
+  d->ring_slots.resize(d->ring_depth);
   d->th = std::thread([d] { d->prefetch_loop(); });
   return 0;
 }
@@ -671,11 +713,20 @@ static size_t next_unread_slot(Decoder *d) {
   return slot;
 }
 
-// Frees the n oldest retained slots (the producer can refill them).
+// Frees the n oldest retained slots (the producer can refill them). Frame
+// refs are dropped UNDER the lock, before the slots become visible as free:
+// this returns the decoder's DPB buffers promptly (otherwise up to
+// ring_depth stale refs would linger until refill, doubling pool memory),
+// and the producer cannot touch a slot until it observes the index update.
 static void release_slots(Decoder *d, size_t n) {
   {
     std::unique_lock<std::mutex> lk(d->mu);
     if (n > d->ring_read) n = d->ring_read;
+    for (size_t j = 0; j < n; j++) {
+      auto &s = d->ring_slots[(d->ring_head + j) % d->ring_depth];
+      if (s.fr) av_frame_unref(s.fr);
+      s.is_frame = false;
+    }
     d->ring_head = (d->ring_head + n) % d->ring_depth;
     d->ring_count -= n;
     d->ring_read -= n;
@@ -701,20 +752,25 @@ int pawsio_read(void *h, uint8_t *dst) {
       return -1;
     }
   }
-  const size_t nb = d->frame_bytes();
   size_t slot = next_unread_slot(d);
   if (slot == SLOT_ERR) return -1;
   if (slot == SIZE_MAX) return 0;
-  std::memcpy(dst, d->ring_slots[slot].data(), nb);
+  auto &s = d->ring_slots[slot];
+  if (s.is_frame)
+    d->to_gray(s.fr, dst);  // fast-gray path: one luma row copy
+  else
+    std::memcpy(dst, s.gray.data(), d->frame_bytes());
   release_slots(d, 1);
   return 1;
 }
 
 // Crop (ch x cw) at origin (orr, occ) — possibly out of frame — from a full
-// frame, filling out-of-frame cells. Serves the ROI streaming path: the
-// consumer never copies the full frame out of the decode ring.
-static void crop_from(const uint8_t *frame, int H, int W, uint8_t *dst, int ch,
-                      int cw, int orr, int occ, uint8_t fill) {
+// gray image with row stride `stride` (a retained AVFrame's luma plane read
+// IN PLACE, or a packed gray buffer), filling out-of-frame cells. Serves the
+// ROI streaming path: the consumer never copies the full frame out of the
+// decode ring.
+static void crop_from(const uint8_t *src, int stride, int H, int W, uint8_t *dst,
+                      int ch, int cw, int orr, int occ, uint8_t fill) {
   for (int r = 0; r < ch; r++) {
     int fr = orr + r;
     uint8_t *row = dst + (size_t)r * cw;
@@ -727,9 +783,19 @@ static void crop_from(const uint8_t *frame, int H, int W, uint8_t *dst, int ch,
     int c1 = occ + cw > W ? W - occ : cw;  // one past last valid dst col
     if (c1 < c0) c1 = c0;
     if (c0 > 0) std::memset(row, fill, c0);
-    if (c1 > c0) std::memcpy(row + c0, frame + (size_t)fr * W + occ + c0, c1 - c0);
+    if (c1 > c0) std::memcpy(row + c0, src + (size_t)fr * stride + occ + c0, c1 - c0);
     if (c1 < cw) std::memset(row + c1, fill, cw - c1);
   }
+}
+
+// Crop from a ring slot: in place from the retained frame's luma, or from
+// the slot's gray buffer (swscale formats).
+static void crop_slot(const Decoder::RingSlot &s, int H, int W, uint8_t *dst,
+                      int ch, int cw, int orr, int occ, uint8_t fill) {
+  if (s.is_frame)
+    crop_from(s.fr->data[0], s.fr->linesize[0], H, W, dst, ch, cw, orr, occ, fill);
+  else
+    crop_from(s.gray.data(), W, H, W, dst, ch, cw, orr, occ, fill);
 }
 
 // Reads the next resampled frame and writes only its (ch x cw) crop at
@@ -744,10 +810,17 @@ static int read_roi_impl(Decoder *d, uint8_t *dst, int ch, int cw, int orr,
       set_error("retained ROI reads need the prefetch ring");
       return -1;
     }
-    if (d->roi_scratch.size() != d->frame_bytes()) d->roi_scratch.resize(d->frame_bytes());
-    int ret = d->read_resampled(d->roi_scratch.data());
+    AVFrame *f = nullptr;
+    int ret = d->read_resampled_frame(&f);
     if (ret != 1) return ret;
-    crop_from(d->roi_scratch.data(), H, W, dst, ch, cw, orr, occ, fill);
+    if (d->fast_gray(f)) {
+      // crop the luma in place — no full-frame conversion at all
+      crop_from(f->data[0], f->linesize[0], H, W, dst, ch, cw, orr, occ, fill);
+    } else {
+      if (d->roi_scratch.size() != d->frame_bytes()) d->roi_scratch.resize(d->frame_bytes());
+      d->to_gray(f, d->roi_scratch.data());
+      crop_from(d->roi_scratch.data(), W, H, W, dst, ch, cw, orr, occ, fill);
+    }
     return 1;
   }
   if (!retain) {
@@ -762,7 +835,7 @@ static int read_roi_impl(Decoder *d, uint8_t *dst, int ch, int cw, int orr,
   size_t slot = next_unread_slot(d);
   if (slot == SLOT_ERR) return -1;
   if (slot == SIZE_MAX) return 0;
-  crop_from(d->ring_slots[slot].data(), H, W, dst, ch, cw, orr, occ, fill);
+  crop_slot(d->ring_slots[slot], H, W, dst, ch, cw, orr, occ, fill);
   if (!retain) release_slots(d, 1);
   return 1;
 }
@@ -826,7 +899,7 @@ int pawsio_recrop(void *h, uint8_t *dst, int first, int k, int ch, int cw,
   const int H = d->height, W = d->width;
   for (int j = 0; j < k; j++) {
     size_t slot = (head + first + j) % d->ring_depth;
-    crop_from(d->ring_slots[slot].data(), H, W, dst + (size_t)j * ch * cw,
+    crop_slot(d->ring_slots[slot], H, W, dst + (size_t)j * ch * cw,
               ch, cw, orr, occ, fill);
   }
   return k;

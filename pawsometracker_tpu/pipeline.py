@@ -90,9 +90,15 @@ def auto_depth_cap(frame_shape, k_frames: int, lanes: int = 1) -> int:
     ``lanes`` divides the budget between concurrent streams (track_batch
     opens one ring per video). The cap floors at depth 1 — a ring smaller
     than (1+2)*K+8 frames cannot run the pipeline at all — and warns once
-    when that floor overruns the requested budget."""
+    when that floor overruns the requested budget.
+
+    Bytes/frame model: 1.5x H*W — the native ring retains REFS of the
+    decoder's yuv420p frames (luma + quarter-res chroma x2) rather than
+    packed gray copies (pawsio.cpp RingSlot); 4:2:2/4:4:4 content costs
+    more, gray/swscale content less — 4:2:0 is the overwhelming common
+    case and the budget is a soft safety bound."""
     budget = float(os.environ.get("PAWS_RING_BUDGET_MB", RING_BUDGET_MB)) * 1e6
-    fb = max(float(frame_shape[0]) * float(frame_shape[1]), 1.0) * max(lanes, 1)
+    fb = 1.5 * max(float(frame_shape[0]) * float(frame_shape[1]), 1.0) * max(lanes, 1)
     frames = int(budget // fb)
     cap = min(AUTO_DEPTH_MAX, (frames - 8) // max(k_frames, 1) - 2)
     if cap < 1:
