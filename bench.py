@@ -105,17 +105,15 @@ def _degraded_plan(probe_fps: float, wedged_below: float, slow_below: float):
 E2E_HEALTHY_PROBE_FPS = 100
 #: a MEASURED e2e median below this marks a mid-grade tunnel phase even when
 #: the probe looked healthy and the spread is tight (probe->steady ratio is
-#: noisy: probe ~100 can precede a ~200 fps steady phase). The 380 bar was
-#: the post-decode-fix + async-dispatch PROJECTION; the healthy-phase
-#: measurement it was pending (2026-08-19, quiet host, warm compiles,
-#: docs/bench_history.md "continued-3") landed clean default-config runs at
-#: 279-326 fps with the crop-section host ceiling at ~360-446 — the
-#: projection overshot (decode and dispatch share the single host core, so
-#: overlapping the dispatch residual cannot reclaim all of it). Bar sits
-#: just under the measured healthy band: above it, stop; below it, the
-#: bounded fully-audited retry (best median wins, every attempt recorded in
+#: noisy: probe ~100 can precede a ~200 fps steady phase). History: 275 sat
+#: under the 279-326 healthy band measured 2026-08-19 (bench_history
+#: "continued-3"); the session-7 engine/ring work moved the band to
+#: ~300-335 (K-sweep arm medians 288-334; post-frame-ref-ring profile rep
+#: 333 fps with drain ~0.04 s, hostceil 631). Bar sits just under the
+#: measured healthy band: above it, stop; below it, the bounded
+#: fully-audited retry (best median wins, every attempt recorded in
 #: ``e2e_attempts``; the consistent-attempts early-stop caps the cost).
-E2E_HEALTHY_RESULT_FPS = 275
+E2E_HEALTHY_RESULT_FPS = 300
 #: how long the headline stage may WAIT for a healthy tunnel phase before
 #: measuring anyway (phases last seconds-to-minutes; a measured 300 s window
 #: can sit entirely inside one bad phase — probe history of the r3 runs — so

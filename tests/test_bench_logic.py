@@ -29,7 +29,7 @@ def test_degraded_detection(bench):
         {"e2e_fps": 222, "e2e_spread": {"med": 222, "min": 214, "max": 259}}
     )
     assert not bench._e2e_is_degraded(
-        {"e2e_fps": 299, "e2e_spread": {"med": 299, "min": 292, "max": 327}}
+        {"e2e_fps": 315, "e2e_spread": {"med": 315, "min": 292, "max": 334}}
     )
     assert not bench._e2e_is_degraded(
         {"e2e_fps": 410, "e2e_spread": {"med": 410, "min": 395, "max": 440}}
