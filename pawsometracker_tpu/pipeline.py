@@ -1019,15 +1019,16 @@ class SingleVideoSource:
             chunk = None
         return (chunk, np.array([k]))
 
-    def recrop(self, tokens, valid, origins, rbuf, timer):
+    def recrop(self, tokens, valid, origins, rbuf, timer, base):
         k = int(valid[0])
         o = origins[0]
         with timer.section("crop"):
             if tokens is RETAINED:
-                # each accept released its chunk, so this entry's frames are
-                # now the OLDEST retained: recrop window [0, k)
-                self.src.recrop(0, k, (int(o[0]), int(o[1])), self.ch, self.cw,
-                                self.fill, out=rbuf[0])
+                # the entry's frames sit behind the re-dispatched chunks
+                # still in flight (unaccepted, hence unreleased): ``base``
+                # is their frame count, the offset into the retained window
+                self.src.recrop(int(base[0]), k, (int(o[0]), int(o[1])),
+                                self.ch, self.cw, self.fill, out=rbuf[0])
             else:
                 for i in range(k):
                     _crop_with_fill(tokens[i], o, self.ch, self.cw, self.fill, out=rbuf[0, i])
@@ -1104,8 +1105,10 @@ class FanoutSource:
         self._crop_lanes(chunk, k, origins, buf, 0, timer)
         return (chunk, np.full(self.N, k, np.int64))
 
-    def recrop(self, tokens, valid, origins, rbuf, timer):
-        self._crop_lanes(tokens, int(valid[0]), origins, rbuf, 0, timer)
+    def recrop(self, tokens, valid, origins, rbuf, timer, base):
+        # all lanes share the stream, so the retained-window offset is the
+        # (equal) per-lane in-flight frame count
+        self._crop_lanes(tokens, int(valid[0]), origins, rbuf, int(base[0]), timer)
 
     def accept(self, tokens, valid, abs_pos, timer):
         k = int(valid[0])
@@ -1188,15 +1191,16 @@ class PerVideoSource:
             return None
         return (tokens, valid)
 
-    def recrop(self, tokens, valid, origins, rbuf, timer):
+    def recrop(self, tokens, valid, origins, rbuf, timer, base):
         with timer.section("crop"):
             for b in range(self.B):
                 k = int(valid[b])
                 if k > 0:
                     o = origins[b]
                     if tokens[b] is RETAINED:
-                        self.sources[b].recrop(0, k, (int(o[0]), int(o[1])), self.ch,
-                                               self.cw, int(self.fills[b]), out=rbuf[b])
+                        self.sources[b].recrop(int(base[b]), k, (int(o[0]), int(o[1])),
+                                               self.ch, self.cw, int(self.fills[b]),
+                                               out=rbuf[b])
                     else:
                         for i in range(k):
                             _crop_with_fill(tokens[b][i], o, self.ch, self.cw,
@@ -1248,8 +1252,8 @@ class SpeculativePipeline:
     The controller owns everything the three original copies duplicated:
     velocity-extrapolated crop aiming, the pending deque, the lagged drain
     with ``AUTO_DRAIN_BLOCK_S`` auto-deepening, per-lane containment
-    validation, and synchronous mispredict replay (reference hot-loop drift
-    bound: src/PawsomeTracker.jl:55-62).
+    validation, and pipelined mispredict replay via the rewind queue
+    (reference hot-loop drift bound: src/PawsomeTracker.jl:55-62).
     """
 
     def __init__(self, *, L, K, crop_shape, margin, spec, mode, depth, engine,
@@ -1292,6 +1296,7 @@ class SpeculativePipeline:
         self._free = [np.empty((L, K, self.ch, self.cw), np.uint8)
                       for _ in range(self.depth_max + 2)]
         self._pending: deque = deque()  # (handle, origins, valid, tokens, buf)
+        self._rewind: deque = deque()  # replayed entries awaiting re-dispatch
         # eager opportunistic drain (PAWS_EAGER_DRAIN=0 disables): drain
         # results the moment they are READY (non-blocking check) instead of
         # always running exactly ``depth`` chunks behind. Results are
@@ -1381,15 +1386,26 @@ class SpeculativePipeline:
             self._free.append(buf)
 
     def _replay(self, entries):
-        """Mispredict: every entry (oldest first) is re-cropped from retained
-        frames at its EXACT origin and re-run synchronously. The exact origin
-        plus the predict margin (>= K*r + L//2) restores the synchronous
-        containment guarantee, so a replayed chunk is always valid."""
+        """Mispredict: push every undrained entry (oldest first) onto the
+        rewind queue; the main loop re-dispatches them THROUGH the pipeline
+        (re-cropped from retained frames at a fresh aim) instead of paying
+        one synchronous device round trip per in-flight chunk — on the
+        tunnel-RPC link a depth-7 synchronous replay cost ~0.4 s (profiled),
+        ~25% of a bench pass. Progress stays guaranteed: the first rewind
+        entry re-dispatches with nothing in flight, where :meth:`_aim`
+        degenerates to the EXACT ``P - margin`` origin whose containment the
+        predict margin (>= K*r + kernel apron) proves, so every replay cycle
+        accepts at least one chunk. Later entries re-enter speculatively at
+        small staleness and are containment-validated like any chunk (a
+        cascade just replays the shrunken tail)."""
         global replay_count
         replay_count += 1
         if self.auto_depth:
-            # long speculation horizons don't pay for this motion
-            self.depth_cur = 1
+            # multiplicative backoff: this horizon was too long for the
+            # motion, but a full reset to 1 re-pays ~depth blocked drains
+            # of ramp after EVERY replay; halving converges on sustained
+            # erratic motion while keeping smooth-path replays cheap
+            self.depth_cur = max(1, self.depth_cur // 2)
         # the curvature estimate just failed its test: zero it AND the
         # secant history, so accel stays off until two fresh post-replay
         # chunks establish a new pair (without clearing _last_k, the very
@@ -1397,14 +1413,26 @@ class SpeculativePipeline:
         self.accel[:] = 0.0
         self._last_k[:] = 0
         self.engine.reset()  # the device chain past this point is invalid
-        for _, _, valid, tokens, buf in entries:
-            origins = self.P - self.margin
-            rbuf = np.empty((self.L, self.K, self.ch, self.cw), np.uint8)
-            self.source.recrop(tokens, valid, origins, rbuf, self.timer)
-            handle = self.engine.dispatch(rbuf, origins, self.P)
-            with self.timer.section("drain"):
-                pos_np, off_np = self.engine.to_host(handle)
-            self._accept(pos_np, off_np, origins, valid, tokens, buf)
+        self._rewind.extend(entries)
+
+    def _dispatch_rewind(self):
+        """Re-dispatch the oldest replayed chunk through the pipeline.
+
+        Its frames are NOT the oldest retained while earlier re-dispatched
+        chunks are still in flight (unaccepted, hence unreleased), so the
+        source gets their per-lane frame counts as the ``base`` offset into
+        the retained window."""
+        _, _, valid, tokens, old_buf = self._rewind.popleft()
+        origins = self._aim()  # nothing pending -> exactly P - margin
+        base = np.zeros(self.L, np.int64)
+        for _, _, v, _, _ in self._pending:
+            base += v
+        buf = self._free.pop()
+        self.source.recrop(tokens, valid, origins, buf, self.timer, base)
+        handle = self.engine.dispatch(buf, origins, self.P)
+        self._pending.append((handle, origins, valid, tokens, buf))
+        if old_buf is not None:
+            self._free.append(old_buf)
 
     def _drain_one(self):
         entry = self._pending.popleft()
@@ -1443,7 +1471,8 @@ class SpeculativePipeline:
         self.engine.reset()
         try:
             remaining = n_rest
-            while remaining > 0:
+            eof = False
+            while True:
                 while len(self._pending) > self.depth_cur:
                     self._drain_one()
                 if self._ready is not None:
@@ -1452,18 +1481,30 @@ class SpeculativePipeline:
                     # clears _pending, which also exits this loop
                     while self._pending and self._ready(self._pending[0][0]):
                         self._drain_one()
+                if self._rewind:
+                    # replayed chunks re-enter ahead of any fresh decode so
+                    # frame order (and the sink/accept order) is preserved
+                    self._dispatch_rewind()
+                    continue
+                if remaining <= 0 or eof:
+                    if self._pending:
+                        # drain one at a time: a containment failure here
+                        # refills the rewind queue, which the next loop
+                        # iteration re-dispatches
+                        self._drain_one()
+                        continue
+                    break
                 origins = self._aim()
                 buf = self._free.pop()
                 got = self.source.acquire(remaining, origins, buf, self.timer)
                 if got is None:
                     self._free.append(buf)
-                    break
+                    eof = True
+                    continue
                 tokens, valid = got
                 handle = self.engine.dispatch(buf, origins, self.P)
                 self._pending.append((handle, origins, valid, tokens, buf))
                 remaining -= int(valid.max())
-            while self._pending:
-                self._drain_one()
             if self.auto_depth:
                 # record only on clean completion (an exception leaves the
                 # converged state unknown); a run that ended just after a

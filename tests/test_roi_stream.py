@@ -86,6 +86,50 @@ def test_predict_mispredict_replay(tmp_path):
     assert pipeline.replay_count > before  # the replay path actually ran
 
 
+def test_pipelined_rewind_recrops_at_offset(tmp_path, monkeypatch):
+    """The replay is pipelined: after a mispredict, later rewound chunks
+    re-dispatch while earlier ones are still in flight, so their retained
+    frames are NOT the oldest — the source must recrop at the in-flight
+    frame-count offset (``base``). With lazy drains and depth > 1 the
+    controller deterministically dispatches a second rewind entry before
+    draining the first; a base-0 recrop there would read the WRONG frames
+    (and containment validation cannot see it, since the positions would be
+    self-consistent with the wrong crop). Pin base > 0 occurring AND
+    full-path identity."""
+    import cv2
+
+    from pawsometracker_tpu import pipeline
+
+    monkeypatch.setenv("PAWS_EAGER_DRAIN", "0")
+    h, w, T = 200, 200, 60
+    frames = []
+    for t in range(T):
+        ph = t % 12
+        tri = 12 * ph if ph < 6 else 12 * (12 - ph)
+        img = np.full((h, w), 128, np.uint8)
+        cv2.circle(img, (100, 60 + tri), 5, 0, -1)
+        frames.append(img)
+    f = helpers.write_video(frames, str(tmp_path / "jump"), 24)
+    kw = dict(fps=24, start_location=IJ(60, 100), target_width=10, window_size=31)
+    _, want = track(f, stream="full", **kw)
+
+    bases = []
+    orig = pipeline.SingleVideoSource.recrop
+
+    def spy(self, tokens, valid, origins, rbuf, timer, base):
+        bases.append(int(base[0]))
+        return orig(self, tokens, valid, origins, rbuf, timer, base)
+
+    monkeypatch.setattr(pipeline.SingleVideoSource, "recrop", spy)
+    before = pipeline.replay_count
+    _, got = track(
+        f, stream="roi", roi_frames=4, pipeline_depth=3, speculate="predict", **kw
+    )
+    np.testing.assert_array_equal(got, want)
+    assert pipeline.replay_count > before
+    assert any(b > 0 for b in bases), f"no offset recrop exercised: {bases}"
+
+
 @pytest.mark.parametrize("depth", [0, 1, 3])
 def test_roi_near_edges(tmp_path, depth):
     """Target hugging frame edges: clamp semantics must match the full path."""
