@@ -667,6 +667,37 @@ class _GroupDispatchBase:
         self._group_allowed = group_allowed
         want = min(int(pin), self.GROUP_MAX) if self._group_pinned else 1
         self.group_target = want if group_allowed else 1
+        self._prewarm_started = False
+        self._prewarm_ok = (
+            group_allowed and not self._group_pinned and _grouping_pays()
+            and os.environ.get("PAWS_SUPER_PREWARM", "1") != "0"
+        )
+
+    def _maybe_prewarm(self, buf_shape):
+        """First dispatch: start compiling the S=2..GROUP_MAX super-programs
+        on a background thread, so adaptive group growth never pays an XLA
+        compile stall mid-run (profiled: a first S=4 flush on the tunnel
+        backend blocked a measured pass ~1.4 s — the tunnel's server-side
+        compile means no process ever finds it cached). One dummy crop is
+        transferred and reused for all S slots, so the channel cost is a
+        single chunk upload. Only where growth can actually reach those
+        sizes (RPC-linked backend, growth not pinned/disallowed);
+        PAWS_SUPER_PREWARM=0 disables."""
+        if self._prewarm_started:
+            return
+        self._prewarm_started = True
+        if not self._prewarm_ok:
+            return
+        import threading
+
+        def quiet():
+            try:
+                self._prewarm_supers(buf_shape)
+            except Exception as e:  # pragma: no cover - best-effort warm
+                logger.debug("super-program prewarm failed: %s", e)
+
+        threading.Thread(target=quiet, daemon=True,
+                         name="paws-super-prewarm").start()
 
     def reset(self):
         """Invalidate the on-device chain (replay / run start). The stage
@@ -781,10 +812,26 @@ class _SingleEngine(_GroupDispatchBase):
         # copy everything the controller mutates after dispatch (P_abs is
         # the live self.P; origins is fresh per iteration but cheap to pin);
         # start the H2D now so upload overlaps the next chunk's decode
+        self._maybe_prewarm(buf.shape)
         xfut = self._disp.submit_stage(self._jnp.asarray, buf[0])
         return self._stage_entry(
             (xfut, origins[0].copy(), P_abs[0].copy(), _GroupHandle())
         )
+
+    def _prewarm_supers(self, buf_shape):
+        import jax
+
+        _, K, ch, cw = buf_shape
+        crop = self._jnp.asarray(np.zeros((K, ch, cw), np.uint8))
+        prev = self._jnp.asarray(np.zeros((K, 2), np.int32))
+        for S in range(2, self.GROUP_MAX + 1):
+            sup = make_super_chain(self.scan_first, S, self.subpixel)
+            deltas = np.zeros((S, 2), np.int32)
+            los = np.zeros((S, 2), np.int32)
+            his = np.tile(np.array([[ch - 1, cw - 1]], np.int32), (S, 1))
+            jax.block_until_ready(
+                sup((crop,) * S, prev, deltas, self.fill_dev, los, his)
+            )
 
     def _bounds(self, o):
         lo = np.maximum([-o[0], -o[1]], 0).astype(np.int32)
@@ -875,10 +922,26 @@ class _BatchedEngine(_GroupDispatchBase):
         self._prev_origins = None
 
     def dispatch(self, buf, origins, P_abs):
+        self._maybe_prewarm(buf.shape)
         xfut = self._disp.submit_stage(self.shard, buf)
         return self._stage_entry(
             (xfut, origins.copy(), P_abs.copy(), _GroupHandle())
         )
+
+    def _prewarm_supers(self, buf_shape):
+        import jax
+
+        L, K, ch, cw = buf_shape
+        crop = self.shard(np.zeros((L, K, ch, cw), np.uint8))
+        prev = self._jnp.asarray(np.zeros((L, K, 2), np.int32))
+        for S in range(2, self.GROUP_MAX + 1):
+            sup = make_super_chain_batch(self.scan, S, self.subpixel)
+            deltas = np.zeros((S, L, 2), np.int32)
+            los = np.zeros((S, L, 2), np.int32)
+            his = np.tile(np.array([[[ch - 1, cw - 1]]], np.int32), (S, L, 1))
+            jax.block_until_ready(
+                sup((crop,) * S, prev, deltas, self.fills_dev, los, his)
+            )
 
     def _bounds(self, origins):
         L = origins.shape[0]
@@ -1670,8 +1733,18 @@ class _FullFrameEngine(_GroupDispatchBase):
         self._init_grouping()
 
     def dispatch(self, chunk_in):
+        self._maybe_prewarm(chunk_in.shape)
         xfut = self._disp.submit_stage(self._jnp.asarray, chunk_in)
         return self._stage_entry((xfut, _GroupHandle()))
+
+    def _prewarm_supers(self, buf_shape):
+        import jax
+
+        chunk = self._jnp.asarray(np.zeros(buf_shape, np.uint8))
+        prev = self._jnp.asarray(np.zeros((buf_shape[0], 2), np.int32))
+        for S in range(2, self.GROUP_MAX + 1):
+            sup = make_super_full(self.scan, S, self.subpixel)
+            jax.block_until_ready(sup((chunk,) * S, prev, self.fill_dev))
 
     def _finish(self, out):
         if self.subpixel:
