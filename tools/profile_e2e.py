@@ -90,6 +90,10 @@ def main() -> None:
     pl.SpeculativePipeline.run = run
     pl.SpeculativePipeline._drain_one = drain_one
     pl.SpeculativePipeline._replay = timed("replay", pl.SpeculativePipeline._replay)
+    pl._GroupDispatchBase.ready = timed("ready_chk", pl._GroupDispatchBase.ready)
+    pl.SpeculativePipeline._aim = timed("aim", pl.SpeculativePipeline._aim)
+    pl.SpeculativePipeline._accept = timed("accept", pl.SpeculativePipeline._accept)
+    pl._SingleEngine.dispatch = timed("disp_sub", pl._SingleEngine.dispatch)
 
     with tempfile.TemporaryDirectory() as d:
         bench.synthesize_clip(d)
