@@ -315,16 +315,16 @@ def stage_device_roi(d):
     crops = jnp.asarray(rng.integers(0, 255, size=(K, ch, cw)).astype(np.uint8))
     crops = jax.device_put(crops).block_until_ready()
     pos = jnp.asarray(np.array([ch // 2, cw // 2], np.int32))
-    lo = jnp.zeros(2, jnp.int32)
-    hi = jnp.asarray(np.array([ch - 1, cw - 1], np.int32))
-    delta = jnp.zeros(2, jnp.int32)
+    deltas0 = jnp.zeros((K, 2), jnp.int32)
+    lo = jnp.zeros((K, 2), jnp.int32)
+    hi = jnp.asarray(np.tile(np.array([[ch - 1, cw - 1]], np.int32), (K, 1)))
     fill = np.uint8(128)
 
-    out = fns.scan_bounded(crops, pos, fill, lo, hi)
-    out = chain(crops, out, delta, fill, lo, hi)
+    out = fns.scan_bounded(crops, pos, fill, deltas0, lo, hi)
+    out = chain(crops, out, fill, deltas0, lo, hi)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    out = chain(crops, out, delta, fill, lo, hi)
+    out = chain(crops, out, fill, deltas0, lo, hi)
     jax.block_until_ready(out)
     probe = time.perf_counter() - t0  # per-dispatch cost incl. link latency
     rounds = 5 if probe > 0.1 else 25  # keep the stage inside its timeout
@@ -333,7 +333,7 @@ def stage_device_roi(d):
         t0 = time.perf_counter()
         o = out
         for _ in range(rounds):
-            o = chain(crops, o, delta, fill, lo, hi)
+            o = chain(crops, o, fill, deltas0, lo, hi)
         jax.block_until_ready(o)
         fpss.append(rounds * K / (time.perf_counter() - t0))
     s = _stats(fpss)
@@ -349,9 +349,9 @@ def stage_device_roi(d):
     S = 4
     sup = make_super_chain(fns.scan_bounded, S, False)
     crops_s = tuple(crops for _ in range(S))
-    deltas = np.zeros((S, 2), np.int32)
-    los = np.tile(np.asarray(lo)[None], (S, 1))
-    his = np.tile(np.asarray(hi)[None], (S, 1))
+    deltas = np.zeros((S, K, 2), np.int32)
+    los = np.tile(np.asarray(lo)[None], (S, 1, 1))
+    his = np.tile(np.asarray(hi)[None], (S, 1, 1))
     outs = sup(crops_s, out, deltas, fill, los, his)
     jax.block_until_ready(outs)
     g_rounds = max(1, rounds // S)
@@ -397,16 +397,16 @@ def stage_subpixel(d):
     crops = jnp.asarray(rng.integers(0, 255, size=(K, ch, cw)).astype(np.uint8))
     crops = jax.device_put(crops).block_until_ready()
     pos = jnp.asarray(np.array([ch // 2, cw // 2], np.int32))
-    lo = jnp.zeros(2, jnp.int32)
-    hi = jnp.asarray(np.array([ch - 1, cw - 1], np.int32))
-    delta = jnp.zeros(2, jnp.int32)
+    deltas0 = jnp.zeros((K, 2), jnp.int32)
+    lo = jnp.zeros((K, 2), jnp.int32)
+    hi = jnp.asarray(np.tile(np.array([[ch - 1, cw - 1]], np.int32), (K, 1)))
     fill = np.uint8(128)
 
-    out, off = scan(crops, pos, fill, lo, hi)
-    out, off = chain(crops, out, delta, fill, lo, hi)
+    out, off = scan(crops, pos, fill, deltas0, lo, hi)
+    out, off = chain(crops, out, fill, deltas0, lo, hi)
     jax.block_until_ready((out, off))
     t0 = time.perf_counter()
-    out, off = chain(crops, out, delta, fill, lo, hi)
+    out, off = chain(crops, out, fill, deltas0, lo, hi)
     jax.block_until_ready((out, off))
     probe = time.perf_counter() - t0
     rounds = 5 if probe > 0.1 else 25
@@ -415,7 +415,7 @@ def stage_subpixel(d):
         t0 = time.perf_counter()
         o, f_ = out, off
         for _ in range(rounds):
-            o, f_ = chain(crops, o, delta, fill, lo, hi)
+            o, f_ = chain(crops, o, fill, deltas0, lo, hi)
         jax.block_until_ready((o, f_))
         fpss.append(rounds * K / (time.perf_counter() - t0))
     s = _stats(fpss)
@@ -465,7 +465,9 @@ def stage_hostceil(d):
             # flagged degraded via the replay audit below, never crashed)
             k = max(0, min(K, len(truth) - 1 - self.t))
             pos = np.zeros((K, 2), np.int64)
-            pos[:k] = truth[self.t + 1 : self.t + 1 + k] - origins[0]
+            # origins are per-frame [1, K, 2]; emitted positions are
+            # relative to each frame's own crop origin
+            pos[:k] = truth[self.t + 1 : self.t + 1 + k] - origins[0, :k]
             self.t += k
             return pos
 

@@ -123,9 +123,16 @@ def _full_scan_sub(spec):
     import jax.numpy as jnp
 
     fns_full = tracker_fns(spec)
-    lo_s = jnp.zeros((2,), jnp.int32)
-    hi_s = jnp.asarray(np.array(spec.frame_shape, np.int32) - 1)
-    return jax.jit(lambda c, p, f: fns_full.scan_sub(c, p, f, lo_s, hi_s))
+    hi_row = np.array(spec.frame_shape, np.int32) - 1
+
+    def run(c, p, f):
+        T = c.shape[0]
+        deltas = jnp.zeros((T, 2), jnp.int32)
+        lo_s = jnp.zeros((T, 2), jnp.int32)
+        hi_s = jnp.asarray(np.tile(hi_row, (T, 1)))
+        return fns_full.scan_sub(c, p, f, deltas, lo_s, hi_s)
+
+    return jax.jit(run)
 
 
 def _scan_fn_for(spec, engine: str):

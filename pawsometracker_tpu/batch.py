@@ -452,9 +452,11 @@ def _track_batch_uniform(
 
             batch = np.empty((B, chunk_size) + frame_shape, np.uint8)
             if subpixel:
-                lo_full = jnp.zeros((B, 2), jnp.int32)
+                # full-frame coordinates: no per-frame rebase, frame-bound clamp
+                deltas_full = jnp.zeros((B, chunk_size, 2), jnp.int32)
+                lo_full = jnp.zeros((B, chunk_size, 2), jnp.int32)
                 hi_full = jnp.asarray(
-                    np.tile(np.array(frame_shape, np.int32) - 1, (B, 1))
+                    np.tile(np.array(frame_shape, np.int32) - 1, (B, chunk_size, 1))
                 )
             while any(active):
                 valid, chunks = _gather()
@@ -474,6 +476,7 @@ def _track_batch_uniform(
                         tracker.shard_chunk(batch),
                         tracker.shard_chunk(pos_host.astype(np.int32)),
                         fills_dev,
+                        deltas_full,
                         lo_full,
                         hi_full,
                     )

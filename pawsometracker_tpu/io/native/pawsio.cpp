@@ -864,6 +864,25 @@ int pawsio_read_roi_batch(void *h, uint8_t *dst, int maxn, int ch, int cw,
   return pawsio_read_roi_batch_retain(h, dst, maxn, ch, cw, orr, occ, fill, 0);
 }
 
+// Per-frame-origin variant: origins is int64[maxn*2] (row, col) pairs — the
+// speculative ROI pipeline crops each frame at its OWN predicted position,
+// so the crop margin never has to cover in-chunk motion (bytes/frame set by
+// prediction error alone). Same EOF/error contract as the single-origin form.
+int pawsio_read_roi_batch2(void *h, uint8_t *dst, int maxn, int ch, int cw,
+                           const int64_t *origins, uint8_t fill,
+                           int retain_flag) {
+  auto d = static_cast<Decoder *>(h);
+  int n = 0;
+  for (; n < maxn; n++) {
+    int ret = read_roi_impl(d, dst + (size_t)n * ch * cw, ch, cw,
+                            (int)origins[2 * n], (int)origins[2 * n + 1], fill,
+                            retain_flag);
+    if (ret < 0) return ret;
+    if (ret == 0) break;
+  }
+  return n;
+}
+
 // Advances up to maxn frames into the RETAINED window without cropping
 // (multi-target pipelines recrop each target separately). Returns the count.
 int pawsio_advance_retain(void *h, int maxn) {
@@ -901,6 +920,29 @@ int pawsio_recrop(void *h, uint8_t *dst, int first, int k, int ch, int cw,
     size_t slot = (head + first + j) % d->ring_depth;
     crop_slot(d->ring_slots[slot], H, W, dst + (size_t)j * ch * cw,
               ch, cw, orr, occ, fill);
+  }
+  return k;
+}
+
+// Per-frame-origin recrop: origins is int64[k*2] (row, col) pairs.
+int pawsio_recrop2(void *h, uint8_t *dst, int first, int k, int ch, int cw,
+                   const int64_t *origins, uint8_t fill) {
+  auto d = static_cast<Decoder *>(h);
+  size_t head, read;
+  {
+    std::unique_lock<std::mutex> lk(d->mu);
+    head = d->ring_head;
+    read = d->ring_read;
+  }
+  if (first < 0 || k < 0 || (size_t)(first + k) > read) {
+    set_error("recrop range outside the retained window");
+    return -1;
+  }
+  const int H = d->height, W = d->width;
+  for (int j = 0; j < k; j++) {
+    size_t slot = (head + first + j) % d->ring_depth;
+    crop_slot(d->ring_slots[slot], H, W, dst + (size_t)j * ch * cw, ch, cw,
+              (int)origins[2 * j], (int)origins[2 * j + 1], fill);
   }
   return k;
 }

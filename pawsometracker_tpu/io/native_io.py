@@ -60,12 +60,16 @@ def _load():
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO_PATH):
-            if _build_attempted:
-                return None
+        # run make even when a .so exists: the build is dependency-driven, so
+        # this is a cheap no-op when fresh and transparently rebuilds a STALE
+        # .so after a source update (per-frame-origin entry points etc.);
+        # environments without a toolchain keep the existing .so (the ctypes
+        # layer degrades per optional symbol)
+        if not _build_attempted:
             _build_attempted = True
-            if not _build():
-                return None
+            _build()
+        if not os.path.exists(_SO_PATH):
+            return None
         lib = ctypes.CDLL(_SO_PATH)
         lib.pawsio_probe.argtypes = [ctypes.c_char_p, ctypes.POINTER(_PawsInfo)]
         lib.pawsio_probe.restype = ctypes.c_int
@@ -100,6 +104,18 @@ def _load():
              ctypes.c_longlong),
             ("pawsio_last_pts", [ctypes.c_void_p], ctypes.c_longlong),
             ("pawsio_last_slot", [ctypes.c_void_p], ctypes.c_longlong),
+            # per-frame-origin ROI reads (speculative pipeline: each frame
+            # cropped at its own predicted position)
+            ("pawsio_read_roi_batch2",
+             [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+              ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+              ctypes.c_uint8, ctypes.c_int],
+             ctypes.c_int),
+            ("pawsio_recrop2",
+             [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+              ctypes.c_int, ctypes.c_int, ctypes.c_int,
+              ctypes.POINTER(ctypes.c_int64), ctypes.c_uint8],
+             ctypes.c_int),
         ]
         for _name, _args, _res in _optional:
             try:
@@ -268,6 +284,9 @@ class NativeFrameSource:
         self.start = float(start)
         self.stop = float(stop)
         self.fps = float(fps)
+        # Python-side mirror of the C++ retained-window size — only read by
+        # the per-frame-origin fallback for stale prebuilt libraries
+        self._py_retained = 0
         info = _PawsInfo()
         if slot0 > 0:
             if not hasattr(lib, "pawsio_open_span"):
@@ -330,25 +349,56 @@ class NativeFrameSource:
             raise IOError(f"decode error: {_last_error(self._lib)}")
         return out[:got]
 
+    @staticmethod
+    def _per_frame_origins(origin, n: int) -> np.ndarray | None:
+        """``None`` for a single ``(r, c)`` origin; otherwise a C-contiguous
+        int64 ``[n, 2]`` per-frame origin array (the speculative pipeline
+        crops every frame at its own predicted position)."""
+        if isinstance(origin, np.ndarray) and origin.ndim == 2:
+            o = np.ascontiguousarray(origin[:n], np.int64)
+            if o.shape != (n, 2):
+                raise ValueError(f"per-frame origins must be [{n}, 2], got {origin.shape}")
+            return o
+        return None
+
     def read_roi_chunk(
         self, n: int, origin, ch: int, cw: int, fill: int, out: np.ndarray | None = None
     ) -> np.ndarray:
-        """Read up to ``n`` frames as ``(ch, cw)`` crops at ``origin`` (may be
-        out of frame; out-of-frame cells get ``fill``). The crop is taken in
-        C++ directly from the decode ring, so full frames never cross into
+        """Read up to ``n`` frames as ``(ch, cw)`` crops at ``origin`` — one
+        ``(r, c)`` pair, or per-frame ``[n, 2]`` origins (may be out of
+        frame; out-of-frame cells get ``fill``). The crop is taken in C++
+        directly from the decode ring, so full frames never cross into
         Python — the hot path of ROI streaming."""
         if out is None or out.shape[0] < n:
             out = np.empty((n, ch, cw), np.uint8)
-        got = self._lib.pawsio_read_roi_batch(
-            self._h,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            int(n),
-            int(ch),
-            int(cw),
-            int(origin[0]),
-            int(origin[1]),
-            int(fill) & 0xFF,
-        )
+        dst = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        os_ = self._per_frame_origins(origin, n)
+        if os_ is None:
+            got = self._lib.pawsio_read_roi_batch(
+                self._h, dst, int(n), int(ch), int(cw),
+                int(origin[0]), int(origin[1]), int(fill) & 0xFF,
+            )
+        elif hasattr(self._lib, "pawsio_read_roi_batch2"):
+            got = self._lib.pawsio_read_roi_batch2(
+                self._h, dst, int(n), int(ch), int(cw),
+                os_.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                int(fill) & 0xFF, 0,
+            )
+        else:  # stale prebuilt .so: per-frame single-origin reads
+            got = 0
+            for i in range(n):
+                r = self._lib.pawsio_read_roi_batch(
+                    self._h,
+                    out[i].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    1, int(ch), int(cw),
+                    int(os_[i, 0]), int(os_[i, 1]), int(fill) & 0xFF,
+                )
+                if r < 0:
+                    got = r
+                    break
+                if r == 0:
+                    break
+                got += 1
         if got < 0:
             raise IOError(f"decode error: {_last_error(self._lib)}")
         return out[:got]
@@ -362,39 +412,66 @@ class NativeFrameSource:
         full frames ever entering Python."""
         if out is None or out.shape[0] < n:
             out = np.empty((n, ch, cw), np.uint8)
-        got = self._lib.pawsio_read_roi_batch_retain(
-            self._h,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            int(n),
-            int(ch),
-            int(cw),
-            int(origin[0]),
-            int(origin[1]),
-            int(fill) & 0xFF,
-            1,
-        )
+        dst = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        os_ = self._per_frame_origins(origin, n)
+        if os_ is None:
+            got = self._lib.pawsio_read_roi_batch_retain(
+                self._h, dst, int(n), int(ch), int(cw),
+                int(origin[0]), int(origin[1]), int(fill) & 0xFF, 1,
+            )
+        elif hasattr(self._lib, "pawsio_read_roi_batch2"):
+            got = self._lib.pawsio_read_roi_batch2(
+                self._h, dst, int(n), int(ch), int(cw),
+                os_.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                int(fill) & 0xFF, 1,
+            )
+        else:  # stale prebuilt .so: advance, then recrop each frame
+            base = self._py_retained
+            got = self.advance_retained(int(n))
+            for i in range(got):
+                self.recrop(base + i, 1, (int(os_[i, 0]), int(os_[i, 1])),
+                            ch, cw, fill, out=out[i : i + 1])
         if got < 0:
             raise IOError(f"decode error: {_last_error(self._lib)}")
+        self._py_retained += got
         return out[:got]
 
     def recrop(
         self, first: int, k: int, origin, ch: int, cw: int, fill: int, out: np.ndarray | None = None
     ) -> np.ndarray:
         """Crop retained frames ``[first, first+k)`` (0 = oldest retained) at
-        a new origin."""
+        a new origin — one ``(r, c)`` pair or per-frame ``[k, 2]``."""
         if out is None or out.shape[0] < k:
             out = np.empty((k, ch, cw), np.uint8)
-        got = self._lib.pawsio_recrop(
-            self._h,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            int(first),
-            int(k),
-            int(ch),
-            int(cw),
-            int(origin[0]),
-            int(origin[1]),
-            int(fill) & 0xFF,
-        )
+        os_ = self._per_frame_origins(origin, k)
+        if os_ is not None and hasattr(self._lib, "pawsio_recrop2"):
+            got = self._lib.pawsio_recrop2(
+                self._h,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                int(first), int(k), int(ch), int(cw),
+                os_.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                int(fill) & 0xFF,
+            )
+        elif os_ is not None:  # stale prebuilt .so
+            got = 0
+            for i in range(k):
+                r = self._lib.pawsio_recrop(
+                    self._h,
+                    out[i].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    int(first) + i, 1, int(ch), int(cw),
+                    int(os_[i, 0]), int(os_[i, 1]), int(fill) & 0xFF,
+                )
+                if r < 0:
+                    got = r
+                    break
+                got += r
+        else:
+            got = self._lib.pawsio_recrop(
+                self._h,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                int(first), int(k), int(ch), int(cw),
+                int(origin[0]), int(origin[1]), int(fill) & 0xFF,
+            )
         if got < 0:
             raise IOError(f"recrop error: {_last_error(self._lib)}")
         return out[:got]
@@ -423,11 +500,13 @@ class NativeFrameSource:
         got = self._lib.pawsio_advance_retain(self._h, int(n))
         if got < 0:
             raise IOError(f"decode error: {_last_error(self._lib)}")
+        self._py_retained += got
         return got
 
     def release(self, n: int):
         """Free the ``n`` oldest retained frames (the ring can refill them)."""
         self._lib.pawsio_release(self._h, int(n))
+        self._py_retained = max(self._py_retained - int(n), 0)
 
     def close(self):
         if self._h:

@@ -537,6 +537,13 @@ class ParallelNativeSource:
 
         _crop_with_fill(frame, origin, ch, cw, fill, out=out)
 
+    @staticmethod
+    def _origin_at(origin, i):
+        """Origin for frame ``i``: per-frame ``[n, 2]`` array or one pair."""
+        if isinstance(origin, np.ndarray) and origin.ndim == 2:
+            return origin[i]
+        return origin
+
     def read_roi_chunk_retained(
         self, n: int, origin, ch: int, cw: int, fill: int, out: np.ndarray | None = None
     ) -> np.ndarray:
@@ -545,7 +552,8 @@ class ParallelNativeSource:
         base = len(self._retained)
         k = self.advance_retained(n)
         for i in range(k):
-            self._crop(self._retained[base + i], origin, ch, cw, fill, out[i])
+            self._crop(self._retained[base + i], self._origin_at(origin, i),
+                       ch, cw, fill, out[i])
         return out[:k]
 
     def read_roi_chunk(
@@ -565,12 +573,14 @@ class ParallelNativeSource:
         out: np.ndarray | None = None,
     ) -> np.ndarray:
         """Crop retained frames ``[first, first+k)`` (0 = oldest retained) at
-        a new origin — the mispredict-replay path."""
+        a new origin (one pair or per-frame ``[k, 2]``) — the
+        mispredict-replay path."""
         if out is None or out.shape[0] < k:
             out = np.empty((k, ch, cw), np.uint8)
         m = max(0, min(int(k), len(self._retained) - int(first)))
         for i in range(m):
-            self._crop(self._retained[int(first) + i], origin, ch, cw, fill, out[i])
+            self._crop(self._retained[int(first) + i], self._origin_at(origin, i),
+                       ch, cw, fill, out[i])
         return out[:m]
 
     def release(self, n: int):

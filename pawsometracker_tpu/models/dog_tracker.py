@@ -219,27 +219,40 @@ def _build(spec: TrackerSpec) -> TrackerFns:
         _, positions = jax.lax.scan(body, pos0.astype(jnp.int32), frames_u8)
         return positions
 
-    def scan_bounded(frames_u8, pos0, fill_u8, lo, hi):
-        lo = lo.astype(jnp.int32)
-        hi = hi.astype(jnp.int32)
+    def scan_bounded(frames_u8, pos0, fill_u8, deltas, lo, hi):
+        """Bounded scan in PER-FRAME crop coordinates (the ROI streaming
+        path): frame ``i`` was cropped at its own origin, so the carried
+        position is rebased by ``deltas[i] = origin[i-1] - origin[i]``
+        before the step (``deltas[0]`` rebases ``pos0`` — 0 for a chain
+        start, the chunk-to-chunk origin shift for a chained scan), and the
+        frame-bound clamp box ``lo[i]``/``hi[i]`` is per frame too.
+        ``deltas``/``lo``/``hi`` are int32 ``[T, 2]``."""
 
-        def body(pos, frame):
-            new = _step_bounded(pad_frame(frame, fill_u8), pos, lo, hi)
+        def body(pos, xs):
+            frame, d, l, h = xs
+            new = _step_bounded(pad_frame(frame, fill_u8), pos + d, l, h)
             return new, new
 
-        _, positions = jax.lax.scan(body, pos0.astype(jnp.int32), frames_u8)
+        _, positions = jax.lax.scan(
+            body,
+            pos0.astype(jnp.int32),
+            (frames_u8, deltas.astype(jnp.int32), lo.astype(jnp.int32), hi.astype(jnp.int32)),
+        )
         return positions
 
-    def scan_sub(frames_u8, pos0, fill_u8, lo, hi):
-        """Bounded scan that also returns per-frame sub-pixel offsets."""
-        lo = lo.astype(jnp.int32)
-        hi = hi.astype(jnp.int32)
+    def scan_sub(frames_u8, pos0, fill_u8, deltas, lo, hi):
+        """:func:`scan_bounded` that also returns per-frame sub-pixel offsets."""
 
-        def body(pos, frame):
-            new, off = _step_sub(pad_frame(frame, fill_u8), pos, lo, hi)
+        def body(pos, xs):
+            frame, d, l, h = xs
+            new, off = _step_sub(pad_frame(frame, fill_u8), pos + d, l, h)
             return new, (new, off)
 
-        _, (positions, offs) = jax.lax.scan(body, pos0.astype(jnp.int32), frames_u8)
+        _, (positions, offs) = jax.lax.scan(
+            body,
+            pos0.astype(jnp.int32),
+            (frames_u8, deltas.astype(jnp.int32), lo.astype(jnp.int32), hi.astype(jnp.int32)),
+        )
         return positions, offs
 
     def snap_sub(frame_u8, guess, fill_u8):

@@ -113,15 +113,31 @@ def _scan_fn_cached(
             pos_s[1] = pos0_ref[1] if not batched else pos0_ref[b, 1]
 
         if bounded:
-            # dynamic clamp bounds ride the scalar-prefetch array
-            # (layout: [i, j, lo0, lo1, hi0, hi1])
+            # per-step rebase deltas + dynamic clamp bounds ride the
+            # scalar-prefetch array (layout per batch row:
+            # [i, j, d(0,0), d(0,1), ..., d(T-1,1), lo..., hi...] — the ROI
+            # streaming path crops each frame at its own predicted origin,
+            # so the carried position is rebased by
+            # ``delta[t] = origin[t-1] - origin[t]`` before step ``t`` and
+            # the frame-bound clamp box is per frame)
+            T_steps = pl.num_programs(1 if batched else 0)
+            base = 2
             if batched:
-                lo0, lo1 = pos0_ref[b, 2], pos0_ref[b, 3]
-                hi0, hi1 = pos0_ref[b, 4], pos0_ref[b, 5]
+                d0 = pos0_ref[b, base + 2 * t]
+                d1 = pos0_ref[b, base + 2 * t + 1]
+                lo0 = pos0_ref[b, base + 2 * T_steps + 2 * t]
+                lo1 = pos0_ref[b, base + 2 * T_steps + 2 * t + 1]
+                hi0 = pos0_ref[b, base + 4 * T_steps + 2 * t]
+                hi1 = pos0_ref[b, base + 4 * T_steps + 2 * t + 1]
             else:
-                lo0, lo1 = pos0_ref[2], pos0_ref[3]
-                hi0, hi1 = pos0_ref[4], pos0_ref[5]
+                d0 = pos0_ref[base + 2 * t]
+                d1 = pos0_ref[base + 2 * t + 1]
+                lo0 = pos0_ref[base + 2 * T_steps + 2 * t]
+                lo1 = pos0_ref[base + 2 * T_steps + 2 * t + 1]
+                hi0 = pos0_ref[base + 4 * T_steps + 2 * t]
+                hi1 = pos0_ref[base + 4 * T_steps + 2 * t + 1]
         else:
+            d0 = d1 = 0
             lo0 = lo1 = 0
             hi0, hi1 = H - 1, W - 1
 
@@ -136,8 +152,8 @@ def _scan_fn_cached(
         # either way and are discarded by the replay — the clamp just makes
         # them DEFINED garbage. Contained runs have i/j in range already,
         # so this is an identity for every kept result.
-        i = jnp.clip(pos_s[0], 0, H - 1)
-        j = jnp.clip(pos_s[1], 0, W - 1)
+        i = jnp.clip(pos_s[0] + d0, 0, H - 1)
+        j = jnp.clip(pos_s[1] + d1, 0, W - 1)
         # window DMA: padded origin == position (pad = radii + L//2), rounded
         # down to the (8, 128) tile grid; residual handled by VMEM rotation
         i8 = (i // 8) * 8
@@ -243,14 +259,19 @@ def _scan_fn_cached(
 
     mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def run(frames_u8, pos0, fill_u8, lo=None, hi=None):
+    def run(frames_u8, pos0, fill_u8, deltas=None, lo=None, hi=None):
         """frames_u8 ``[T, H, W]`` (or ``[B, T, H, W]``), pos0 int32 ``[2]``
         (or ``[B, 2]``) -> positions int32 ``[T, 2]`` (or ``[B, T, 2]``).
-        In bounded mode ``lo``/``hi`` give the dynamic clamp box (frame bounds
-        mapped into crop coordinates — see the ROI streaming path)."""
+        In bounded mode ``deltas``/``lo``/``hi`` are per-frame ``[T, 2]``
+        (``[B, T, 2]`` batched): the carried position's rebase between
+        consecutive per-frame crop origins, and the dynamic clamp box (frame
+        bounds mapped into each frame's crop coordinates) — see the ROI
+        streaming path."""
         if bounded:
+            lead = pos0.shape[:-1]  # () or (B,)
+            flat = lambda a: a.astype(jnp.int32).reshape(lead + (-1,))
             pos0 = jnp.concatenate(
-                [pos0.astype(jnp.int32), lo.astype(jnp.int32), hi.astype(jnp.int32)],
+                [pos0.astype(jnp.int32), flat(deltas), flat(lo), flat(hi)],
                 axis=-1,
             )
         if batched:
@@ -337,8 +358,9 @@ def pallas_scan_fn(spec, *, batched: bool = False, interpret: bool = False,
     """Jitted fused-scan entry for a :class:`~..models.dog_tracker.TrackerSpec`.
 
     Signature matches ``TrackerFns.scan`` / ``scan_batch`` (or
-    ``scan_bounded`` with ``bounded=True``, taking trailing ``lo, hi``):
-    ``fn(frames_u8, pos0, fill_u8[, lo, hi]) -> positions``. With
+    ``scan_bounded`` with ``bounded=True``, taking trailing per-frame
+    ``deltas, lo, hi``):
+    ``fn(frames_u8, pos0, fill_u8[, deltas, lo, hi]) -> positions``. With
     ``subpixel=True`` (requires ``bounded=True``) the kernel additionally
     emits per-step parabolic peak offsets — the fused analog of
     ``TrackerFns.scan_sub`` — returning ``(positions, offsets)``.

@@ -198,9 +198,11 @@ def sharded_pallas_bounded(spec: TrackerSpec, mesh: Mesh, *, interpret: bool = F
 
     The batch axis must divide the mesh's ``data`` extent (callers fall back
     to the vmapped XLA scan otherwise). Signature matches the batched bounded
-    scan: ``fn(frames [B,T,ch,cw], pos0 [B,2], fills [B], lo [B,2], hi [B,2])
-    -> positions int32 [B,T,2]``. ``interpret=True`` runs the kernel in Pallas
-    interpret mode (used by the CPU-mesh equality tests).
+    scan: ``fn(frames [B,T,ch,cw], pos0 [B,2], fills [B], deltas [B,T,2],
+    lo [B,T,2], hi [B,T,2]) -> positions int32 [B,T,2]`` (per-frame crop
+    origins: deltas rebase the carried position between consecutive frame
+    crops, lo/hi clamp per frame). ``interpret=True`` runs the kernel in
+    Pallas interpret mode (used by the CPU-mesh equality tests).
     """
     from ..ops.pallas_tracker import pallas_scan_fn
 
@@ -216,8 +218,9 @@ def sharded_pallas_bounded(spec: TrackerSpec, mesh: Mesh, *, interpret: bool = F
             P("data", None, None, None),  # frames [B, T, ch, cw]
             P("data", None),  # pos0 [B, 2]
             P("data"),  # fills [B]
-            P("data", None),  # lo [B, 2]
-            P("data", None),  # hi [B, 2]
+            P("data", None, None),  # deltas [B, T, 2]
+            P("data", None, None),  # lo [B, T, 2]
+            P("data", None, None),  # hi [B, T, 2]
         ),
         out_specs=out_specs,
         check_vma=False,
@@ -304,11 +307,13 @@ class ShardedBatchTracker:
             )
             self.scan = _cached_vmap_jit(fns.scan, (chunk_sh, pos_sh, vec_sh), tpos_sh)
             self.scan_bounded = _cached_vmap_jit(
-                fns.scan_bounded, (chunk_sh, pos_sh, vec_sh, pos_sh, pos_sh), tpos_sh
+                fns.scan_bounded,
+                (chunk_sh, pos_sh, vec_sh, tpos_sh, tpos_sh, tpos_sh),
+                tpos_sh,
             )
             self.scan_sub = _cached_vmap_jit(
                 fns.scan_sub,
-                (chunk_sh, pos_sh, vec_sh, pos_sh, pos_sh),
+                (chunk_sh, pos_sh, vec_sh, tpos_sh, tpos_sh, tpos_sh),
                 (tpos_sh, tpos_sh),
             )
             self.snap_sub = _cached_vmap_jit(

@@ -156,10 +156,12 @@ def roi_geometry(spec, k_frames: int, depth: int = 0, mode: str = "contain"):
 
 @functools.lru_cache(maxsize=256)
 def make_chained(scan_bounded):
-    """Wrap a bounded scan ``fn(frames, pos0, fill, lo, hi)`` so the start
-    position is computed ON DEVICE from the previous chunk's (lazy) final
-    position plus a host-known origin delta — the link that lets consecutive
-    chunk scans dispatch without a host round-trip.
+    """Wrap a bounded scan ``fn(frames, pos0, fill, deltas, lo, hi)`` so the
+    start position is computed ON DEVICE from the previous chunk's (lazy)
+    final position — the link that lets consecutive chunk scans dispatch
+    without a host round-trip. The chunk-to-chunk origin shift rides
+    ``deltas[0]`` (prev chunk's LAST frame origin minus this chunk's first),
+    so no extra argument is needed.
 
     Memoized on the scan function object: the scan factories are themselves
     lru-cached per spec, so without this every ``track()`` call built a fresh
@@ -168,10 +170,10 @@ def make_chained(scan_bounded):
     import jax
     import jax.numpy as jnp
 
-    def chained(frames, prev_all, delta, fill, lo, hi):
+    def chained(frames, prev_all, fill, deltas, lo, hi):
         # prev_all is the previous chunk's [K, 2] positions; only full chunks
         # are ever followed by another chunk (short == EOF), so [-1] is valid
-        return scan_bounded(frames, (prev_all[-1] + delta).astype(jnp.int32), fill, lo, hi)
+        return scan_bounded(frames, prev_all[-1].astype(jnp.int32), fill, deltas, lo, hi)
 
     return jax.jit(chained)
 
@@ -198,7 +200,7 @@ def make_super_chain(scan_bounded, S: int, subpixel: bool):
         outs = []
         p = prev_all[-1]
         for s in range(S):
-            out = inner(crops[s], (p + deltas[s]).astype(jnp.int32), fill,
+            out = inner(crops[s], p.astype(jnp.int32), fill, deltas[s],
                         los[s], his[s])
             outs.append(out)
             p = out[0][-1] if subpixel else out[-1]
@@ -224,13 +226,14 @@ class _GroupHandle:
 @functools.lru_cache(maxsize=256)
 def make_chained_batch(scan_bounded_batch):
     """Batched analog of :func:`make_chained` (same memoization rationale):
-    ``prev_all`` is ``[B, K, 2]``, ``delta`` is ``[B, 2]``."""
+    ``prev_all`` is ``[B, K, 2]``; per-frame ``deltas``/``lo``/``hi`` are
+    ``[B, K, 2]`` (the chunk-to-chunk shift rides ``deltas[:, 0]``)."""
     import jax
     import jax.numpy as jnp
 
-    def chained(frames, prev_all, delta, fills, lo, hi):
+    def chained(frames, prev_all, fills, deltas, lo, hi):
         return scan_bounded_batch(
-            frames, (prev_all[:, -1] + delta).astype(jnp.int32), fills, lo, hi
+            frames, prev_all[:, -1].astype(jnp.int32), fills, deltas, lo, hi
         )
 
     return jax.jit(chained)
@@ -240,7 +243,7 @@ def make_chained_batch(scan_bounded_batch):
 def make_super_chain_batch(scan_bounded_batch, S: int, subpixel: bool):
     """Batched analog of :func:`make_super_chain`: S chained batched chunk
     scans in one jitted program. ``crops`` is a tuple of S ``[L, K, ch, cw]``
-    arrays; ``deltas``/``los``/``his`` are ``[S, L, 2]``."""
+    arrays; ``deltas``/``los``/``his`` are ``[S, L, K, 2]``."""
     import jax
     import jax.numpy as jnp
 
@@ -250,7 +253,7 @@ def make_super_chain_batch(scan_bounded_batch, S: int, subpixel: bool):
         outs = []
         p = prev_all[:, -1]
         for s in range(S):
-            out = inner(crops[s], (p + deltas[s]).astype(jnp.int32), fills,
+            out = inner(crops[s], p.astype(jnp.int32), fills, deltas[s],
                         los[s], his[s])
             outs.append(out)
             p = out[0][:, -1] if subpixel else out[:, -1]
@@ -334,8 +337,9 @@ def _pick_engine_measured(roi_spec, k_frames: int, fill: int, batch: int | None,
         map(
             str,
             (
-                "v5",  # decision-rule version (v4: banded-matmul XLA path;
-                       # v5: probe times device-staged inputs, not H2D)
+                "v6",  # decision-rule version (v4: banded-matmul XLA path;
+                       # v5: probe times device-staged inputs, not H2D;
+                       # v6: per-frame crop origins — new scan signature)
                 jax.devices()[0].device_kind,
                 jax.__version__,
                 roi_spec.frame_shape,
@@ -376,14 +380,16 @@ def _pick_engine_measured(roi_spec, k_frames: int, fill: int, batch: int | None,
     if batch is None:
         crops = np.broadcast_to(frame, (k_frames, ch, cw)).copy()
         pos = jnp.asarray(np.array([ch // 2, cw // 2], np.int32))
-        lo = np.zeros(2, np.int32)
-        hi = np.array([ch - 1, cw - 1], np.int32)
+        deltas = np.zeros((k_frames, 2), np.int32)
+        lo = np.zeros((k_frames, 2), np.int32)
+        hi = np.tile(np.array([[ch - 1, cw - 1]], np.int32), (k_frames, 1))
         f = np.uint8(fill)
     else:
         crops = np.broadcast_to(frame, (batch, k_frames, ch, cw)).copy()
         pos = jnp.asarray(np.tile(np.array([[ch // 2, cw // 2]], np.int32), (batch, 1)))
-        lo = np.zeros((batch, 2), np.int32)
-        hi = np.tile(np.array([[ch - 1, cw - 1]], np.int32), (batch, 1))
+        deltas = np.zeros((batch, k_frames, 2), np.int32)
+        lo = np.zeros((batch, k_frames, 2), np.int32)
+        hi = np.tile(np.array([[[ch - 1, cw - 1]]], np.int32), (batch, k_frames, 1))
         f = jnp.full((batch,), fill, jnp.uint8)
 
     # stage the crops on device BEFORE timing: with numpy inputs the probe
@@ -393,12 +399,12 @@ def _pick_engine_measured(roi_spec, k_frames: int, fill: int, batch: int | None,
     crops_dev = jnp.asarray(crops)
 
     def run(fn, reps=3):
-        out = fn(crops_dev, pos, f, lo, hi)
+        out = fn(crops_dev, pos, f, deltas, lo, hi)
         jax.block_until_ready(out)  # compile + warm
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = fn(crops_dev, pos, f, lo, hi)
+            out = fn(crops_dev, pos, f, deltas, lo, hi)
             jax.block_until_ready(out)
             best = min(best, time.perf_counter() - t0)
         if subpixel:
@@ -826,19 +832,32 @@ class _SingleEngine(_GroupDispatchBase):
         prev = self._jnp.asarray(np.zeros((K, 2), np.int32))
         for S in range(2, self.GROUP_MAX + 1):
             sup = make_super_chain(self.scan_first, S, self.subpixel)
-            deltas = np.zeros((S, 2), np.int32)
-            los = np.zeros((S, 2), np.int32)
-            his = np.tile(np.array([[ch - 1, cw - 1]], np.int32), (S, 1))
+            deltas = np.zeros((S, K, 2), np.int32)
+            los = np.zeros((S, K, 2), np.int32)
+            his = np.tile(np.array([[[ch - 1, cw - 1]]], np.int32), (S, K, 1))
             jax.block_until_ready(
                 sup((crop,) * S, prev, deltas, self.fill_dev, los, his)
             )
 
     def _bounds(self, o):
-        lo = np.maximum([-o[0], -o[1]], 0).astype(np.int32)
+        """Per-frame clamp box: frame bounds mapped into each frame's crop
+        coordinates. ``o`` is the chunk's per-frame origins ``[K, 2]``."""
+        lo = np.maximum(-o, 0).astype(np.int32)
         hi = np.minimum(
-            [self.ch - 1, self.cw - 1], [self.H - 1 - o[0], self.W - 1 - o[1]]
+            [self.ch - 1, self.cw - 1],
+            [self.H - 1, self.W - 1] - o,
         ).astype(np.int32)
         return lo, hi
+
+    def _deltas(self, o, prev_last):
+        """Per-frame rebase vector for the scan: ``d[0]`` maps the carried
+        position from ``prev_last`` (the previous chunk's LAST frame origin,
+        or this chunk's own first origin for a chain start) into frame 0's
+        coordinates; ``d[i] = o[i-1] - o[i]`` thereafter."""
+        d = np.empty_like(o)
+        d[0] = prev_last - o[0]
+        d[1:] = o[:-1] - o[1:]
+        return d.astype(np.int32)
 
     def _finish(self, out, o):
         if self.subpixel:
@@ -847,34 +866,36 @@ class _SingleEngine(_GroupDispatchBase):
         else:
             pos, off = out, None
             _to_host_async(pos)
-        self._prev, self._prev_origin = pos, o
+        self._prev, self._prev_origin = pos, o[-1]
         return (pos, off)
 
     def _run_first(self, entry):
         xfut, o, P0, _ = entry
         lo, hi = self._bounds(o)
-        pos_rel = self._jnp.asarray((P0 - o).astype(np.int32))
+        deltas = self._deltas(o, o[0])
+        pos_rel = self._jnp.asarray((P0 - o[0]).astype(np.int32))
         with self.timer.section("device"):
-            out = self.scan_first(xfut.result(), pos_rel, self.fill_dev, lo, hi)
+            out = self.scan_first(xfut.result(), pos_rel, self.fill_dev,
+                                  deltas, lo, hi)
         return self._finish(out, o)
 
     def _run_chain(self, entry):
         xfut, o, _, _ = entry
         lo, hi = self._bounds(o)
-        delta = (self._prev_origin - o).astype(np.int32)
+        deltas = self._deltas(o, self._prev_origin)
         with self.timer.section("device"):
-            out = self.scan_chain(xfut.result(), self._prev, delta,
-                                  self.fill_dev, lo, hi)
+            out = self.scan_chain(xfut.result(), self._prev,
+                                  self.fill_dev, deltas, lo, hi)
         return self._finish(out, o)
 
     def _run_super(self, rest):
         S = len(rest)
         sup = make_super_chain(self.scan_first, S, self.subpixel)
         origins = [e[1] for e in rest]
-        prev_o = [self._prev_origin] + origins[:-1]
+        prev_last = [self._prev_origin] + [o[-1] for o in origins[:-1]]
         deltas = np.stack(
-            [prev_o[s] - origins[s] for s in range(S)]
-        ).astype(np.int32)
+            [self._deltas(origins[s], prev_last[s]) for s in range(S)]
+        )
         bounds = [self._bounds(o) for o in origins]
         los = np.stack([b[0] for b in bounds])
         his = np.stack([b[1] for b in bounds])
@@ -936,20 +957,29 @@ class _BatchedEngine(_GroupDispatchBase):
         prev = self._jnp.asarray(np.zeros((L, K, 2), np.int32))
         for S in range(2, self.GROUP_MAX + 1):
             sup = make_super_chain_batch(self.scan, S, self.subpixel)
-            deltas = np.zeros((S, L, 2), np.int32)
-            los = np.zeros((S, L, 2), np.int32)
-            his = np.tile(np.array([[[ch - 1, cw - 1]]], np.int32), (S, L, 1))
+            deltas = np.zeros((S, L, K, 2), np.int32)
+            los = np.zeros((S, L, K, 2), np.int32)
+            his = np.tile(np.array([[[[ch - 1, cw - 1]]]], np.int32), (S, L, K, 1))
             jax.block_until_ready(
                 sup((crop,) * S, prev, deltas, self.fills_dev, los, his)
             )
 
     def _bounds(self, origins):
-        L = origins.shape[0]
+        """Per-lane per-frame clamp box; ``origins`` is ``[L, K, 2]``."""
         lo = np.maximum(-origins, 0).astype(np.int32)
         hi = np.minimum(
-            [[self.ch - 1, self.cw - 1]] * L, self.frame_max[None] - origins
+            [self.ch - 1, self.cw - 1], self.frame_max - origins
         ).astype(np.int32)
         return lo, hi
+
+    def _deltas(self, origins, prev_last):
+        """Per-lane per-frame rebase ``[L, K, 2]``: ``d[:, 0]`` maps the
+        carried positions from ``prev_last`` ``[L, 2]`` (previous chunk's
+        LAST frame origins) into frame 0's coordinates."""
+        d = np.empty_like(origins)
+        d[:, 0] = prev_last - origins[:, 0]
+        d[:, 1:] = origins[:, :-1] - origins[:, 1:]
+        return d.astype(np.int32)
 
     def _finish(self, out, origins):
         if self.subpixel:
@@ -959,17 +989,19 @@ class _BatchedEngine(_GroupDispatchBase):
             pos, off = out, None
             _to_host_async(pos)
         # the chained scan needs only the POSITIONS device handle
-        self._prev, self._prev_origins = pos, origins
+        self._prev, self._prev_origins = pos, origins[:, -1]
         return (pos, off)
 
     def _run_first(self, entry):
         xfut, origins, P_abs, _ = entry
         lo, hi = self._bounds(origins)
+        deltas = self._deltas(origins, origins[:, 0])
         with self.timer.section("device"):
             out = self.scan(
                 xfut.result(),
-                self._jnp.asarray((P_abs - origins).astype(np.int32)),
+                self._jnp.asarray((P_abs - origins[:, 0]).astype(np.int32)),
                 self.fills_dev,
+                self.shard(deltas),
                 self.shard(lo),
                 self.shard(hi),
             )
@@ -978,12 +1010,13 @@ class _BatchedEngine(_GroupDispatchBase):
     def _run_chain(self, entry):
         xfut, origins, _, _ = entry
         lo, hi = self._bounds(origins)
+        deltas = self._deltas(origins, self._prev_origins)
         with self.timer.section("device"):
             out = self.chain(
                 xfut.result(),
                 self._prev,
-                self._jnp.asarray((self._prev_origins - origins).astype(np.int32)),
                 self.fills_dev,
+                self.shard(deltas),
                 self.shard(lo),
                 self.shard(hi),
             )
@@ -993,10 +1026,10 @@ class _BatchedEngine(_GroupDispatchBase):
         S = len(rest)
         sup = make_super_chain_batch(self.scan, S, self.subpixel)
         origins_l = [e[1] for e in rest]
-        prev_o = [self._prev_origins] + origins_l[:-1]
+        prev_last = [self._prev_origins] + [o[:, -1] for o in origins_l[:-1]]
         deltas = np.stack(
-            [prev_o[s] - origins_l[s] for s in range(S)]
-        ).astype(np.int32)
+            [self._deltas(origins_l[s], prev_last[s]) for s in range(S)]
+        )
         bounds = [self._bounds(o) for o in origins_l]
         los = np.stack([b[0] for b in bounds])
         his = np.stack([b[1] for b in bounds])
@@ -1048,7 +1081,7 @@ class SingleVideoSource:
             self._it = iter(self._pf)
 
     def acquire(self, remaining, origins, buf, timer):
-        o = origins[0]
+        o = origins[0]  # [K, 2] per-frame origins for this lane
         if self.use_native_roi or self.use_native_retained:
             reader = (
                 self.src.read_roi_chunk_retained
@@ -1057,7 +1090,7 @@ class SingleVideoSource:
             )
             with timer.section("crop"):
                 got = reader(
-                    min(self.K, remaining), (int(o[0]), int(o[1])), self.ch, self.cw,
+                    min(self.K, remaining), o, self.ch, self.cw,
                     self.fill, out=buf[0],
                 )
             k = got.shape[0]
@@ -1072,7 +1105,7 @@ class SingleVideoSource:
         k = chunk.shape[0]
         with timer.section("crop"):
             for i in range(k):
-                _crop_with_fill(chunk[i], o, self.ch, self.cw, self.fill, out=buf[0, i])
+                _crop_with_fill(chunk[i], o[i], self.ch, self.cw, self.fill, out=buf[0, i])
         for i in range(k, self.K):
             buf[0, i] = buf[0, k - 1]
         # predict mode retains the frames for exact replay; diagnostics also
@@ -1084,17 +1117,17 @@ class SingleVideoSource:
 
     def recrop(self, tokens, valid, origins, rbuf, timer, base):
         k = int(valid[0])
-        o = origins[0]
+        o = origins[0]  # [K, 2]
         with timer.section("crop"):
             if tokens is RETAINED:
                 # the entry's frames sit behind the re-dispatched chunks
                 # still in flight (unaccepted, hence unreleased): ``base``
                 # is their frame count, the offset into the retained window
-                self.src.recrop(int(base[0]), k, (int(o[0]), int(o[1])),
+                self.src.recrop(int(base[0]), k, o,
                                 self.ch, self.cw, self.fill, out=rbuf[0])
             else:
                 for i in range(k):
-                    _crop_with_fill(tokens[i], o, self.ch, self.cw, self.fill, out=rbuf[0, i])
+                    _crop_with_fill(tokens[i], o[i], self.ch, self.cw, self.fill, out=rbuf[0, i])
             for i in range(k, self.K):
                 rbuf[0, i] = rbuf[0, k - 1]
 
@@ -1142,13 +1175,13 @@ class FanoutSource:
     def _crop_lanes(self, frames, k, origins, buf, base, timer):
         with timer.section("crop"):
             for t in range(self.N):
-                o = origins[t]
+                o = origins[t]  # [K, 2] per-frame origins for this lane
                 if frames is RETAINED:
-                    self.src.recrop(base, k, (int(o[0]), int(o[1])), self.ch, self.cw,
+                    self.src.recrop(base, k, o, self.ch, self.cw,
                                     self.fill, out=buf[t])
                 else:
                     for i in range(k):
-                        _crop_with_fill(frames[i], o, self.ch, self.cw, self.fill, out=buf[t, i])
+                        _crop_with_fill(frames[i], o[i], self.ch, self.cw, self.fill, out=buf[t, i])
                 for i in range(k, self.K):
                     buf[t, i] = buf[t, k - 1]
 
@@ -1226,9 +1259,9 @@ class PerVideoSource:
                             if k < self.K or self._left[b] == 0:
                                 self.active[b] = False
                             tokens[b] = RETAINED
-                            o = origins[b]
+                            o = origins[b]  # [K, 2]
                             self.sources[b].recrop(
-                                base, k, (int(o[0]), int(o[1])), self.ch, self.cw,
+                                base, k, o, self.ch, self.cw,
                                 int(self.fills[b]), out=buf[b],
                             )
                     else:
@@ -1240,9 +1273,9 @@ class PerVideoSource:
                             tokens[b] = chunk
                             if k < self.K:
                                 self.active[b] = False
-                            o = origins[b]
+                            o = origins[b]  # [K, 2]
                             for i in range(k):
-                                _crop_with_fill(chunk[i], o, self.ch, self.cw,
+                                _crop_with_fill(chunk[i], o[i], self.ch, self.cw,
                                                 int(self.fills[b]), out=buf[b, i])
                 if k > 0:
                     valid[b] = k
@@ -1259,14 +1292,14 @@ class PerVideoSource:
             for b in range(self.B):
                 k = int(valid[b])
                 if k > 0:
-                    o = origins[b]
+                    o = origins[b]  # [K, 2]
                     if tokens[b] is RETAINED:
-                        self.sources[b].recrop(int(base[b]), k, (int(o[0]), int(o[1])),
+                        self.sources[b].recrop(int(base[b]), k, o,
                                                self.ch, self.cw, int(self.fills[b]),
                                                out=rbuf[b])
                     else:
                         for i in range(k):
-                            _crop_with_fill(tokens[b][i], o, self.ch, self.cw,
+                            _crop_with_fill(tokens[b][i], o[i], self.ch, self.cw,
                                             int(self.fills[b]), out=rbuf[b, i])
                     for i in range(k, self.K):
                         rbuf[b, i] = rbuf[b, k - 1]
@@ -1384,40 +1417,60 @@ class SpeculativePipeline:
 
     # -- aiming -------------------------------------------------------------
     def _aim(self):
+        """Per-lane PER-FRAME crop origins ``[L, K, 2]``: frame ``i`` of the
+        next chunk is cropped at the predicted position of its own window
+        center (the PREVIOUS frame's position, horizon ``staleness + i``).
+        Per-frame aiming means the margin never has to cover in-chunk motion
+        — the crop rides along the predicted path — so crop bytes are set by
+        prediction error alone, independent of ``K``."""
         if self.mode == "predict":
             # per-lane staleness: frames in flight ahead of the newest
             # downloaded position
             stale = np.zeros(self.L, np.int64)
-            for _, _, valid, _, _ in self._pending:
-                stale += valid
-            s = stale[:, None].astype(np.float64)
+            for ent in self._pending:
+                stale += ent[2]
+            h = (stale[:, None] + np.arange(self.K)[None, :]).astype(np.float64)
+            h = h[..., None]  # [L, K, 1]
             # quadratic extrapolation: at the deep-pipeline horizons group
             # dispatch wants (depth 7 ≈ 64 stale frames), linear aim error on
             # a turning path grows ~R·θ²/2 past the margin slack; the
             # (clamped) curvature term keeps smoothly-curving targets inside
             # the crop so the deep pipeline doesn't oscillate through replays
-            pred = self.P + self.vel * s + 0.5 * self.accel * s * s
+            pred = (
+                self.P[:, None, :]
+                + self.vel[:, None, :] * h
+                + 0.5 * self.accel[:, None, :] * h * h
+            )
             return np.round(pred).astype(np.int64) - self.margin
-        return self.P - self.margin
+        return np.broadcast_to(
+            (self.P - self.margin)[:, None, :], (self.L, self.K, 2)
+        )
 
     # -- validation ---------------------------------------------------------
     def _contained(self, pos_np, origins, valid):
-        """Every window each lane's scan read must lie inside its crop (reads
-        past the TRUE frame edge hit the same mode-fill in both the crop scan
-        and a full-frame scan)."""
+        """Every window each lane's scan read must lie inside ITS frame's
+        crop (reads past the TRUE frame edge hit the same mode-fill in both
+        the crop scan and a full-frame scan). Frame ``i``'s window centers
+        at the previous position (``P`` for frame 0), checked against
+        ``origins[lane, i]``. The final position itself needs no check: it
+        lies inside the last validated window by construction, and its OWN
+        window is frame 0 of the NEXT chunk's validation — keeping the check
+        per-window is also what guarantees a 1-frame rewind chunk at the
+        exact ``P - margin`` origin can never fail (replay progress)."""
         for lane in range(self.L):
             k = int(valid[lane])
             if k == 0:
                 continue
+            abs_ = pos_np[lane, :k].astype(np.int64) + origins[lane, :k]
             seq = np.concatenate(
-                [self.P[lane][None].astype(np.int64),
-                 pos_np[lane, :k].astype(np.int64) + origins[lane]]
+                [self.P[lane][None].astype(np.int64), abs_[: k - 1]]
             )
+            o = origins[lane, :k]
             if not (
-                (np.maximum(seq - self.rh, 0) >= origins[lane]).all()
+                (np.maximum(seq - self.rh, 0) >= o).all()
                 and (
                     np.minimum(seq + self.rh, self.frame_max)
-                    <= origins[lane] + [self.ch - 1, self.cw - 1]
+                    <= o + [self.ch - 1, self.cw - 1]
                 ).all()
             ):
                 return False
@@ -1425,7 +1478,7 @@ class SpeculativePipeline:
 
     # -- accept / replay / drain -------------------------------------------
     def _accept(self, pos_np, off_np, origins, valid, tokens, buf):
-        abs_pos = pos_np.astype(np.int64) + origins[:, None, :]  # [L, K, 2]
+        abs_pos = pos_np.astype(np.int64) + origins  # [L, K, 2]
         self.sink(abs_pos, valid, off_np)
         self.source.accept(tokens, valid, abs_pos, self.timer)
         for lane in range(self.L):

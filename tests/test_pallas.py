@@ -109,18 +109,19 @@ def test_interpret_bounded_matches_jax():
     path = [(48 + t, 48 + t) for t in range(T)]
     crops = np.stack([draw_blob(ch, cw, ij, 4) for ij in path])
     spec = make_spec((ch, cw), 21, 8, True)
-    lo = np.array([5, 0], np.int32)
-    hi = np.array([90, 80], np.int32)
+    deltas = np.zeros((T, 2), np.int32)
+    lo = np.tile(np.array([[5, 0]], np.int32), (T, 1))
+    hi = np.tile(np.array([[90, 80]], np.int32), (T, 1))
     want = np.asarray(
         tracker_fns(spec).scan_bounded(
             jnp.asarray(crops), jnp.array(path[0], np.int32), np.uint8(128),
-            jnp.asarray(lo), jnp.asarray(hi),
+            jnp.asarray(deltas), jnp.asarray(lo), jnp.asarray(hi),
         )
     )
     fn = pallas_scan_fn(spec, bounded=True, interpret=True)
     got = np.asarray(
         fn(jnp.asarray(crops), jnp.array(path[0], np.int32), np.uint8(128),
-           jnp.asarray(lo), jnp.asarray(hi))
+           jnp.asarray(deltas), jnp.asarray(lo), jnp.asarray(hi))
     )
     np.testing.assert_array_equal(got, want)
 
@@ -140,19 +141,20 @@ def test_interpret_batched_bounded_matches_jax():
     spec = make_spec((ch, cw), 19, 8, True)
     pos0 = np.array([p[0] for p in paths], np.int32)
     fills = np.array([90, 130, 170], np.uint8)
-    lo = np.array([[0, 0], [2, 1], [0, 3]], np.int32)
-    hi = np.array([[80, 88], [70, 85], [78, 80]], np.int32)
+    deltas = np.zeros((B, T, 2), np.int32)
+    lo = np.tile(np.array([[0, 0], [2, 1], [0, 3]], np.int32)[:, None], (1, T, 1))
+    hi = np.tile(np.array([[80, 88], [70, 85], [78, 80]], np.int32)[:, None], (1, T, 1))
     base = tracker_fns(spec).scan_bounded
     want = np.asarray(
         jax.vmap(getattr(base, "__wrapped__", base))(
             jnp.asarray(crops), jnp.asarray(pos0), jnp.asarray(fills),
-            jnp.asarray(lo), jnp.asarray(hi),
+            jnp.asarray(deltas), jnp.asarray(lo), jnp.asarray(hi),
         )
     )
     fn = pallas_scan_fn(spec, batched=True, bounded=True, interpret=True)
     got = np.asarray(
         fn(jnp.asarray(crops), jnp.asarray(pos0), jnp.asarray(fills),
-           jnp.asarray(lo), jnp.asarray(hi))
+           jnp.asarray(deltas), jnp.asarray(lo), jnp.asarray(hi))
     )
     np.testing.assert_array_equal(got, want)
 
@@ -173,26 +175,32 @@ def test_interpret_subpixel_matches_jax(batched, rng):
         B = 2
         fb = np.stack([frames, frames[:, ::-1].copy()])
         pos0 = np.tile(np.array([[30, 28]], np.int32), (B, 1))
-        lo = np.zeros((B, 2), np.int32)
-        hi = np.tile(np.array([[ch - 1, cw - 1]], np.int32), (B, 1))
+        deltas = np.zeros((B, T, 2), np.int32)
+        lo = np.zeros((B, T, 2), np.int32)
+        hi = np.tile(np.array([[[ch - 1, cw - 1]]], np.int32), (B, T, 1))
         fills = np.full((B,), 128, np.uint8)
         import jax
 
         base = getattr(fns.scan_sub, "__wrapped__", fns.scan_sub)
         want_p, want_o = jax.jit(jax.vmap(base))(
-            jnp.asarray(fb), jnp.asarray(pos0), jnp.asarray(fills), jnp.asarray(lo), jnp.asarray(hi)
+            jnp.asarray(fb), jnp.asarray(pos0), jnp.asarray(fills),
+            jnp.asarray(deltas), jnp.asarray(lo), jnp.asarray(hi)
         )
         fn = pallas_scan_fn(spec, batched=True, bounded=True, subpixel=True, interpret=True)
-        got_p, got_o = fn(jnp.asarray(fb), jnp.asarray(pos0), jnp.asarray(fills), jnp.asarray(lo), jnp.asarray(hi))
+        got_p, got_o = fn(jnp.asarray(fb), jnp.asarray(pos0), jnp.asarray(fills),
+                          jnp.asarray(deltas), jnp.asarray(lo), jnp.asarray(hi))
     else:
         pos0 = np.array([30, 28], np.int32)
-        lo = np.zeros(2, np.int32)
-        hi = np.array([ch - 1, cw - 1], np.int32)
+        deltas = np.zeros((T, 2), np.int32)
+        lo = np.zeros((T, 2), np.int32)
+        hi = np.tile(np.array([[ch - 1, cw - 1]], np.int32), (T, 1))
         want_p, want_o = fns.scan_sub(
-            jnp.asarray(frames), jnp.asarray(pos0), np.uint8(128), jnp.asarray(lo), jnp.asarray(hi)
+            jnp.asarray(frames), jnp.asarray(pos0), np.uint8(128),
+            jnp.asarray(deltas), jnp.asarray(lo), jnp.asarray(hi)
         )
         fn = pallas_scan_fn(spec, bounded=True, subpixel=True, interpret=True)
-        got_p, got_o = fn(jnp.asarray(frames), jnp.asarray(pos0), np.uint8(128), jnp.asarray(lo), jnp.asarray(hi))
+        got_p, got_o = fn(jnp.asarray(frames), jnp.asarray(pos0), np.uint8(128),
+                          jnp.asarray(deltas), jnp.asarray(lo), jnp.asarray(hi))
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
     assert np.abs(np.asarray(got_o)).max() > 0  # offsets are non-trivial
     np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o), atol=1e-4)
@@ -213,14 +221,61 @@ def test_out_of_crop_start_is_defined(rng):
     ch, cw, T = 97, 97, 4
     crops = np.stack([draw_blob(ch, cw, (48, 48), 4) for _ in range(T)])
     spec = make_spec((ch, cw), 21, 8, True)
-    lo = np.array([0, 0], np.int32)
-    hi = np.array([ch - 1, cw - 1], np.int32)
+    deltas = np.zeros((T, 2), np.int32)
+    lo = np.zeros((T, 2), np.int32)
+    hi = np.tile(np.array([[ch - 1, cw - 1]], np.int32), (T, 1))
     fn = pallas_scan_fn(spec, bounded=True, interpret=True)
     for start in [(-50, -120), (300, 48), (48, 500), (-1, cw + 1)]:
         got = np.asarray(
             fn(jnp.asarray(crops), jnp.array(start, np.int32), np.uint8(128),
-               jnp.asarray(lo), jnp.asarray(hi))
+               jnp.asarray(deltas), jnp.asarray(lo), jnp.asarray(hi))
         )
         assert (got >= 0).all() and (got[:, 0] < ch).all() and (got[:, 1] < cw).all(), (
             start, got,
         )
+
+
+def test_interpret_per_frame_deltas_match_jax():
+    """Per-frame crop origins: each frame cropped at its own origin along a
+    moving path, carried position rebased by deltas — Pallas and XLA scans
+    must agree, and both must equal a fixed-origin scan of the same content
+    (the rebase is a pure coordinate change)."""
+    from pawsometracker_tpu.pipeline import _crop_with_fill
+
+    H, W, T = 240, 260, 6
+    path = [(60 + 6 * t, 70 + 9 * t) for t in range(T)]
+    frames = np.stack([draw_blob(H, W, ij, 5) for ij in path])
+    spec_full = make_spec((H, W), 21, 10, True)
+    # full-frame oracle
+    want_abs = np.asarray(
+        tracker_fns(spec_full).scan(
+            jnp.asarray(frames), jnp.array(path[0], np.int32), np.uint8(128)
+        )
+    )
+    # per-frame origins follow the true path; generous margin
+    ch = cw = 97
+    m = 48
+    origins = np.array([[i - m, j - m] for i, j in path], np.int64)
+    crops = np.stack([
+        _crop_with_fill(frames[t], origins[t], ch, cw, 128) for t in range(T)
+    ])
+    spec = make_spec((ch, cw), 21, 10, True)
+    deltas = np.empty((T, 2), np.int64)
+    deltas[0] = 0
+    deltas[1:] = origins[:-1] - origins[1:]
+    lo = np.maximum(-origins, 0).astype(np.int32)
+    hi = np.minimum([ch - 1, cw - 1], np.array([H - 1, W - 1]) - origins).astype(np.int32)
+    pos0 = (np.array(path[0]) - origins[0]).astype(np.int32)
+    want_rel = np.asarray(
+        tracker_fns(spec).scan_bounded(
+            jnp.asarray(crops), jnp.asarray(pos0), np.uint8(128),
+            jnp.asarray(deltas, np.int32), jnp.asarray(lo), jnp.asarray(hi),
+        )
+    )
+    np.testing.assert_array_equal(want_rel + origins, want_abs)
+    fn = pallas_scan_fn(spec, bounded=True, interpret=True)
+    got = np.asarray(
+        fn(jnp.asarray(crops), jnp.asarray(pos0), np.uint8(128),
+           jnp.asarray(deltas, np.int32), jnp.asarray(lo), jnp.asarray(hi))
+    )
+    np.testing.assert_array_equal(got, want_rel)

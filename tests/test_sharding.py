@@ -69,21 +69,23 @@ def test_sharded_pallas_bounded_matches_single_device(mesh8):
     spec = make_spec((h, w), 15, 6, True)
     pos0 = np.array([p[0] for p in paths], np.int32)
     fills = np.full((B,), 128, np.uint8)
-    lo = np.tile(np.array([[2, 1]], np.int32), (B, 1))
-    hi = np.tile(np.array([[h - 3, w - 2]], np.int32), (B, 1))
+    deltas = np.zeros((B, T, 2), np.int32)
+    lo = np.tile(np.array([[[2, 1]]], np.int32), (B, T, 1))
+    hi = np.tile(np.array([[[h - 3, w - 2]]], np.int32), (B, T, 1))
 
     fns = tracker_fns(spec)
     base1 = getattr(fns.scan_bounded, "__wrapped__", fns.scan_bounded)
     want = np.asarray(
         jax.jit(jax.vmap(base1))(
             jnp.asarray(frames), jnp.asarray(pos0), jnp.asarray(fills),
-            jnp.asarray(lo), jnp.asarray(hi),
+            jnp.asarray(deltas), jnp.asarray(lo), jnp.asarray(hi),
         )
     )
 
     sharded = sharded_pallas_bounded(spec, mesh8, interpret=True)
     f_dev = jax.device_put(frames, batch_sharding(mesh8, 4))
-    got = sharded(f_dev, jnp.asarray(pos0), jnp.asarray(fills), jnp.asarray(lo), jnp.asarray(hi))
+    got = sharded(f_dev, jnp.asarray(pos0), jnp.asarray(fills),
+                  jnp.asarray(deltas), jnp.asarray(lo), jnp.asarray(hi))
     assert got.sharding.spec[0] == "data"  # output stays batch-sharded
     np.testing.assert_array_equal(np.asarray(got), want)
 
