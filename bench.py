@@ -320,11 +320,12 @@ def stage_device_roi(d):
     hi = jnp.asarray(np.tile(np.array([[ch - 1, cw - 1]], np.int32), (K, 1)))
     fill = np.uint8(128)
 
+    kk = np.int32(K)
     out = fns.scan_bounded(crops, pos, fill, deltas0, lo, hi)
-    out = chain(crops, out, fill, deltas0, lo, hi)
+    out = chain(crops, out, kk, fill, deltas0, lo, hi)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    out = chain(crops, out, fill, deltas0, lo, hi)
+    out = chain(crops, out, kk, fill, deltas0, lo, hi)
     jax.block_until_ready(out)
     probe = time.perf_counter() - t0  # per-dispatch cost incl. link latency
     rounds = 5 if probe > 0.1 else 25  # keep the stage inside its timeout
@@ -333,7 +334,7 @@ def stage_device_roi(d):
         t0 = time.perf_counter()
         o = out
         for _ in range(rounds):
-            o = chain(crops, o, fill, deltas0, lo, hi)
+            o = chain(crops, o, kk, fill, deltas0, lo, hi)
         jax.block_until_ready(o)
         fpss.append(rounds * K / (time.perf_counter() - t0))
     s = _stats(fpss)
@@ -352,7 +353,8 @@ def stage_device_roi(d):
     deltas = np.zeros((S, K, 2), np.int32)
     los = np.tile(np.asarray(lo)[None], (S, 1, 1))
     his = np.tile(np.asarray(hi)[None], (S, 1, 1))
-    outs = sup(crops_s, out, deltas, fill, los, his)
+    kks = np.full(S, K, np.int32)
+    outs = sup(crops_s, out, kk, kks, deltas, fill, los, his)
     jax.block_until_ready(outs)
     g_rounds = max(1, rounds // S)
     fpss_g = []
@@ -360,7 +362,7 @@ def stage_device_roi(d):
         t0 = time.perf_counter()
         o = outs[-1]
         for _ in range(g_rounds):
-            outs = sup(crops_s, o, deltas, fill, los, his)
+            outs = sup(crops_s, o, kk, kks, deltas, fill, los, his)
             o = outs[-1]
         jax.block_until_ready(o)
         fpss_g.append(g_rounds * S * K / (time.perf_counter() - t0))
@@ -402,11 +404,12 @@ def stage_subpixel(d):
     hi = jnp.asarray(np.tile(np.array([[ch - 1, cw - 1]], np.int32), (K, 1)))
     fill = np.uint8(128)
 
+    kk = np.int32(K)
     out, off = scan(crops, pos, fill, deltas0, lo, hi)
-    out, off = chain(crops, out, fill, deltas0, lo, hi)
+    out, off = chain(crops, out, kk, fill, deltas0, lo, hi)
     jax.block_until_ready((out, off))
     t0 = time.perf_counter()
-    out, off = chain(crops, out, fill, deltas0, lo, hi)
+    out, off = chain(crops, out, kk, fill, deltas0, lo, hi)
     jax.block_until_ready((out, off))
     probe = time.perf_counter() - t0
     rounds = 5 if probe > 0.1 else 25
@@ -415,7 +418,7 @@ def stage_subpixel(d):
         t0 = time.perf_counter()
         o, f_ = out, off
         for _ in range(rounds):
-            o, f_ = chain(crops, o, fill, deltas0, lo, hi)
+            o, f_ = chain(crops, o, kk, fill, deltas0, lo, hi)
         jax.block_until_ready((o, f_))
         fpss.append(rounds * K / (time.perf_counter() - t0))
     s = _stats(fpss)
@@ -457,13 +460,16 @@ def stage_hostceil(d):
         def reset(self):
             pass
 
-        def dispatch(self, buf, origins, P_abs):
+        def dispatch(self, buf, origins, P_abs, valid=None):
             counts["dispatches"] += 1
             K = buf.shape[1]
-            # a replay re-dispatches frames, double-advancing the cursor;
-            # near EOF that would make k negative — clamp (the run is then
-            # flagged degraded via the replay audit below, never crashed)
-            k = max(0, min(K, len(truth) - 1 - self.t))
+            # the controller says how many frames this chunk really has
+            # (short velocity-probe chunks and EOF tails); a replay
+            # re-dispatches frames, double-advancing the cursor — near EOF
+            # that would make k negative, so clamp (the run is then flagged
+            # degraded via the replay audit below, never crashed)
+            want = K if valid is None else int(np.max(valid))
+            k = max(0, min(want, len(truth) - 1 - self.t))
             pos = np.zeros((K, 2), np.int64)
             # origins are per-frame [1, K, 2]; emitted positions are
             # relative to each frame's own crop origin

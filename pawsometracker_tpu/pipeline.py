@@ -127,27 +127,42 @@ RETAINED = "native-retained"
 
 
 def _predict_slack(k_frames: int, depth: int, r: int) -> int:
-    """Per-axis slack (px) added to the synchronous margin in predict mode:
-    covers velocity-extrapolation error over the staleness horizon.
+    """Per-axis prediction-error budget (px) on top of the window+kernel
+    apron in predict mode — the ONLY margin term, since per-frame crop
+    origins ride the predicted path (the old chunk-level aim needed the
+    worst-case in-chunk drift ``K*r`` on top: 176 of the ~230 px margin at
+    defaults, 4-5x the staged H2D bytes, which on a 1-core host came
+    straight out of the decode budget — docs/performance.md).
 
     Deliberately depth-INDEPENDENT: depth is then a pure latency-hiding knob —
     crop geometry (bytes/frame, jitted kernels, engine-cache entries) is
     identical at every depth, and a deeper pipeline costs nothing per frame.
-    The price is a staler aim at higher depth (extrapolation error grows with
-    ``depth*K`` while the slack doesn't), which only raises the mispredict-
-    replay rate; correctness never depends on it (containment validation
-    replays exactly). Small relative to the worst-case drift bound ``K*r``."""
-    return max(4, (k_frames * r) // 8)
+    The price of the budget being finite is mispredict replays (prediction
+    error grows with the staleness horizon); correctness never depends on it
+    (containment validation replays exactly, and a failed exact-origin
+    rewind SPLITS until its 1-frame floor, which is provably contained).
+    ``PAWS_PREDICT_SLACK`` overrides (px)."""
+    env = os.environ.get("PAWS_PREDICT_SLACK")
+    if env:
+        return max(1, int(env))
+    return max(24, 2 * r, k_frames)
 
 
 def roi_geometry(spec, k_frames: int, depth: int = 0, mode: str = "contain"):
     """``(crop_h, crop_w, margin)`` for K-frame ROI mini-scans at pipeline
-    ``depth`` (chunks the host may run ahead of the device)."""
+    ``depth`` (chunks the host may run ahead of the device).
+
+    predict mode: per-frame origins (see :meth:`SpeculativePipeline._aim`)
+    put each frame's expected window center at its crop's center, so the
+    margin is window radius + kernel apron + a prediction-error slack.
+    contain mode: one origin per chunk at the last KNOWN position, margin =
+    worst-case drift over the full (depth+1)*K horizon — no speculation, no
+    replays, bigger crops."""
     ri, rj = spec.radii
     half = spec.kernel_len // 2
     if mode == "predict":
-        mi = k_frames * ri + half + _predict_slack(k_frames, depth, ri)
-        mj = k_frames * rj + half + _predict_slack(k_frames, depth, rj)
+        mi = ri + half + _predict_slack(k_frames, depth, ri)
+        mj = rj + half + _predict_slack(k_frames, depth, rj)
     else:
         mi = (depth + 1) * k_frames * ri + half
         mj = (depth + 1) * k_frames * rj + half
@@ -170,10 +185,13 @@ def make_chained(scan_bounded):
     import jax
     import jax.numpy as jnp
 
-    def chained(frames, prev_all, fill, deltas, lo, hi):
-        # prev_all is the previous chunk's [K, 2] positions; only full chunks
-        # are ever followed by another chunk (short == EOF), so [-1] is valid
-        return scan_bounded(frames, prev_all[-1].astype(jnp.int32), fill, deltas, lo, hi)
+    def chained(frames, prev_all, prev_k, fill, deltas, lo, hi):
+        # prev_all is the previous chunk's [K, 2] positions, prev_k its VALID
+        # frame count: short chunks (velocity probes, split rewind halves,
+        # per-lane EOF) are followed by more chunks, and their pad rows carry
+        # garbage under per-frame origins — chain from the last REAL row
+        p = prev_all[jnp.maximum(prev_k - 1, 0)]
+        return scan_bounded(frames, p.astype(jnp.int32), fill, deltas, lo, hi)
 
     return jax.jit(chained)
 
@@ -196,14 +214,17 @@ def make_super_chain(scan_bounded, S: int, subpixel: bool):
 
     inner = getattr(scan_bounded, "__wrapped__", scan_bounded)
 
-    def sup(crops, prev_all, deltas, fill, los, his):
+    def sup(crops, prev_all, prev_k, ks, deltas, fill, los, his):
+        # prev_k / ks[s]: valid frame counts of the pre-group chunk and of
+        # each group member — chain from the last REAL row (see make_chained)
         outs = []
-        p = prev_all[-1]
+        p = prev_all[jnp.maximum(prev_k - 1, 0)]
         for s in range(S):
             out = inner(crops[s], p.astype(jnp.int32), fill, deltas[s],
                         los[s], his[s])
             outs.append(out)
-            p = out[0][-1] if subpixel else out[-1]
+            last = jnp.maximum(ks[s] - 1, 0)
+            p = out[0][last] if subpixel else out[last]
         return outs
 
     return jax.jit(sup)
@@ -225,16 +246,33 @@ class _GroupHandle:
 
 @functools.lru_cache(maxsize=256)
 def make_chained_batch(scan_bounded_batch):
-    """Batched analog of :func:`make_chained` (same memoization rationale):
-    ``prev_all`` is ``[B, K, 2]``; per-frame ``deltas``/``lo``/``hi`` are
-    ``[B, K, 2]`` (the chunk-to-chunk shift rides ``deltas[:, 0]``)."""
+    """Batched analog of :func:`make_chained` (same memoization rationale) —
+    except the chain state is an ABSOLUTE per-lane carry ``[B, 2]`` int32,
+    not the previous chunk's output rows. A chunk can hold ZERO valid frames
+    for one lane mid-stream (split-rewind remainders, a short lane past its
+    EOF while longer lanes continue): that lane's scan rows are argmaxes
+    over fill-padding — garbage a row-indexed chain would propagate into the
+    lane's NEXT real chunk. The carry instead pins such lanes at their last
+    real position: ``carry' = ks > 0 ? pos[ks-1] + origin_last : carry``.
+    Frame/chunk origins enter as arrays so the rebase (absolute -> frame-0
+    crop coordinates) and the carry update run inside the one jitted
+    program; ``deltas[:, 0]`` is zero in this scheme (the chunk-to-chunk
+    shift is the ``carry - origin0`` rebase, not a delta row).
+
+    Returns ``(scan_out, new_carry)``."""
     import jax
     import jax.numpy as jnp
 
-    def chained(frames, prev_all, fills, deltas, lo, hi):
-        return scan_bounded_batch(
-            frames, prev_all[:, -1].astype(jnp.int32), fills, deltas, lo, hi
+    def chained(frames, carry, ks, origin0, origin_last, fills, deltas, lo, hi):
+        p = (carry - origin0).astype(jnp.int32)
+        out = scan_bounded_batch(frames, p, fills, deltas, lo, hi)
+        pos = out[0] if isinstance(out, tuple) else out
+        idx = jnp.maximum(ks - 1, 0)[:, None, None]  # [B, 1, 1]
+        last = jnp.take_along_axis(pos, idx, axis=1)[:, 0]
+        carry2 = jnp.where(
+            (ks > 0)[:, None], last.astype(jnp.int32) + origin_last, carry
         )
+        return out, carry2
 
     return jax.jit(chained)
 
@@ -242,22 +280,31 @@ def make_chained_batch(scan_bounded_batch):
 @functools.lru_cache(maxsize=256)
 def make_super_chain_batch(scan_bounded_batch, S: int, subpixel: bool):
     """Batched analog of :func:`make_super_chain`: S chained batched chunk
-    scans in one jitted program. ``crops`` is a tuple of S ``[L, K, ch, cw]``
-    arrays; ``deltas``/``los``/``his`` are ``[S, L, K, 2]``."""
+    scans in one jitted program, threading the absolute per-lane carry of
+    :func:`make_chained_batch` through the group. ``crops`` is a tuple of S
+    ``[L, K, ch, cw]`` arrays; ``kss``/``origin0s``/``origin_lasts`` are
+    ``[S, L]`` / ``[S, L, 2]``; ``deltas``/``los``/``his`` are
+    ``[S, L, K, 2]``. Returns ``(outs, new_carry)``."""
     import jax
     import jax.numpy as jnp
 
     inner = getattr(scan_bounded_batch, "__wrapped__", scan_bounded_batch)
 
-    def sup(crops, prev_all, deltas, fills, los, his):
+    def sup(crops, carry, kss, origin0s, origin_lasts, deltas, fills, los, his):
         outs = []
-        p = prev_all[:, -1]
         for s in range(S):
-            out = inner(crops[s], p.astype(jnp.int32), fills, deltas[s],
-                        los[s], his[s])
+            p = (carry - origin0s[s]).astype(jnp.int32)
+            out = inner(crops[s], p, fills, deltas[s], los[s], his[s])
             outs.append(out)
-            p = out[0][:, -1] if subpixel else out[:, -1]
-        return outs
+            pos = out[0] if subpixel else out
+            idx = jnp.maximum(kss[s] - 1, 0)[:, None, None]
+            last = jnp.take_along_axis(pos, idx, axis=1)[:, 0]
+            carry = jnp.where(
+                (kss[s] > 0)[:, None],
+                last.astype(jnp.int32) + origin_lasts[s],
+                carry,
+            )
+        return outs, carry
 
     return jax.jit(sup)
 
@@ -812,16 +859,20 @@ class _SingleEngine(_GroupDispatchBase):
 
     def _reset_task(self):
         self._prev = None
+        self._prev_k = None
         self._prev_origin = None
 
-    def dispatch(self, buf, origins, P_abs):
+    def dispatch(self, buf, origins, P_abs, valid=None):
         # copy everything the controller mutates after dispatch (P_abs is
         # the live self.P; origins is fresh per iteration but cheap to pin);
-        # start the H2D now so upload overlaps the next chunk's decode
+        # start the H2D now so upload overlaps the next chunk's decode.
+        # ``valid`` is the chunk's REAL frame count — the scan runs all K
+        # rows, but the chain must continue from the last real one
         self._maybe_prewarm(buf.shape)
         xfut = self._disp.submit_stage(self._jnp.asarray, buf[0])
+        k = buf.shape[1] if valid is None else int(valid[0])
         return self._stage_entry(
-            (xfut, origins[0].copy(), P_abs[0].copy(), _GroupHandle())
+            (xfut, origins[0].copy(), P_abs[0].copy(), k, _GroupHandle())
         )
 
     def _prewarm_supers(self, buf_shape):
@@ -836,7 +887,8 @@ class _SingleEngine(_GroupDispatchBase):
             los = np.zeros((S, K, 2), np.int32)
             his = np.tile(np.array([[[ch - 1, cw - 1]]], np.int32), (S, K, 1))
             jax.block_until_ready(
-                sup((crop,) * S, prev, deltas, self.fill_dev, los, his)
+                sup((crop,) * S, prev, np.int32(K),
+                    np.full(S, K, np.int32), deltas, self.fill_dev, los, his)
             )
 
     def _bounds(self, o):
@@ -859,40 +911,46 @@ class _SingleEngine(_GroupDispatchBase):
         d[1:] = o[:-1] - o[1:]
         return d.astype(np.int32)
 
-    def _finish(self, out, o):
+    def _finish(self, out, o, k):
         if self.subpixel:
             pos, off = out
             _to_host_async(pos, off)
         else:
             pos, off = out, None
             _to_host_async(pos)
-        self._prev, self._prev_origin = pos, o[-1]
+        # the chain continues from the last REAL row: its position handle,
+        # its frame count, and the origin that row was cropped at
+        self._prev, self._prev_k = pos, np.int32(k)
+        self._prev_origin = o[max(k - 1, 0)]
         return (pos, off)
 
     def _run_first(self, entry):
-        xfut, o, P0, _ = entry
+        xfut, o, P0, k, _ = entry
         lo, hi = self._bounds(o)
         deltas = self._deltas(o, o[0])
         pos_rel = self._jnp.asarray((P0 - o[0]).astype(np.int32))
         with self.timer.section("device"):
             out = self.scan_first(xfut.result(), pos_rel, self.fill_dev,
                                   deltas, lo, hi)
-        return self._finish(out, o)
+        return self._finish(out, o, k)
 
     def _run_chain(self, entry):
-        xfut, o, _, _ = entry
+        xfut, o, _, k, _ = entry
         lo, hi = self._bounds(o)
         deltas = self._deltas(o, self._prev_origin)
         with self.timer.section("device"):
-            out = self.scan_chain(xfut.result(), self._prev,
+            out = self.scan_chain(xfut.result(), self._prev, self._prev_k,
                                   self.fill_dev, deltas, lo, hi)
-        return self._finish(out, o)
+        return self._finish(out, o, k)
 
     def _run_super(self, rest):
         S = len(rest)
         sup = make_super_chain(self.scan_first, S, self.subpixel)
         origins = [e[1] for e in rest]
-        prev_last = [self._prev_origin] + [o[-1] for o in origins[:-1]]
+        ks = [e[3] for e in rest]
+        prev_last = [self._prev_origin] + [
+            origins[s][max(ks[s] - 1, 0)] for s in range(S - 1)
+        ]
         deltas = np.stack(
             [self._deltas(origins[s], prev_last[s]) for s in range(S)]
         )
@@ -901,8 +959,12 @@ class _SingleEngine(_GroupDispatchBase):
         his = np.stack([b[1] for b in bounds])
         crops = tuple(e[0].result() for e in rest)
         with self.timer.section("device"):
-            outs = sup(crops, self._prev, deltas, self.fill_dev, los, his)
-        return [self._finish(out, origins[s]) for s, out in enumerate(outs)]
+            outs = sup(crops, self._prev, self._prev_k,
+                       np.asarray(ks, np.int32), deltas, self.fill_dev,
+                       los, his)
+        return [
+            self._finish(out, origins[s], ks[s]) for s, out in enumerate(outs)
+        ]
 
     def to_host(self, handle):
         pos, off = self._materialize(handle)
@@ -935,18 +997,21 @@ class _BatchedEngine(_GroupDispatchBase):
         self.timer = timer
         self._meshless = shard is None
         self.shard = shard if shard is not None else jnp.asarray
-        self._prev_origins = None
         self._init_grouping(group_allowed=self._meshless)
 
     def _reset_task(self):
+        # absolute per-lane position carry [B, 2] int32 on device (see
+        # make_chained_batch); None = no chain yet (the next dispatch seeds
+        # it from the entry's host P_abs)
         self._prev = None
-        self._prev_origins = None
 
-    def dispatch(self, buf, origins, P_abs):
+    def dispatch(self, buf, origins, P_abs, valid=None):
         self._maybe_prewarm(buf.shape)
         xfut = self._disp.submit_stage(self.shard, buf)
+        ks = (np.full(buf.shape[0], buf.shape[1], np.int64)
+              if valid is None else np.asarray(valid))
         return self._stage_entry(
-            (xfut, origins.copy(), P_abs.copy(), _GroupHandle())
+            (xfut, origins.copy(), P_abs.copy(), ks.copy(), _GroupHandle())
         )
 
     def _prewarm_supers(self, buf_shape):
@@ -954,14 +1019,16 @@ class _BatchedEngine(_GroupDispatchBase):
 
         L, K, ch, cw = buf_shape
         crop = self.shard(np.zeros((L, K, ch, cw), np.uint8))
-        prev = self._jnp.asarray(np.zeros((L, K, 2), np.int32))
+        carry = self._jnp.asarray(np.zeros((L, 2), np.int32))
         for S in range(2, self.GROUP_MAX + 1):
             sup = make_super_chain_batch(self.scan, S, self.subpixel)
             deltas = np.zeros((S, L, K, 2), np.int32)
             los = np.zeros((S, L, K, 2), np.int32)
             his = np.tile(np.array([[[[ch - 1, cw - 1]]]], np.int32), (S, L, K, 1))
             jax.block_until_ready(
-                sup((crop,) * S, prev, deltas, self.fills_dev, los, his)
+                sup((crop,) * S, carry, np.full((S, L), K, np.int32),
+                    np.zeros((S, L, 2), np.int32), np.zeros((S, L, 2), np.int32),
+                    deltas, self.fills_dev, los, his)
             )
 
     def _bounds(self, origins):
@@ -972,71 +1039,77 @@ class _BatchedEngine(_GroupDispatchBase):
         ).astype(np.int32)
         return lo, hi
 
-    def _deltas(self, origins, prev_last):
-        """Per-lane per-frame rebase ``[L, K, 2]``: ``d[:, 0]`` maps the
-        carried positions from ``prev_last`` ``[L, 2]`` (previous chunk's
-        LAST frame origins) into frame 0's coordinates."""
-        d = np.empty_like(origins)
-        d[:, 0] = prev_last - origins[:, 0]
+    @staticmethod
+    def _deltas(origins):
+        """Per-lane per-frame rebase ``[L, K, 2]``; ``d[:, 0]`` is zero —
+        the chunk-to-chunk shift is the carry rebase inside the chain."""
+        d = np.zeros_like(origins)
         d[:, 1:] = origins[:, :-1] - origins[:, 1:]
         return d.astype(np.int32)
 
-    def _finish(self, out, origins):
+    @staticmethod
+    def _last_origin(origins, ks):
+        """Per-lane origin of the last REAL frame: ``origins[b, ks[b]-1]``."""
+        idx = np.maximum(np.asarray(ks) - 1, 0)
+        return origins[np.arange(origins.shape[0]), idx]
+
+    def _finish(self, out):
         if self.subpixel:
             pos, off = out
             _to_host_async(pos, off)
         else:
             pos, off = out, None
             _to_host_async(pos)
-        # the chained scan needs only the POSITIONS device handle
-        self._prev, self._prev_origins = pos, origins[:, -1]
         return (pos, off)
 
-    def _run_first(self, entry):
-        xfut, origins, P_abs, _ = entry
+    def _chain_args(self, origins, ks):
         lo, hi = self._bounds(origins)
-        deltas = self._deltas(origins, origins[:, 0])
-        with self.timer.section("device"):
-            out = self.scan(
-                xfut.result(),
-                self._jnp.asarray((P_abs - origins[:, 0]).astype(np.int32)),
-                self.fills_dev,
-                self.shard(deltas),
-                self.shard(lo),
-                self.shard(hi),
-            )
-        return self._finish(out, origins)
+        return (
+            self._jnp.asarray(np.asarray(ks, np.int32)),
+            self._jnp.asarray(origins[:, 0].astype(np.int32)),
+            self._jnp.asarray(self._last_origin(origins, ks).astype(np.int32)),
+            self.shard(self._deltas(origins)),
+            self.shard(lo),
+            self.shard(hi),
+        )
+
+    def _run_first(self, entry):
+        # seed the absolute carry from the controller's positions, then the
+        # first chunk chains like any other (its rebase consumes the seed)
+        self._prev = self._jnp.asarray(entry[2].astype(np.int32))
+        return self._run_chain(entry)
 
     def _run_chain(self, entry):
-        xfut, origins, _, _ = entry
-        lo, hi = self._bounds(origins)
-        deltas = self._deltas(origins, self._prev_origins)
+        xfut, origins, _, ks, _ = entry
+        ksd, o0, olast, deltas, lo, hi = self._chain_args(origins, ks)
         with self.timer.section("device"):
-            out = self.chain(
-                xfut.result(),
-                self._prev,
-                self.fills_dev,
-                self.shard(deltas),
-                self.shard(lo),
-                self.shard(hi),
+            out, self._prev = self.chain(
+                xfut.result(), self._prev, ksd, o0, olast,
+                self.fills_dev, deltas, lo, hi,
             )
-        return self._finish(out, origins)
+        return self._finish(out)
 
     def _run_super(self, rest):
         S = len(rest)
         sup = make_super_chain_batch(self.scan, S, self.subpixel)
         origins_l = [e[1] for e in rest]
-        prev_last = [self._prev_origins] + [o[:, -1] for o in origins_l[:-1]]
-        deltas = np.stack(
-            [self._deltas(origins_l[s], prev_last[s]) for s in range(S)]
-        )
+        ks_l = [e[3] for e in rest]
+        kss = np.stack(ks_l).astype(np.int32)
+        origin0s = np.stack([o[:, 0] for o in origins_l]).astype(np.int32)
+        origin_lasts = np.stack(
+            [self._last_origin(origins_l[s], ks_l[s]) for s in range(S)]
+        ).astype(np.int32)
+        deltas = np.stack([self._deltas(o) for o in origins_l])
         bounds = [self._bounds(o) for o in origins_l]
         los = np.stack([b[0] for b in bounds])
         his = np.stack([b[1] for b in bounds])
         crops = tuple(e[0].result() for e in rest)
         with self.timer.section("device"):
-            outs = sup(crops, self._prev, deltas, self.fills_dev, los, his)
-        return [self._finish(out, origins_l[s]) for s, out in enumerate(outs)]
+            outs, self._prev = sup(
+                crops, self._prev, kss, origin0s, origin_lasts,
+                deltas, self.fills_dev, los, his,
+            )
+        return [self._finish(out) for out in outs]
 
     def to_host(self, handle):
         pos, off = self._materialize(handle)
@@ -1115,9 +1188,10 @@ class SingleVideoSource:
             chunk = None
         return (chunk, np.array([k]))
 
-    def recrop(self, tokens, valid, origins, rbuf, timer, base):
+    def recrop(self, tokens, valid, origins, rbuf, timer, base, off):
         k = int(valid[0])
         o = origins[0]  # [K, 2]
+        f0 = int(off[0])  # frame offset within tokens (split sub-chunks)
         with timer.section("crop"):
             if tokens is RETAINED:
                 # the entry's frames sit behind the re-dispatched chunks
@@ -1127,19 +1201,22 @@ class SingleVideoSource:
                                 self.ch, self.cw, self.fill, out=rbuf[0])
             else:
                 for i in range(k):
-                    _crop_with_fill(tokens[i], o[i], self.ch, self.cw, self.fill, out=rbuf[0, i])
+                    _crop_with_fill(tokens[f0 + i], o[i], self.ch, self.cw,
+                                    self.fill, out=rbuf[0, i])
             for i in range(k, self.K):
                 rbuf[0, i] = rbuf[0, k - 1]
 
-    def accept(self, tokens, valid, abs_pos, timer):
+    def accept(self, tokens, valid, abs_pos, timer, off):
         k = int(valid[0])
+        f0 = int(off[0])
         if tokens is RETAINED:
             self.src.release(k)  # this chunk's frames are the oldest retained
         elif tokens is not None:
             with timer.section("diagnose"):
                 for i in range(k):
-                    self.dia(tokens[i], abs_pos[0, i])
-            self._pf.recycle(tokens)
+                    self.dia(tokens[f0 + i], abs_pos[0, i])
+            if f0 + k == tokens.shape[0]:  # last sub-chunk recycles the array
+                self._pf.recycle(tokens)
 
 
 class FanoutSource:
@@ -1172,7 +1249,7 @@ class FanoutSource:
             prefetchers.append(self._pf)
             self._it = iter(self._pf)
 
-    def _crop_lanes(self, frames, k, origins, buf, base, timer):
+    def _crop_lanes(self, frames, k, origins, buf, base, timer, f0=0):
         with timer.section("crop"):
             for t in range(self.N):
                 o = origins[t]  # [K, 2] per-frame origins for this lane
@@ -1181,7 +1258,8 @@ class FanoutSource:
                                     self.fill, out=buf[t])
                 else:
                     for i in range(k):
-                        _crop_with_fill(frames[i], o[i], self.ch, self.cw, self.fill, out=buf[t, i])
+                        _crop_with_fill(frames[f0 + i], o[i], self.ch, self.cw,
+                                        self.fill, out=buf[t, i])
                 for i in range(k, self.K):
                     buf[t, i] = buf[t, k - 1]
 
@@ -1201,13 +1279,15 @@ class FanoutSource:
         self._crop_lanes(chunk, k, origins, buf, 0, timer)
         return (chunk, np.full(self.N, k, np.int64))
 
-    def recrop(self, tokens, valid, origins, rbuf, timer, base):
+    def recrop(self, tokens, valid, origins, rbuf, timer, base, off):
         # all lanes share the stream, so the retained-window offset is the
         # (equal) per-lane in-flight frame count
-        self._crop_lanes(tokens, int(valid[0]), origins, rbuf, int(base[0]), timer)
+        self._crop_lanes(tokens, int(valid[0]), origins, rbuf, int(base[0]),
+                         timer, f0=int(off[0]))
 
-    def accept(self, tokens, valid, abs_pos, timer):
+    def accept(self, tokens, valid, abs_pos, timer, off):
         k = int(valid[0])
+        f0 = int(off[0])
         if tokens is RETAINED:
             self.src.release(k)
             self._retained -= k
@@ -1215,8 +1295,9 @@ class FanoutSource:
             if self.keep_for_dia:
                 with timer.section("diagnose"):
                     for i in range(k):
-                        self.dia(tokens[i], abs_pos[:, i])
-            self._pf.recycle(tokens)
+                        self.dia(tokens[f0 + i], abs_pos[:, i])
+            if f0 + k == tokens.shape[0]:  # last sub-chunk recycles the array
+                self._pf.recycle(tokens)
 
 
 class PerVideoSource:
@@ -1250,13 +1331,16 @@ class PerVideoSource:
                 if self.active[b]:
                     if self.nat_retained:
                         base = self._retained[b]
-                        k = self.sources[b].advance_retained(min(self.K, self._left[b]))
+                        want = min(self.K, self._left[b], max(int(remaining), 1))
+                        k = self.sources[b].advance_retained(want)
                         if k == 0:
                             self.active[b] = False
                         else:
                             self._retained[b] += k
                             self._left[b] -= k
-                            if k < self.K or self._left[b] == 0:
+                            # short of the REQUEST means decoder EOF (a
+                            # remaining-clamped short probe is intentional)
+                            if k < want or self._left[b] == 0:
                                 self.active[b] = False
                             tokens[b] = RETAINED
                             o = origins[b]  # [K, 2]
@@ -1287,28 +1371,30 @@ class PerVideoSource:
             return None
         return (tokens, valid)
 
-    def recrop(self, tokens, valid, origins, rbuf, timer, base):
+    def recrop(self, tokens, valid, origins, rbuf, timer, base, off):
         with timer.section("crop"):
             for b in range(self.B):
                 k = int(valid[b])
                 if k > 0:
                     o = origins[b]  # [K, 2]
+                    f0 = int(off[b])
                     if tokens[b] is RETAINED:
                         self.sources[b].recrop(int(base[b]), k, o,
                                                self.ch, self.cw, int(self.fills[b]),
                                                out=rbuf[b])
                     else:
                         for i in range(k):
-                            _crop_with_fill(tokens[b][i], o[i], self.ch, self.cw,
+                            _crop_with_fill(tokens[b][f0 + i], o[i], self.ch, self.cw,
                                             int(self.fills[b]), out=rbuf[b, i])
                     for i in range(k, self.K):
                         rbuf[b, i] = rbuf[b, k - 1]
                 else:
                     rbuf[b] = self.fills[b]
 
-    def accept(self, tokens, valid, abs_pos, timer):
+    def accept(self, tokens, valid, abs_pos, timer, off):
         for b in range(self.B):
             k = int(valid[b])
+            f0 = int(off[b])
             if k > 0:
                 if tokens[b] is RETAINED:
                     self.sources[b].release(k)
@@ -1316,8 +1402,9 @@ class PerVideoSource:
                 else:
                     with timer.section("diagnose"):
                         for i in range(k):
-                            self.dias[b](tokens[b][i], abs_pos[b, i])
-            if tokens[b] is not None and tokens[b] is not RETAINED:
+                            self.dias[b](tokens[b][f0 + i], abs_pos[b, i])
+            if (tokens[b] is not None and tokens[b] is not RETAINED
+                    and f0 + k == tokens[b].shape[0]):
                 self._pf[b].recycle(tokens[b])
 
 
@@ -1335,6 +1422,29 @@ class PerVideoSource:
 #: run converged — results are identical at every depth, so the memo is
 #: purely a warm-start; replays still reset to 1 and re-ramp within a run.
 _AUTO_DEPTH_MEMO: dict = {}
+
+
+class _Pending:
+    """One in-flight (or rewind-queued) chunk: the engine handle plus
+    everything needed to validate, accept, or re-dispatch it.
+
+    ``exact``: dispatched through the rewind queue with nothing in flight,
+    i.e. aimed from the EXACT last accepted position — the replay progress
+    candidate. ``off`` (``[L]``): frame offset of this entry within its
+    ``tokens`` (nonzero only for the sub-chunks of a SPLIT exact entry; the
+    retained-ring delivery never needs it — ring position is in-flight
+    arithmetic — but numpy-chunk delivery slices ``tokens[off + i]``)."""
+
+    __slots__ = ("handle", "origins", "valid", "tokens", "buf", "exact", "off")
+
+    def __init__(self, handle, origins, valid, tokens, buf, exact=False, off=None):
+        self.handle = handle
+        self.origins = origins
+        self.valid = valid
+        self.tokens = tokens
+        self.buf = buf
+        self.exact = exact
+        self.off = np.zeros(len(valid), np.int64) if off is None else off
 
 
 class SpeculativePipeline:
@@ -1388,10 +1498,12 @@ class SpeculativePipeline:
         self._grow_groups = _grouping_pays()
         # rotating crop buffers: a buffer is reused only after its chunk's
         # result is drained, so an in-flight device transfer never reads a
-        # mutated buffer
+        # mutated buffer. _POOL_MAX bounds transient growth from buffer-less
+        # split entries (each allocates lazily when the pool runs dry).
+        self._pool_max = self.depth_max + 2
         self._free = [np.empty((L, K, self.ch, self.cw), np.uint8)
-                      for _ in range(self.depth_max + 2)]
-        self._pending: deque = deque()  # (handle, origins, valid, tokens, buf)
+                      for _ in range(self._pool_max)]
+        self._pending: deque = deque()  # of _Pending
         self._rewind: deque = deque()  # replayed entries awaiting re-dispatch
         # eager opportunistic drain (PAWS_EAGER_DRAIN=0 disables): drain
         # results the moment they are READY (non-blocking check) instead of
@@ -1428,7 +1540,7 @@ class SpeculativePipeline:
             # downloaded position
             stale = np.zeros(self.L, np.int64)
             for ent in self._pending:
-                stale += ent[2]
+                stale += ent.valid
             h = (stale[:, None] + np.arange(self.K)[None, :]).astype(np.float64)
             h = h[..., None]  # [L, K, 1]
             # quadratic extrapolation: at the deep-pipeline horizons group
@@ -1477,13 +1589,15 @@ class SpeculativePipeline:
         return True
 
     # -- accept / replay / drain -------------------------------------------
-    def _accept(self, pos_np, off_np, origins, valid, tokens, buf):
+    def _accept(self, pos_np, off_np, ent):
+        origins, valid, tokens, buf = ent.origins, ent.valid, ent.tokens, ent.buf
         abs_pos = pos_np.astype(np.int64) + origins  # [L, K, 2]
         self.sink(abs_pos, valid, off_np)
-        self.source.accept(tokens, valid, abs_pos, self.timer)
+        self.source.accept(tokens, valid, abs_pos, self.timer, ent.off)
         for lane in range(self.L):
             k = int(valid[lane])
             if k > 1:
+                self._vel_ready = True
                 new_vel = (abs_pos[lane, k - 1] - abs_pos[lane, 0]) / (k - 1)
                 if self._last_k[lane] > 1:
                     # curvature from consecutive chunk secants (midpoints
@@ -1498,7 +1612,7 @@ class SpeculativePipeline:
             if k > 0:
                 self.P[lane] = abs_pos[lane, k - 1]
         self.tracked += valid
-        if buf is not None:
+        if buf is not None and len(self._free) < self._pool_max:
             self._free.append(buf)
 
     def _replay(self, entries):
@@ -1508,11 +1622,14 @@ class SpeculativePipeline:
         one synchronous device round trip per in-flight chunk — on the
         tunnel-RPC link a depth-7 synchronous replay cost ~0.4 s (profiled),
         ~25% of a bench pass. Progress stays guaranteed: the first rewind
-        entry re-dispatches with nothing in flight, where :meth:`_aim`
-        degenerates to the EXACT ``P - margin`` origin whose containment the
-        predict margin (>= K*r + kernel apron) proves, so every replay cycle
-        accepts at least one chunk. Later entries re-enter speculatively at
-        small staleness and are containment-validated like any chunk (a
+        entry re-dispatches with nothing in flight, where :meth:`_aim` puts
+        frame 0's crop EXACTLY at ``P - margin`` — frame 0's window (centered
+        at ``P``) is then provably contained since ``margin >= radii +
+        kernel apron``. If a later frame of that exact chunk still escapes
+        (fast/erratic motion vs the slim prediction-error margin), the chunk
+        is SPLIT in half (:meth:`_split_exact`) down to the always-contained
+        1-frame floor, so every replay cycle accepts at least one frame.
+        Speculative re-entries are containment-validated like any chunk (a
         cascade just replays the shrunken tail)."""
         global replay_count
         replay_count += 1
@@ -1529,7 +1646,36 @@ class SpeculativePipeline:
         self.accel[:] = 0.0
         self._last_k[:] = 0
         self.engine.reset()  # the device chain past this point is invalid
-        self._rewind.extend(entries)
+        # PREPEND: a re-dispatched chunk can fail containment while the
+        # rewind queue still holds LATER chunks from the same cascade —
+        # appending would re-dispatch those later chunks first, pairing
+        # their valid counts/origins with earlier frames (the retained ring
+        # serves frames strictly in order). Frame order must be preserved.
+        self._rewind.extendleft(reversed(entries))
+
+    def _split_exact(self, ent):
+        """An EXACT-origin rewind chunk still escaped its crops: halve it.
+
+        Frame 0 of an exact re-dispatch is provably contained (window
+        centered in its crop), so halving terminates at an accepted 1-frame
+        chunk — the progress floor that replaces the old worst-case ``K*r``
+        margin term. Returns the sub-entries (buffer ownership stays with
+        the first; the second allocates lazily at dispatch)."""
+        k = int(ent.valid.max())
+        if k <= 1:
+            # impossible by construction (frame 0 of an exact dispatch is
+            # centered in its crop; margin >= radii + apron) — fail loudly
+            # rather than replay-loop forever if the invariant ever breaks
+            raise RuntimeError("1-frame exact rewind chunk failed containment")
+        j = max(1, k // 2)
+        v1 = np.minimum(ent.valid, j)
+        v2 = ent.valid - v1
+        first = _Pending(None, ent.origins, v1, ent.tokens, ent.buf,
+                         off=ent.off)
+        if v2.max() <= 0:
+            return [first]
+        return [first, _Pending(None, ent.origins, v2, ent.tokens, None,
+                                off=ent.off + v1)]
 
     def _dispatch_rewind(self):
         """Re-dispatch the oldest replayed chunk through the pipeline.
@@ -1538,24 +1684,30 @@ class SpeculativePipeline:
         chunks are still in flight (unaccepted, hence unreleased), so the
         source gets their per-lane frame counts as the ``base`` offset into
         the retained window."""
-        _, _, valid, tokens, old_buf = self._rewind.popleft()
-        origins = self._aim()  # nothing pending -> exactly P - margin
+        ent = self._rewind.popleft()
+        exact = not self._pending  # frame-0 aim degenerates to P - margin
+        origins = self._aim()
         base = np.zeros(self.L, np.int64)
-        for _, _, v, _, _ in self._pending:
-            base += v
-        buf = self._free.pop()
-        self.source.recrop(tokens, valid, origins, buf, self.timer, base)
-        handle = self.engine.dispatch(buf, origins, self.P)
-        self._pending.append((handle, origins, valid, tokens, buf))
-        if old_buf is not None:
-            self._free.append(old_buf)
+        for p in self._pending:
+            base += p.valid
+        # buffer-less split sub-entries allocate lazily when the pool is dry
+        # (the pool cap in _accept bounds the growth)
+        buf = self._free.pop() if self._free else np.empty(
+            (self.L, self.K, self.ch, self.cw), np.uint8
+        )
+        self.source.recrop(ent.tokens, ent.valid, origins, buf, self.timer,
+                           base, ent.off)
+        handle = self.engine.dispatch(buf, origins, self.P, ent.valid)
+        self._pending.append(_Pending(handle, origins, ent.valid, ent.tokens,
+                                      buf, exact=exact, off=ent.off))
+        if ent.buf is not None and len(self._free) < self._pool_max:
+            self._free.append(ent.buf)
 
     def _drain_one(self):
         entry = self._pending.popleft()
-        handle, origins, valid, tokens, buf = entry
         with self.timer.section("drain"):
             t0 = time.perf_counter()
-            pos_np, off_np = self.engine.to_host(handle)
+            pos_np, off_np = self.engine.to_host(entry.handle)
             blocked = time.perf_counter() - t0
         if self.auto_depth and blocked > AUTO_DRAIN_BLOCK_S:
             if self.depth_cur < self.depth_max:
@@ -1569,11 +1721,15 @@ class SpeculativePipeline:
                 grow = getattr(self.engine, "grow_group", None)  # duck-typed
                 if grow is not None:
                     grow(max(1, (self.depth_cur + 1) // 2))
-        if self.mode == "predict" and not self._contained(pos_np, origins, valid):
-            self._replay([entry] + list(self._pending))
+        if self.mode == "predict" and not self._contained(
+            pos_np, entry.origins, entry.valid
+        ):
+            head = self._split_exact(entry) if entry.exact else [entry]
+            rest = list(self._pending)
             self._pending.clear()
+            self._replay(head + rest)
             return
-        self._accept(pos_np, off_np, origins, valid, tokens, buf)
+        self._accept(pos_np, off_np, entry)
 
     # -- main loop ----------------------------------------------------------
     def run(self, pos0_abs, n_rest: int):
@@ -1583,6 +1739,7 @@ class SpeculativePipeline:
         self.vel = np.zeros((self.L, 2))
         self.accel = np.zeros((self.L, 2))
         self._last_k = np.zeros(self.L, np.int64)
+        self._vel_ready = False
         self.tracked = np.zeros(self.L, np.int64)
         self.engine.reset()
         try:
@@ -1595,7 +1752,7 @@ class SpeculativePipeline:
                     # finished results cost nothing to take now and freshen
                     # the aim (see _ready above); a replay inside _drain_one
                     # clears _pending, which also exits this loop
-                    while self._pending and self._ready(self._pending[0][0]):
+                    while self._pending and self._ready(self._pending[0].handle):
                         self._drain_one()
                 if self._rewind:
                     # replayed chunks re-enter ahead of any fresh decode so
@@ -1611,15 +1768,26 @@ class SpeculativePipeline:
                         continue
                     break
                 origins = self._aim()
-                buf = self._free.pop()
-                got = self.source.acquire(remaining, origins, buf, self.timer)
+                buf = self._free.pop() if self._free else np.empty(
+                    (self.L, self.K, self.ch, self.cw), np.uint8
+                )
+                take = remaining
+                if self.mode == "predict" and not self._vel_ready:
+                    # no velocity estimate yet (first chunk of a run): a
+                    # full-K chunk aimed at a standing-still prediction
+                    # escapes the slim margin for anything moving faster
+                    # than slack/K px/frame — probe short, learn velocity,
+                    # then resume full chunks (same buffers/programs: the
+                    # scan always runs K rows, extra rows are discarded)
+                    take = min(remaining, max(2, self.K // 4))
+                got = self.source.acquire(take, origins, buf, self.timer)
                 if got is None:
                     self._free.append(buf)
                     eof = True
                     continue
                 tokens, valid = got
-                handle = self.engine.dispatch(buf, origins, self.P)
-                self._pending.append((handle, origins, valid, tokens, buf))
+                handle = self.engine.dispatch(buf, origins, self.P, valid)
+                self._pending.append(_Pending(handle, origins, valid, tokens, buf))
                 remaining -= int(valid.max())
             if self.auto_depth:
                 # record only on clean completion (an exception leaves the

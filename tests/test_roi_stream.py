@@ -116,9 +116,9 @@ def test_pipelined_rewind_recrops_at_offset(tmp_path, monkeypatch):
     bases = []
     orig = pipeline.SingleVideoSource.recrop
 
-    def spy(self, tokens, valid, origins, rbuf, timer, base):
+    def spy(self, tokens, valid, origins, rbuf, timer, base, off):
         bases.append(int(base[0]))
-        return orig(self, tokens, valid, origins, rbuf, timer, base)
+        return orig(self, tokens, valid, origins, rbuf, timer, base, off)
 
     monkeypatch.setattr(pipeline.SingleVideoSource, "recrop", spy)
     before = pipeline.replay_count
@@ -629,3 +629,227 @@ def test_auto_depth_memo_warm_starts_same_geometry():
     finally:
         # a mid-test failure must not leak depth 5 into later tests' runs
         _AUTO_DEPTH_MEMO.clear()
+
+
+def test_predict_margin_is_slim_and_k_independent():
+    """Per-frame origins: the predict crop covers window + kernel apron +
+    prediction slack only — no worst-case K*r drift term — so bytes/frame no
+    longer grow with K (the old margin at defaults was ~230 px / 425^2 crops,
+    4.6x the staged bytes)."""
+    spec = make_spec((1080, 1920), 41, 25, True)
+    ri = 20
+    half = spec.kernel_len // 2
+    ch8, cw8, (mi8, mj8) = roi_geometry(spec, 8, 3, "predict")
+    assert mi8 >= ri + half  # the 1-frame progress floor
+    assert mi8 < 8 * ri + half  # strictly slimmer than the old sync bound
+    # K-independence: same crop at K=16 (bytes/frame halve per dispatch)
+    assert roi_geometry(spec, 16, 3, "predict")[:2] == (ch8, cw8)
+    # depth-independence is retained
+    assert roi_geometry(spec, 8, 7, "predict")[:2] == (ch8, cw8)
+
+
+def test_fast_target_splits_and_stays_exact(tmp_path, monkeypatch):
+    """A target moving faster than the slim prediction slack per chunk forces
+    replays whose exact-origin rewind chunks ALSO escape — the controller
+    must split them down to the always-contained floor and still produce
+    positions identical to the full-frame scan (progress + exactness)."""
+    import cv2
+
+    from pawsometracker_tpu import pipeline
+
+    # make the slack tiny so even the re-aimed rewind chunks escape
+    monkeypatch.setenv("PAWS_PREDICT_SLACK", "8")
+    h, w, T = 240, 240, 48
+    rng = np.random.default_rng(7)
+    frames = []
+    pos = np.array([60.0, 60.0])
+    for t in range(T):
+        # erratic large jumps (up to ~window radius per frame)
+        pos = np.clip(pos + rng.integers(-12, 13, 2), 30, 200)
+        img = np.full((h, w), 128, np.uint8)
+        cv2.circle(img, (int(pos[1]), int(pos[0])), 5, 0, -1)
+        frames.append(img)
+    f = helpers.write_video(frames, str(tmp_path / "erratic"), 24)
+    kw = dict(fps=24, start_location=IJ(60, 60), target_width=10, window_size=31)
+    _, want = track(f, stream="full", **kw)
+    before = pipeline.replay_count
+    _, got = track(f, stream="roi", roi_frames=8, pipeline_depth=3,
+                   speculate="predict", **kw)
+    np.testing.assert_array_equal(got, want)
+    assert pipeline.replay_count > before  # the hard path was exercised
+
+
+def test_split_exact_one_frame_floor_raises():
+    """The 1-frame exact rewind chunk is provably contained; if that
+    invariant ever breaks the controller must fail loudly, not replay-loop."""
+    from pawsometracker_tpu.models.dog_tracker import make_spec as mk
+    from pawsometracker_tpu.pipeline import SpeculativePipeline, _Pending
+
+    spec = mk((200, 200), 21, 10, True)
+    pipe = SpeculativePipeline(
+        L=1, K=8, crop_shape=(61, 61), margin=(30, 30), spec=spec,
+        mode="predict", depth=1, engine=None, source=None, sink=None,
+        timer=None,
+    )
+    ent = _Pending(None, np.zeros((1, 8, 2), np.int64),
+                   np.array([4]), None, None, exact=True)
+    subs = pipe._split_exact(ent)
+    assert [int(e.valid[0]) for e in subs] == [2, 2]
+    assert [int(e.off[0]) for e in subs] == [0, 2]
+    one = _Pending(None, np.zeros((1, 8, 2), np.int64),
+                   np.array([1]), None, None, exact=True)
+    with pytest.raises(RuntimeError, match="1-frame exact rewind"):
+        pipe._split_exact(one)
+
+
+def test_replay_prepends_to_rewind_queue():
+    """A re-dispatched chunk that fails containment while the rewind queue
+    still holds LATER chunks must put its entries at the FRONT — appending
+    re-dispatches the later chunks first, pairing their valid counts and
+    origins with EARLIER frames (the retained ring serves frames strictly
+    in order). Found by schedule fuzzing (batch campaign, seed 1000)."""
+    from pawsometracker_tpu.pipeline import SpeculativePipeline, _Pending
+
+    spec = make_spec((200, 200), 21, 10, True)
+    pipe = SpeculativePipeline(
+        L=1, K=8, crop_shape=(61, 61), margin=(30, 30), spec=spec,
+        mode="predict", depth=1, engine=None, source=None, sink=None,
+        timer=None,
+    )
+
+    class _NullEngine:
+        def reset(self):
+            pass
+
+    pipe.engine = _NullEngine()
+    pipe.accel = np.zeros((1, 2))
+    pipe._last_k = np.zeros(1, np.int64)
+    later = _Pending(None, None, np.array([8]), None, None)
+    pipe._rewind.append(later)
+    e1 = _Pending(None, None, np.array([4]), None, None)
+    e2 = _Pending(None, None, np.array([4]), None, None)
+    pipe._replay([e1, e2])
+    assert list(pipe._rewind) == [e1, e2, later]
+
+
+def test_chained_batch_carry_pins_zero_valid_lanes():
+    """The batched chain's absolute carry: a lane with ks == 0 in a chunk
+    (split-rewind remainder, short lane past EOF) must keep its previous
+    position — its scan rows are argmaxes over fill padding. A row-indexed
+    chain (prev[:, k-1]) propagates that garbage into the lane's next real
+    chunk. Found by schedule fuzzing (batch campaign, seed 1000)."""
+    import jax.numpy as jnp
+
+    from pawsometracker_tpu.parallel.mesh import ShardedBatchTracker
+    from pawsometracker_tpu.pipeline import make_chained_batch
+
+    spec = make_spec((40, 40), 9, 5, True)
+    eng = ShardedBatchTracker(spec)
+    B, K = 2, 4
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (B, K, 40, 40), np.uint8)
+    frames[1] = 128  # lane 1: pure fill (what a 0-valid lane's crop holds)
+    chain = make_chained_batch(eng.scan_bounded)
+    carry0 = jnp.asarray(np.array([[20, 20], [7, 33]], np.int32))
+    ks = np.array([K, 0], np.int32)
+    o0 = np.zeros((B, 2), np.int32)
+    olast = np.zeros((B, 2), np.int32)
+    deltas = np.zeros((B, K, 2), np.int32)
+    lo = np.zeros((B, K, 2), np.int32)
+    hi = np.full((B, K, 2), 39, np.int32)
+    fills = np.full(B, 128, np.uint8)
+    out, carry = chain(frames, carry0, ks, o0, olast, fills, deltas, lo, hi)
+    out = np.asarray(out)
+    carry = np.asarray(carry)
+    # lane 0 (ks=K): carry is its last output row + origin
+    assert (carry[0] == out[0, K - 1]).all()
+    # lane 1 (ks=0): carry is UNCHANGED, whatever the garbage scan said
+    assert (carry[1] == [7, 33]).all()
+
+
+def test_batch_schedule_fuzz_bit_exact(tmp_path, monkeypatch):
+    """Schedule fuzzing: drive track_batch through ADVERSARIAL drain/growth
+    schedules (seeded coins replace the eager-drain readiness check and the
+    auto-depth growth trigger) on erratic motion with a slim predict slack
+    and unequal lane lengths — replays, splits, and per-lane-EOF chunks in
+    every interleaving must stay bit-identical to per-video track(). This
+    harness found the rewind-order and zero-valid-lane-chain bugs the two
+    tests above pin."""
+    import cv2
+
+    from pawsometracker_tpu import pipeline
+    from pawsometracker_tpu.batch import track_batch
+
+    monkeypatch.setenv("PAWS_PREDICT_SLACK", "8")
+    rng = np.random.default_rng(42)
+    files, locs = [], []
+    for b, T in enumerate((26, 14)):
+        i, j = 50, 60
+        path = str(tmp_path / f"v{b}.avi")
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"FFV1"), 24,
+                             (120, 100), isColor=False)
+        locs.append(IJ(i, j))
+        for _ in range(T):
+            f = np.full((100, 120), 128, np.uint8)
+            cv2.circle(f, (j, i), 4, 0, -1)
+            vw.write(f)
+            i = int(np.clip(i + rng.integers(-7, 8), 5, 94))
+            j = int(np.clip(j + rng.integers(-7, 8), 5, 114))
+        vw.release()
+        files.append(path)
+    kw = dict(target_width=8, fps=24)
+    wants = [np.asarray(track(f, start_location=l, **kw)[1])
+             for f, l in zip(files, locs)]
+
+    coin = None
+    orig_ready = pipeline._GroupDispatchBase.ready
+
+    def coin_ready(self, handle):
+        return orig_ready(self, handle) and bool(coin.random() < 0.5)
+
+    orig_drain = pipeline.SpeculativePipeline._drain_one
+
+    def coin_drain(self):
+        # replicate _drain_one but replace the blocked-time growth trigger
+        # with a seeded coin so every growth/replay interleaving is reachable
+        entry = self._pending.popleft()
+        pos_np, off_np = self.engine.to_host(entry.handle)
+        if self.auto_depth and coin.random() < 0.3:
+            if self.depth_cur < self.depth_max:
+                self.depth_cur += 1
+            else:
+                grow = getattr(self.engine, "grow_group", None)
+                if grow is not None:
+                    grow(max(1, (self.depth_cur + 1) // 2))
+        if self.mode == "predict" and not self._contained(
+            pos_np, entry.origins, entry.valid
+        ):
+            head = self._split_exact(entry) if entry.exact else [entry]
+            rest = list(self._pending)
+            self._pending.clear()
+            self._replay(head + rest)
+            return
+        self._accept(pos_np, off_np, entry)
+
+    monkeypatch.setattr(pipeline._GroupDispatchBase, "ready", coin_ready)
+    monkeypatch.setattr(pipeline.SpeculativePipeline, "_drain_one", coin_drain)
+    before = pipeline.replay_count
+    for seed in range(6):
+        coin = np.random.default_rng(seed)
+        results = track_batch(files, start_location=locs, **kw)
+        for bi, ((ts, ij), want) in enumerate(zip(results, wants)):
+            np.testing.assert_array_equal(
+                np.asarray(ij), want,
+                err_msg=f"schedule seed {seed}, lane {bi}",
+            )
+    # the numpy-chunk delivery (OpenCV fallback) is the path where entries
+    # OWN their frames, so replay ORDER (not just counts) must hold — the
+    # retained ring is order-insensitive by construction and cannot see it
+    for seed in range(2):
+        coin = np.random.default_rng(seed)
+        _, got = track(files[0], stream="roi", backend="opencv",
+                       start_location=locs[0], **kw)
+        np.testing.assert_array_equal(
+            np.asarray(got), wants[0], err_msg=f"opencv schedule seed {seed}"
+        )
+    assert pipeline.replay_count > before  # the hard paths were exercised
