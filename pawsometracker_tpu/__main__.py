@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="treat files as INDEPENDENT videos tracked concurrently "
                         "on the device (track_batch) instead of consecutive "
                         "segments of one recording")
+    p.add_argument("--mesh", default="none", choices=["none", "auto"],
+                   help="with --batch: 'auto' shards the batch across all "
+                        "local devices (jax.sharding mesh); 'none' runs "
+                        "single-device")
     p.add_argument("--n-targets", type=int, default=None,
                    help="auto-detect and track N targets in one video (track_multi)")
     p.add_argument("--diagnostic-file", default=None, help="write a 640x360 overlay video here")
@@ -143,6 +147,10 @@ def main(argv=None) -> int:
         decode_workers=args.decode_workers,
         input_fps=args.input_fps,
     )
+    if args.mesh == "auto" and not args.batch:
+        print("error: --mesh auto requires --batch (the mesh shards the "
+              "video-batch axis)", file=sys.stderr)
+        return 2
     try:
         inputs = [_load_input(f) for f in args.files]
     except (IOError, ValueError) as e:
@@ -184,6 +192,8 @@ def main(argv=None) -> int:
                       "(the batch pipeline always runs predict mode)",
                       file=sys.stderr)
                 return 2
+            if args.mesh == "auto":
+                b_kwargs["mesh"] = "auto"
             results = track_batch(inputs, **b_kwargs)
             return _emit_batch(args, results)
         elif multi:

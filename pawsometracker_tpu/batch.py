@@ -36,6 +36,28 @@ def _broadcast(x, n, default):
     return [x] * n
 
 
+def _resolve_mesh(mesh, B: int):
+    """Resolve ``mesh="auto"`` for a bucket of ``B`` videos: a pure
+    data-parallel mesh over the most local devices whose data axis divides
+    ``B`` (sharding the leading batch axis needs exact divisibility). One
+    device — or no usable divisor — means single-device execution (None),
+    which is always correct; results are identical either way (pinned by
+    tests/test_sharding.py)."""
+    if mesh != "auto":
+        return mesh
+    import jax
+
+    n = len(jax.devices())
+    n = min(n, B)
+    while n > 1 and B % n:
+        n -= 1
+    if n < 2:
+        return None
+    from .parallel.mesh import make_mesh
+
+    return make_mesh(n)
+
+
 def _is_single_location(x):
     """True for one start_location value (IJ or numeric (x, y)), as opposed to
     a per-file list of locations."""
@@ -89,8 +111,11 @@ def track_batch(
     may be scalars (broadcast) or per-file lists; ``start_location`` entries
     follow the same kinds as :func:`.api.track` (None / IJ / (x, y)).
 
-    ``mesh``: a ``jax.sharding.Mesh`` to shard the batch across chips (None =
-    single device). ``diagnostic_files``: optional per-file overlay video
+    ``mesh``: a ``jax.sharding.Mesh`` to shard the batch across chips, or
+    ``"auto"`` to build a data-parallel mesh over the local devices whenever
+    more than one chip is present (each bucket uses the most devices whose
+    count divides its batch; None = single device). ``diagnostic_files``:
+    optional per-file overlay video
     paths (None entries disable). ``subpixel=True`` returns float positions
     (integer recurrence + parabolic response-peak refinement, exactly like
     :func:`.api.track`). Returns a list of ``(ts, positions)``.
@@ -146,6 +171,7 @@ def track_batch(
     for k, idxs in buckets.items():
         sub = _track_batch_uniform(
             [files[i] for i in idxs],
+            infos=[infos[i] for i in idxs],
             start=[starts_in[i] for i in idxs],
             stop=[stops_in[i] for i in idxs],
             target_width=tws[idxs[0]],
@@ -177,6 +203,7 @@ def track_batch(
 def _track_batch_uniform(
     files,
     *,
+    infos=None,
     start=None,
     stop=None,
     target_width: float = 25,
@@ -208,6 +235,7 @@ def _track_batch_uniform(
     B = len(files)
     if B == 0:
         return []
+    mesh = _resolve_mesh(mesh, B)
     starts = [float(s) for s in _broadcast(start, B, 0.0)]
     stops = [float(s) for s in _broadcast(stop, B, DEFAULT_MAX_DURATION_SECONDS)]
     locs = (
@@ -224,7 +252,7 @@ def _track_batch_uniform(
     _check_choice("engine", engine, ("auto", "pallas", "xla"))
 
     if pipeline_depth == "auto":
-        from .pipeline import AUTO_DEPTH_MAX
+        from .pipeline import AUTO_DEPTH_MAX, auto_depth_cap
 
         auto_depth, depth_gate = True, AUTO_DEPTH_MAX
     else:
@@ -238,16 +266,31 @@ def _track_batch_uniform(
         stream != "full" and mode == "predict" and all(p is None for p in dia_paths)
     )
     if auto_depth:
-        from .api import _auto_ring_gate
-
         # each of the B videos opens its own retained ring, so the budget is
         # divided across lanes (PAWS_RING_BUDGET_MB bounds the TOTAL);
         # clamp by the LARGEST probeable frame so no source's ring is
-        # smaller than the shared controller depth needs
-        depth_gate = min(
-            (_auto_ring_gate(f, roi_frames, depth_gate, lanes=B) for f in files),
-            default=depth_gate,
-        )
+        # smaller than the shared controller depth needs. Frame shapes come
+        # from the caller's probe infos (track_batch probed each file ONCE
+        # for bucketing) — re-probing here would demux every container a
+        # second time; direct callers without infos fall back to the
+        # per-file header probe.
+        if infos is not None:
+            depth_gate = min(
+                (
+                    min(depth_gate,
+                        auto_depth_cap(i.frame_shape, roi_frames, lanes=B))
+                    for i in infos
+                    if i.height > 0 and i.width > 0
+                ),
+                default=depth_gate,
+            )
+        else:
+            from .api import _auto_ring_gate
+
+            depth_gate = min(
+                (_auto_ring_gate(f, roi_frames, depth_gate, lanes=B) for f in files),
+                default=depth_gate,
+            )
     ring = (depth_gate + 2) * roi_frames + 8 if retention_possible else None
 
     sources = []

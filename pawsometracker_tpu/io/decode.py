@@ -92,13 +92,25 @@ def probe(path) -> VideoInfo:
     """Probe stream geometry + SAR (analog of VideoIO ``aspect_ratio``,
     reference: src/PawsomeTracker.jl:79-84). For an in-memory frame array the
     geometry comes from its shape (``fps=0.0`` — the native rate is the
-    caller's ``input_fps``, unknown here; square pixels)."""
+    caller's ``input_fps``, unknown here; square pixels).
+
+    Prefers the native libavformat header probe when built: it reads the
+    container header only (no decoder open, no frame decode), so a B-video
+    ``track_batch`` pays one cheap header read per file for bucketing instead
+    of a full cv2 demux open per file on top of the decode open."""
     if is_frame_stack(path):
         shape = tuple(path.shape)
         if shape[0] == 0:
             raise ValueError(f"frame array must be [T, H, W](, 3), got shape {shape}")
         return VideoInfo(width=shape[2], height=shape[1], fps=0.0,
                          sar=1.0, frame_count=shape[0])
+    try:
+        from .native_io import native_available, native_probe
+
+        if native_available():
+            return native_probe(path)
+    except Exception:
+        pass  # fall through to the cv2 probe (native layer unbuildable)
     cv2 = _cv2()
     cap = cv2.VideoCapture(str(path))
     if not cap.isOpened():
