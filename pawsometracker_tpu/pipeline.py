@@ -1526,11 +1526,13 @@ class SpeculativePipeline:
             self.depth_max = depth
         self._memo_key = (L, K, crop_shape, spec.frame_shape, mode)
         if self.auto_depth:
-            self.depth_cur = min(
-                _AUTO_DEPTH_MEMO.get(self._memo_key, 1), self.depth_max
+            memo_depth, memo_cap = _AUTO_DEPTH_MEMO.get(
+                self._memo_key, (1, AUTO_DEPTH_MAX)
             )
+            self.depth_cur = min(memo_depth, self.depth_max)
         else:
             self.depth_cur = depth
+            memo_cap = AUTO_DEPTH_MAX
         self.engine = engine
         self.source = source
         self.sink = sink
@@ -1558,6 +1560,36 @@ class SpeculativePipeline:
             if os.environ.get("PAWS_EAGER_DRAIN", "1") != "0"
             else None
         )
+        # replay-depth hysteresis (see _replay): a soft ceiling just below
+        # the depth that last mispredicted, relaxed after sustained clean
+        # chunks — without it the controller OSCILLATES on motion whose
+        # prediction error sits near the margin slack at depth_max horizons
+        # (replay halves depth, blocked drains ramp it straight back, it
+        # replays again: profiled 4-8 replays per 480-frame bench pass, each
+        # redoing ~depth*K frames of crop+scan — ~47% duplicated work,
+        # the bulk of the e2e-vs-hostceil gap in BENCH_r03)
+        # warm-start the soft cap from the memo as well: without it every
+        # run re-probes the known-bad horizon once at full depth and pays a
+        # ~depth*K-frame replay before re-learning what the LAST run already
+        # knew (profiled: 2-5 start-of-run replays per bench rep)
+        self._depth_soft_cap = min(self.depth_max, memo_cap)
+        self._clean_since_replay = 0
+        # exploration control for the soft cap: relaxing it re-probes a
+        # horizon that may replay (a ~depth*K-frame redo), so exploration is
+        # (a) demand-driven — only after a drain actually blocked AT the cap,
+        # i.e. more depth would help — and (b) exponentially backed off each
+        # time an exploration fails (the clip keeps proving the horizon bad)
+        self._cap_wanted = False
+        self._relax_need = self.CLEAN_RELAX_CHUNKS
+        # per-axis prediction-error budget: the slack portion of the margin
+        # (what _update_depth_from_error normalizes the observed miss by)
+        self._slack = np.maximum(np.asarray(self.margin) - self.rh, 1)
+
+    #: accepted chunks WITHOUT a replay before the soft depth cap relaxes by
+    #: one step — long enough that a marginal horizon must prove itself over
+    #: ~2 full pipelines of chunks, short enough to recover from a
+    #: startup-transient replay within a clip
+    CLEAN_RELAX_CHUNKS = 16
 
     #: per-axis curvature clamp (px/frame²) for the quadratic aim term:
     #: physical turning motion has small true curvature (the bench circle:
@@ -1587,10 +1619,16 @@ class SpeculativePipeline:
             # dispatch wants (depth 7 ≈ 64 stale frames), linear aim error on
             # a turning path grows ~R·θ²/2 past the margin slack; the
             # (clamped) curvature term keeps smoothly-curving targets inside
-            # the crop so the deep pipeline doesn't oscillate through replays
+            # the crop so the deep pipeline doesn't oscillate through replays.
+            # The chunk secant estimates the velocity at the chunk MIDPOINT,
+            # (k-1)/2 frames behind P — on turning motion that lag is a
+            # systematic bias of accel*lag*h (~17 px at the bench circle's
+            # h≈40, the exact magnitude of its residual mispredicts), so the
+            # velocity is advanced to P's own frame before extrapolating
+            vel = self.vel + self.accel * self._vel_lag[:, None]
             pred = (
                 self.P[:, None, :]
-                + self.vel[:, None, :] * h
+                + vel[:, None, :] * h
                 + 0.5 * self.accel[:, None, :] * h * h
             )
             return np.round(pred).astype(np.int64) - self.margin
@@ -1649,11 +1687,54 @@ class SpeculativePipeline:
                     )
                 self.vel[lane] = new_vel
                 self._last_k[lane] = k
+                self._vel_lag[lane] = 0.5 * (k - 1)  # secant midpoint lag
             if k > 0:
                 self.P[lane] = abs_pos[lane, k - 1]
         self.tracked += valid
+        if self.auto_depth and self.mode == "predict":
+            self._update_depth_from_error(abs_pos, origins, valid)
         if buf is not None and len(self._free) < self._pool_max:
             self._free.append(buf)
+
+    def _update_depth_from_error(self, abs_pos, origins, valid):
+        """Prediction-error-aware depth control: every accepted chunk REVEALS
+        how far the aim missed (each frame's crop was centered on its
+        predicted position), so the controller can stop deepening BEFORE the
+        error reaches the margin instead of paying a ~depth*K-frame replay
+        to find out. Extrapolation error grows superlinearly with the
+        staleness horizon (cubically for turning motion: the aim is
+        quadratic), so the thresholds are conservative:
+
+        - error > 80% of slack: one more chunk of staleness would likely
+          escape — back the pipeline off a step and hold the cap there;
+        - error > 45% of slack: hold (one depth step multiplies the horizon
+          by ~(d+2)/(d+1) and the error by that CUBED — at 45% a single
+          step can reach ~80%);
+        - clean chunks below that: earn one cap step per
+          CLEAN_RELAX_CHUNKS, so a transient (scene cut, startup) doesn't
+          pin the clip shallow forever."""
+        k_axis = valid.astype(np.int64)
+        worst = 0.0
+        for lane in range(self.L):
+            k = int(k_axis[lane])
+            if k == 0:
+                continue
+            pred_center = origins[lane, :k] + self.margin
+            err = np.abs(abs_pos[lane, :k] - pred_center) / self._slack
+            worst = max(worst, float(err.max()))
+        if worst > 0.8:
+            self._depth_soft_cap = max(1, min(self._depth_soft_cap,
+                                              self.depth_cur - 1))
+            self.depth_cur = min(self.depth_cur, self._depth_soft_cap)
+            self._clean_since_replay = 0
+        elif worst > 0.45:
+            self._clean_since_replay = 0
+        elif self._depth_soft_cap < self.depth_max and self._cap_wanted:
+            self._clean_since_replay += 1
+            if self._clean_since_replay >= self._relax_need:
+                self._clean_since_replay = 0
+                self._cap_wanted = False
+                self._depth_soft_cap += 1
 
     def _replay(self, entries):
         """Mispredict: push every undrained entry (oldest first) onto the
@@ -1674,6 +1755,19 @@ class SpeculativePipeline:
         global replay_count
         replay_count += 1
         if self.auto_depth:
+            # hysteresis: the depth that just mispredicted is too deep for
+            # this motion — hold the re-ramp BELOW it until clean chunks
+            # earn one step back. The backoff alone oscillates (blocked
+            # drains ramp right back to the failing depth); the soft cap
+            # converges on the deepest depth the motion tolerates. A replay
+            # AT the cap means a cap-relax exploration failed: double the
+            # clean-chunk price of the next exploration (bounded) so a clip
+            # that keeps proving the horizon bad stops being probed
+            if self.depth_cur >= self._depth_soft_cap:
+                self._relax_need = min(self._relax_need * 2,
+                                       8 * self.CLEAN_RELAX_CHUNKS)
+            self._depth_soft_cap = max(1, self.depth_cur - 1)
+            self._clean_since_replay = 0
             # multiplicative backoff: this horizon was too long for the
             # motion, but a full reset to 1 re-pays ~depth blocked drains
             # of ramp after EVERY replay; halving converges on sustained
@@ -1750,11 +1844,17 @@ class SpeculativePipeline:
             pos_np, off_np = self.engine.to_host(entry.handle)
             blocked = time.perf_counter() - t0
         if self.auto_depth and blocked > AUTO_DRAIN_BLOCK_S:
-            if self.depth_cur < self.depth_max:
+            if self.depth_cur < min(self.depth_max, self._depth_soft_cap):
                 # the lagged download still blocked: the pipeline isn't deep
                 # enough to hide the round trip — add a chunk of slack
+                # (bounded by the replay-hysteresis soft cap: a depth that
+                # just mispredicted is not re-entered until earned back)
                 self.depth_cur += 1
-            elif self._grow_groups:
+            elif self._depth_soft_cap < self.depth_max:
+                # blocked AT the soft cap: more depth would genuinely help —
+                # authorize (but don't perform) a cap-relax exploration
+                self._cap_wanted = True
+            if self.depth_cur >= min(self.depth_max, self._depth_soft_cap) and self._grow_groups:
                 # depth exhausted and the drain STILL blocks: the per-chunk
                 # RPC round trip itself is the residual — coalesce dispatches
                 # (capped so two groups stay in flight: overlap, not batching)
@@ -1779,6 +1879,7 @@ class SpeculativePipeline:
         self.vel = np.zeros((self.L, 2))
         self.accel = np.zeros((self.L, 2))
         self._last_k = np.zeros(self.L, np.int64)
+        self._vel_lag = np.zeros(self.L)
         self._vel_ready = False
         self.tracked = np.zeros(self.L, np.int64)
         self.engine.reset()
@@ -1786,7 +1887,24 @@ class SpeculativePipeline:
             remaining = n_rest
             eof = False
             while True:
-                while len(self._pending) > self.depth_cur:
+                # evidence-proportional speculation horizon: until a
+                # velocity estimate exists every aim is a standing-still
+                # guess (drain the probe synchronously), and a velocity
+                # measured over N frames says nothing about where the target
+                # is 5N frames out — so the in-flight depth may not exceed
+                # the chunks of history observed. Without this a
+                # warm-started (memoized) pipeline runs 30+ frames ahead on
+                # a 2-frame probe secant and pays a deterministic
+                # start-of-clip replay (profiled on the bench circle: aimed
+                # from the probe at horizon ~25, miss 55 px vs 40 slack).
+                if self.mode != "predict":
+                    depth_eff = self.depth_cur
+                elif not self._vel_ready:
+                    depth_eff = 0
+                else:
+                    evidence = int(self.tracked.max()) // max(self.K, 1)
+                    depth_eff = min(self.depth_cur, max(1, evidence))
+                while len(self._pending) > depth_eff:
                     self._drain_one()
                 if self._ready is not None:
                     # finished results cost nothing to take now and freshen
@@ -1833,7 +1951,9 @@ class SpeculativePipeline:
                 # record only on clean completion (an exception leaves the
                 # converged state unknown); a run that ended just after a
                 # replay records 1 — conservative, it just re-ramps
-                _AUTO_DEPTH_MEMO[self._memo_key] = self.depth_cur
+                _AUTO_DEPTH_MEMO[self._memo_key] = (
+                    self.depth_cur, self._depth_soft_cap
+                )
         finally:
             close = getattr(self.engine, "close", None)
             if close is not None:  # duck-typed engines (bench hostceil stage)

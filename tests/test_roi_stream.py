@@ -611,12 +611,14 @@ def test_auto_depth_memo_warm_starts_same_geometry():
                   sink=None, timer=None)
         p1 = SpeculativePipeline(**kw)
         assert p1.depth_cur == 1
-        # simulate a converged run's recording (run() does this on clean exit)
+        # simulate a converged run's recording (run() does this on clean
+        # exit): (depth, replay-hysteresis soft cap)
         p1.depth_cur = 5
-        _AUTO_DEPTH_MEMO[p1._memo_key] = p1.depth_cur
+        _AUTO_DEPTH_MEMO[p1._memo_key] = (p1.depth_cur, 6)
 
         p2 = SpeculativePipeline(**kw)
         assert p2.depth_cur == 5
+        assert p2._depth_soft_cap == 6  # learned horizon cap carries over
         # the memo never exceeds this pipeline's own depth_max
         p3 = SpeculativePipeline(**{**kw, "auto_cap": 2})
         assert p3.depth_cur == 2
@@ -853,3 +855,59 @@ def test_batch_schedule_fuzz_bit_exact(tmp_path, monkeypatch):
             np.asarray(got), wants[0], err_msg=f"opencv schedule seed {seed}"
         )
     assert pipeline.replay_count > before  # the hard paths were exercised
+
+
+def test_error_aware_depth_gating_unit():
+    """_update_depth_from_error: an observed aim miss > 80% of slack backs
+    the soft cap off below the current depth; a miss > 45% freezes the
+    relax counter; clean chunks relax the cap only when a blocked drain
+    authorized exploration (_cap_wanted), at the exponential-backoff price."""
+    from pawsometracker_tpu.models.dog_tracker import make_spec
+    from pawsometracker_tpu.pipeline import _AUTO_DEPTH_MEMO, SpeculativePipeline
+
+    _AUTO_DEPTH_MEMO.clear()
+    try:
+        spec = make_spec((200, 200), 21, 10, True)
+        p = SpeculativePipeline(
+            L=1, K=8, crop_shape=(81, 81), margin=(40, 40), spec=spec,
+            mode="predict", depth="auto", engine=None, source=None,
+            sink=None, timer=None)
+        slack = int(p._slack[0])
+        assert slack == 40 - int(p.rh[0])
+        valid = np.array([8])
+        origins = np.zeros((1, 8, 2), np.int64)
+        centered = origins + p.margin  # miss 0
+
+        p.depth_cur, p._depth_soft_cap = 4, 7
+        # big miss (> 0.8 * slack): cap drops to depth-1, depth clamped
+        bad = centered.copy()
+        bad[0, -1, 0] += int(0.9 * slack)
+        p._update_depth_from_error(bad, origins, valid)
+        assert p._depth_soft_cap == 3 and p.depth_cur <= 3
+
+        # moderate miss (> 0.45): freezes the counter, cap unchanged
+        p._clean_since_replay = 5
+        mid = centered.copy()
+        mid[0, 0, 1] += int(0.6 * slack)
+        p._update_depth_from_error(mid, origins, valid)
+        assert p._depth_soft_cap == 3 and p._clean_since_replay == 0
+
+        # clean chunks relax ONLY once a blocked drain wants more depth
+        for _ in range(p._relax_need + 1):
+            p._update_depth_from_error(centered, origins, valid)
+        assert p._depth_soft_cap == 3  # no authorization -> no exploration
+        p._cap_wanted = True
+        for _ in range(p._relax_need):
+            p._update_depth_from_error(centered, origins, valid)
+        assert p._depth_soft_cap == 4 and p._cap_wanted is False
+
+        # a replay AT the cap doubles the exploration price (bounded)
+        need0 = p._relax_need
+        p.depth_cur = p._depth_soft_cap
+        p.engine = type("E", (), {"reset": lambda self: None})()
+        p.accel = np.zeros((1, 2))  # run()-initialized state _replay touches
+        p._last_k = np.zeros(1, np.int64)
+        p._replay([])
+        assert p._relax_need == min(2 * need0, 8 * p.CLEAN_RELAX_CHUNKS)
+    finally:
+        _AUTO_DEPTH_MEMO.clear()
