@@ -113,7 +113,9 @@ E2E_HEALTHY_PROBE_FPS = 100
 #: measured healthy band: above it, stop; below it, the bounded
 #: fully-audited retry (best median wins, every attempt recorded in
 #: ``e2e_attempts``; the consistent-attempts early-stop caps the cost).
-E2E_HEALTHY_RESULT_FPS = 300
+#: Round-4 band: the error-gated depth controller + K=12 chunks measure
+#: 444-578 fps across tunnel phases (e2e stage med 503.7) — bar just under.
+E2E_HEALTHY_RESULT_FPS = 420
 #: how long the headline stage may WAIT for a healthy tunnel phase before
 #: measuring anyway (phases last seconds-to-minutes; a measured 300 s window
 #: can sit entirely inside one bad phase — probe history of the r3 runs — so
@@ -512,6 +514,20 @@ def stage_hostceil(d):
             f"replays={replays} dispatches={counts['dispatches']}: "
             "measurement contaminated, not a pure host ceiling"
         )
+    # the spec-decode ceiling IS the single-core h264 decode (measured:
+    # decode-only 676-709 fps vs decode+crop 647-688 on this host — the C++
+    # crop adds <=5%), so the only ceiling-raiser is the documented
+    # fast-decode option (skip the in-loop deblock; pixels not bit-exact vs
+    # a spec decode, same oracle) — record that ceiling alongside
+    os.environ["PAWSIO_FAST_DECODE"] = "1"  # stage subprocess: dies with it
+    fpss_f = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        ts, ij = track(path, **kw)
+        fpss_f.append(len(ij) / max(time.perf_counter() - t0, 1e-9))
+    sf = _stats(fpss_f)
+    out["hostceil_fast_fps"] = sf["med"]
+    out["hostceil_fast_spread"] = sf
     return out
 
 

@@ -192,8 +192,14 @@ def _resolve_roi_frames(roi_frames, pipeline_depth: int, speculate: str = "predi
     if roi_frames is not None:
         return int(roi_frames)
     if speculate == "predict" or pipeline_depth == 0:
-        # predict-mode crops don't grow with depth (slack is small)
-        return 8
+        # predict-mode crops don't grow with depth (slack is small) OR with
+        # K while K <= 2*window_radius (the slack floor), so a longer chunk
+        # amortizes the per-chunk host work (ctypes crop call, H2D staging,
+        # dispatch, drain) for free. K=12 measured fastest on the v5e bench
+        # host with the error-gated depth controller (K=8: 444 fps, K=12:
+        # 500, K=16: replay-prone at 461, K=24: storms); the pre-controller
+        # sweep picked 8 because replay cost then grew with K.
+        return 12
     # contain mode: keep the crop half-extent (depth+1)*K*r constant across
     # depths by shrinking K, so speculation costs no extra bytes per frame
     return max(1, 8 // (int(pipeline_depth) + 1))
