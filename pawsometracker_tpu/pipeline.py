@@ -1526,13 +1526,14 @@ class SpeculativePipeline:
             self.depth_max = depth
         self._memo_key = (L, K, crop_shape, spec.frame_shape, mode)
         if self.auto_depth:
-            memo_depth, memo_cap = _AUTO_DEPTH_MEMO.get(
-                self._memo_key, (1, AUTO_DEPTH_MAX)
+            memo_depth, memo_cap, memo_group = _AUTO_DEPTH_MEMO.get(
+                self._memo_key, (1, AUTO_DEPTH_MAX, 1)
             )
             self.depth_cur = min(memo_depth, self.depth_max)
         else:
             self.depth_cur = depth
-            memo_cap = AUTO_DEPTH_MAX
+            memo_cap, memo_group = AUTO_DEPTH_MAX, 1
+        self._memo_group = memo_group
         self.engine = engine
         self.source = source
         self.sink = sink
@@ -1883,6 +1884,19 @@ class SpeculativePipeline:
         self._vel_ready = False
         self.tracked = np.zeros(self.L, np.int64)
         self.engine.reset()
+        # warm-start the converged dispatch-group size (memoized with the
+        # depth): adaptive growth needs several blocked drains to rediscover
+        # it each run, which on short clips costs the whole ramp (measured:
+        # group 2 from the start is ~+60 fps at the bench geometry). Applied
+        # AFTER reset() (which zeroes group_target back to 1), clamped by
+        # grow_group's overlap bound; replays still reset to 1 within a run.
+        if (self.auto_depth and self._memo_group > 1
+                and not os.environ.get("PAWS_DISPATCH_GROUP")
+                and getattr(self.engine, "_group_allowed", False)):
+            self.engine.group_target = min(
+                self._memo_group, max(1, (self.depth_cur + 1) // 2),
+                self.engine.GROUP_MAX,
+            )
         try:
             remaining = n_rest
             eof = False
@@ -1952,7 +1966,8 @@ class SpeculativePipeline:
                 # converged state unknown); a run that ended just after a
                 # replay records 1 — conservative, it just re-ramps
                 _AUTO_DEPTH_MEMO[self._memo_key] = (
-                    self.depth_cur, self._depth_soft_cap
+                    self.depth_cur, self._depth_soft_cap,
+                    getattr(self.engine, "group_target", 1) or 1,
                 )
         finally:
             close = getattr(self.engine, "close", None)

@@ -23,23 +23,29 @@ def test_degraded_detection(bench):
         {"e2e_fps": 300, "e2e_spread": {"med": 300, "min": 100, "max": 320}}
     )
     # a tight spread below the healthy-phase capability is a mid-grade phase
-    # (bar = measured healthy band 2026-08-19, just under its 279-326 floor;
-    # the consistency early-stop bounds retries either way)
+    # (bar tracks the measured healthy band — pin against the live constant
+    # so band moves don't silently invalidate this test)
+    bar = bench.E2E_HEALTHY_RESULT_FPS
     assert bench._e2e_is_degraded(
-        {"e2e_fps": 222, "e2e_spread": {"med": 222, "min": 214, "max": 259}}
+        {"e2e_fps": 0.7 * bar,
+         "e2e_spread": {"med": 0.7 * bar, "min": 0.68 * bar, "max": 0.8 * bar}}
     )
     assert not bench._e2e_is_degraded(
-        {"e2e_fps": 315, "e2e_spread": {"med": 315, "min": 292, "max": 334}}
+        {"e2e_fps": 1.05 * bar,
+         "e2e_spread": {"med": 1.05 * bar, "min": bar, "max": 1.1 * bar}}
     )
     assert not bench._e2e_is_degraded(
-        {"e2e_fps": 410, "e2e_spread": {"med": 410, "min": 395, "max": 440}}
+        {"e2e_fps": 1.3 * bar,
+         "e2e_spread": {"med": 1.3 * bar, "min": 1.25 * bar, "max": 1.4 * bar}}
     )
 
 
 def test_rerun_keeps_best_and_audits(bench, monkeypatch):
+    good = bench.E2E_HEALTHY_RESULT_FPS * 1.1
     attempts = iter(
         [
-            {"e2e_fps": 410.0, "e2e_spread": {"med": 410, "min": 400, "max": 420}},
+            {"e2e_fps": good,
+             "e2e_spread": {"med": good, "min": good - 10, "max": good + 10}},
         ]
     )
     monkeypatch.setattr(
@@ -48,9 +54,9 @@ def test_rerun_keeps_best_and_audits(bench, monkeypatch):
     first = {"e2e_fps": 40.0, "e2e_spread": {"med": 40, "min": 5, "max": 200},
              "e2e_degraded": "probe 5 fps"}
     best = bench._rerun_e2e_if_degraded(first, "/nonexistent", 1)
-    assert best["e2e_fps"] == 410.0
+    assert best["e2e_fps"] == good
     # every attempt is recorded for audit
-    assert [a["e2e_fps"] for a in best["e2e_attempts"]] == [40.0, 410.0]
+    assert [a["e2e_fps"] for a in best["e2e_attempts"]] == [40.0, good]
     assert best["e2e_attempts"][0]["degraded"] == "probe 5 fps"
 
 
@@ -59,7 +65,8 @@ def test_rerun_noop_when_healthy(bench, monkeypatch):
         bench, "_run_stage_subprocess",
         lambda *a: pytest.fail("healthy result must not be re-run"),
     )
-    healthy = {"e2e_fps": 405.0, "e2e_spread": {"med": 405, "min": 395, "max": 415}}
+    h = bench.E2E_HEALTHY_RESULT_FPS * 1.05
+    healthy = {"e2e_fps": h, "e2e_spread": {"med": h, "min": h - 10, "max": h + 10}}
     out = bench._rerun_e2e_if_degraded(healthy, "/nonexistent", 1)
     assert out == healthy and "e2e_attempts" not in out
 

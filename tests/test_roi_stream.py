@@ -612,13 +612,14 @@ def test_auto_depth_memo_warm_starts_same_geometry():
         p1 = SpeculativePipeline(**kw)
         assert p1.depth_cur == 1
         # simulate a converged run's recording (run() does this on clean
-        # exit): (depth, replay-hysteresis soft cap)
+        # exit): (depth, replay-hysteresis soft cap, dispatch-group size)
         p1.depth_cur = 5
-        _AUTO_DEPTH_MEMO[p1._memo_key] = (p1.depth_cur, 6)
+        _AUTO_DEPTH_MEMO[p1._memo_key] = (p1.depth_cur, 6, 2)
 
         p2 = SpeculativePipeline(**kw)
         assert p2.depth_cur == 5
         assert p2._depth_soft_cap == 6  # learned horizon cap carries over
+        assert p2._memo_group == 2  # converged group size carries over too
         # the memo never exceeds this pipeline's own depth_max
         p3 = SpeculativePipeline(**{**kw, "auto_cap": 2})
         assert p3.depth_cur == 2
