@@ -99,6 +99,27 @@ def test_generated_api_reference_is_current():
     assert r.returncode == 0, r.stdout + r.stderr
 
 
+def test_html_site_renders(tmp_path):
+    """The static-site renderer (the deployable Documenter-build analog,
+    reference docs/make.jl:61-70) must produce a navigable page per doc:
+    every SITE_PAGES entry exists, carries the shared nav, and the markdown
+    actually converted (tables/fenced code, no raw ``##`` leakage)."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    import build_docs
+
+    n = build_docs.render_site(str(tmp_path))
+    assert n == len(build_docs.SITE_PAGES)
+    for slug, _, title in build_docs.SITE_PAGES:
+        html = (tmp_path / f"{slug}.html").read_text()
+        assert "<nav>" in html and "class=current" in html
+        assert title in html
+        assert "\n## " not in html  # headings converted, not leaked raw
+    assert (tmp_path / "style.css").exists()
+
+
 def test_license_and_citation_shipped():
     """LICENSE and CITATION.cff files exist and match the metadata — the
     reference ships both (reference: LICENSE:1, CITATION.cff:1), and wheel
