@@ -870,7 +870,18 @@ def stage_startup(d):
 
     shutil.rmtree(cache, ignore_errors=True)  # cold = empty LOCAL cache
     out = one("cold")
-    out.update(one("warm"))
+    # two warm runs, best kept: a single warm run can land in a wedged
+    # tunnel phase and read SLOWER than cold (observed: cold 3.7 s vs warm
+    # 37.6 s — the tunnel compiles server-side, so phase noise dwarfs the
+    # local-cache effect this stage isolates)
+    w1, w2 = one("warm"), one("warm")
+    ws = [v for d_ in (w1, w2) for k, v in d_.items() if k == "startup_warm_s"]
+    out.update(w1 if not ws else {"startup_warm_s": min(ws)})
+    if ws and max(ws) > 3 * min(ws):
+        out["startup_note"] = (
+            f"warm runs {sorted(ws)} s: wide spread is tunnel phase noise "
+            "(server-side compile), not cache behavior"
+        )
     return out
 
 
