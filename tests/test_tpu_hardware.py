@@ -168,15 +168,17 @@ assert jax.default_backend() == "tpu"
 from pawsometracker_tpu.models.dog_tracker import make_spec
 from pawsometracker_tpu.ops.pallas_tracker import pallas_scan_fn
 ch = cw = 97
+K = 4
 spec = make_spec((ch, cw), 21, 8, True)
-crops = np.full((4, ch, cw), 128, np.uint8)
+crops = np.full((K, ch, cw), 128, np.uint8)
 crops[:, 44:53, 44:53] = 0
 fn = pallas_scan_fn(spec, bounded=True)
-lo = jnp.asarray(np.array([0, 0], np.int32))
-hi = jnp.asarray(np.array([ch - 1, cw - 1], np.int32))
+deltas = np.zeros((K, 2), np.int32)
+lo = np.zeros((K, 2), np.int32)
+hi = np.tile(np.array([[ch - 1, cw - 1]], np.int32), (K, 1))
 for start in [(-50, -120), (300, 48), (48, 500)]:
     got = np.asarray(fn(jnp.asarray(crops), jnp.array(start, np.int32),
-                        np.uint8(128), lo, hi))
+                        np.uint8(128), deltas, lo, hi))
     assert (got >= 0).all() and (got[:, 0] < ch).all() and (got[:, 1] < cw).all(), (start, got)
 print("ok")
 """
@@ -208,18 +210,23 @@ for s in range(4):
     blob = np.exp(-((yy - bi) ** 2 + (xx - bj) ** 2) / (2 * 9.0 ** 2))
     frame = np.clip(128 - 110 * blob, 0, 255).astype(np.uint8)
     crops.append(np.broadcast_to(frame, (8, ch, cw)).copy())
+K = 8
 pos = jnp.asarray(np.array([ch // 2, cw // 2], np.int32))
-lo = np.zeros(2, np.int32); hi = np.array([ch - 1, cw - 1], np.int32)
-f = np.uint8(128); d = np.zeros(2, np.int32)
-out0 = fns.scan_bounded(crops[0], pos, f, lo, hi)
+deltas = np.zeros((K, 2), np.int32)
+lo = np.zeros((K, 2), np.int32)
+hi = np.tile(np.array([[ch - 1, cw - 1]], np.int32), (K, 1))
+f = np.uint8(128)
+kk = np.int32(K)
+out0 = fns.scan_bounded(crops[0], pos, f, deltas, lo, hi)
 seq = [np.asarray(out0)]
 prev = out0
 for s in range(1, 4):
-    prev = chain(crops[s], prev, d, f, lo, hi)
+    prev = chain(crops[s], prev, kk, f, deltas, lo, hi)
     seq.append(np.asarray(prev))
 sup3 = make_super_chain(fns.scan_bounded, 3, False)
-outs = sup3(tuple(jnp.asarray(c) for c in crops[1:]), out0,
-            np.zeros((3, 2), np.int32), f, np.tile(lo, (3, 1)), np.tile(hi, (3, 1)))
+outs = sup3(tuple(jnp.asarray(c) for c in crops[1:]), out0, kk,
+            np.full(3, K, np.int32), np.tile(deltas[None], (3, 1, 1)), f,
+            np.tile(lo[None], (3, 1, 1)), np.tile(hi[None], (3, 1, 1)))
 match = all(np.array_equal(np.asarray(outs[s - 1]), seq[s]) for s in range(1, 4))
 print(json.dumps({"match": bool(match)}))
 """
