@@ -1600,6 +1600,13 @@ class SpeculativePipeline:
     #: but replays reset the pipeline depth)
     ACCEL_CLAMP = 0.25
 
+    #: turn-rate clamp (rad/frame) for the coordinated-turn aim: 0.1 is a
+    #: full turn in ~63 frames — faster apparent turning is secant noise on
+    #: erratic motion, which long horizons must not amplify (the ACCEL_CLAMP
+    #: already bounds ω to ~ACCEL_CLAMP/|v| for fast targets; this clamp
+    #: additionally protects the slow-|v| regime where that ratio blows up)
+    OMEGA_CLAMP = 0.1
+
     # -- aiming -------------------------------------------------------------
     def _aim(self):
         """Per-lane PER-FRAME crop origins ``[L, K, 2]``: frame ``i`` of the
@@ -1616,22 +1623,50 @@ class SpeculativePipeline:
                 stale += ent.valid
             h = (stale[:, None] + np.arange(self.K)[None, :]).astype(np.float64)
             h = h[..., None]  # [L, K, 1]
-            # quadratic extrapolation: at the deep-pipeline horizons group
-            # dispatch wants (depth 7 ≈ 64 stale frames), linear aim error on
-            # a turning path grows ~R·θ²/2 past the margin slack; the
-            # (clamped) curvature term keeps smoothly-curving targets inside
-            # the crop so the deep pipeline doesn't oscillate through replays.
-            # The chunk secant estimates the velocity at the chunk MIDPOINT,
-            # (k-1)/2 frames behind P — on turning motion that lag is a
-            # systematic bias of accel*lag*h (~17 px at the bench circle's
-            # h≈40, the exact magnitude of its residual mispredicts), so the
-            # velocity is advanced to P's own frame before extrapolating
+            # Extrapolation model. The chunk secant estimates the velocity at
+            # the chunk MIDPOINT, (k-1)/2 frames behind P — on turning motion
+            # that lag is a systematic bias of accel*lag*h (~17 px at the
+            # bench circle's h≈40), so the velocity is first advanced to P's
+            # own frame with the measured curvature.
             vel = self.vel + self.accel * self._vel_lag[:, None]
-            pred = (
-                self.P[:, None, :]
-                + vel[:, None, :] * h
-                + 0.5 * self.accel[:, None, :] * h * h
-            )
+            # The acceleration is split into a TURN (perpendicular) and a
+            # speed-change (parallel) component. The turn component drives a
+            # coordinated-turn prediction — rotate the velocity at the
+            # estimated turn rate ω = (v × a)/|v|² and integrate, the
+            # standard CT motion model — which is EXACT for circular arcs,
+            # where the quadratic Taylor model's cubic residual R·θ³/6 was
+            # the horizon limiter (≈40 px at h=40 on the bench circle — the
+            # wall the error-gated depth controller kept hitting). The
+            # parallel component keeps its quadratic term. ω is clamped like
+            # the curvature (noise on erratic motion must not be amplified
+            # by long horizons; a bad aim is only a replay) and the model
+            # decays to the plain quadratic as ω → 0.
+            v2 = np.sum(vel * vel, axis=-1)  # [L]
+            cross = vel[:, 0] * self.accel[:, 1] - vel[:, 1] * self.accel[:, 0]
+            omega = np.where(v2 > 1e-6, cross / np.maximum(v2, 1e-9), 0.0)
+            omega = np.clip(omega, -self.OMEGA_CLAMP, self.OMEGA_CLAMP)[:, None, None]
+            vdota = np.sum(vel * self.accel, axis=-1)
+            a_par = (
+                np.where(v2 > 1e-6, vdota / np.maximum(v2, 1e-9), 0.0)[:, None]
+                * vel
+            )  # [L, 2] tangential acceleration
+            th = omega * h  # [L, K, 1]
+            # ∫₀ʰ R(ωs)·v ds — guarded small-ω limits (sinθ/ω → h,
+            # (1-cosθ)/ω → ωh²/2 reproduce the quadratic model exactly)
+            small = np.abs(th) < 1e-4
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s_w = np.where(small, h, np.sin(th) / np.where(small, 1.0, omega))
+                c_w = np.where(
+                    small, 0.5 * omega * h * h,
+                    (1.0 - np.cos(th)) / np.where(small, 1.0, omega),
+                )
+            vi = vel[:, None, 0:1]
+            vj = vel[:, None, 1:2]
+            # rotation convention: a = ω ẑ × v maps v=(i,j) to (-ωj, +ωi)
+            turn = np.concatenate(
+                [s_w * vi - c_w * vj, c_w * vi + s_w * vj], axis=-1
+            )  # [L, K, 2]
+            pred = self.P[:, None, :] + turn + 0.5 * a_par[:, None, :] * h * h
             return np.round(pred).astype(np.int64) - self.margin
         return np.broadcast_to(
             (self.P - self.margin)[:, None, :], (self.L, self.K, 2)
