@@ -912,3 +912,57 @@ def test_error_aware_depth_gating_unit():
         assert p._relax_need == min(2 * need0, 8 * p.CLEAN_RELAX_CHUNKS)
     finally:
         _AUTO_DEPTH_MEMO.clear()
+
+
+def test_coordinated_turn_aim_exact_on_circles():
+    """The CT aim model predicts circular motion near-exactly at horizons
+    where the old quadratic Taylor model's cubic residual escaped the crop
+    margin — and decays to the quadratic prediction as omega -> 0."""
+    from pawsometracker_tpu.models.dog_tracker import make_spec
+    from pawsometracker_tpu.pipeline import _AUTO_DEPTH_MEMO, SpeculativePipeline
+
+    _AUTO_DEPTH_MEMO.clear()
+    try:
+        spec = make_spec((2000, 2000), 21, 10, True)
+        K = 8
+        p = SpeculativePipeline(
+            L=1, K=K, crop_shape=(81, 81), margin=(40, 40), spec=spec,
+            mode="predict", depth="auto", engine=None, source=None,
+            sink=None, timer=None)
+        p._pending.clear()
+
+        # circle of radius R at rate w (bench-like: ~8 px/frame, quarter
+        # margin error at h=40 under the quadratic model)
+        R, w = 600.0, 0.0131
+        center = np.array([1000.0, 1000.0])
+        pos = lambda t: center + R * np.array([np.sin(w * t), np.cos(w * t)])
+        t0 = 100
+        p.P = np.round(pos(t0)).astype(np.int64)[None]
+        # exact kinematic state at t0 (the controller estimates these from
+        # secants; here the MODEL itself is under test)
+        p.vel = (R * w * np.array([np.cos(w * t0), -np.sin(w * t0)]))[None]
+        p.accel = (-R * w * w * np.array([np.sin(w * t0), np.cos(w * t0)]))[None]
+        p._vel_lag = np.zeros(1)
+        origins = p._aim()  # K frames at staleness 0..K-1... extend horizon:
+        # fake a deep pipeline: staleness 40 via pending valid counts
+        class _E:  # minimal entry stub
+            valid = np.array([40])
+        p._pending.append(_E())
+        origins = p._aim()
+        for i in range(K):
+            h = 40 + i
+            true = pos(t0 + h)
+            pred_center = origins[0, i] + p.margin
+            err = np.abs(pred_center - true).max()
+            assert err < 4.0, (i, err)  # quadratic model missed by ~35-40 px here
+
+        # omega -> 0 (straight line): reduces to linear prediction
+        p._pending.clear()
+        p.vel = np.array([[3.0, -2.0]])
+        p.accel = np.zeros((1, 2))
+        origins = p._aim()
+        for i in range(K):
+            want = p.P[0] + p.vel[0] * i
+            np.testing.assert_allclose(origins[0, i] + p.margin, np.round(want))
+    finally:
+        _AUTO_DEPTH_MEMO.clear()
