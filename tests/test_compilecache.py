@@ -94,5 +94,5 @@ def test_unwritable_dir_degrades_with_warning(monkeypatch, caplog):
             assert cc.enable_persistent_cache() is None
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
-    assert any("persistent XLA compilation cache disabled" in r.message % r.args
+    assert any("persistent XLA compilation cache disabled" in r.getMessage()
                for r in caplog.records)
