@@ -1243,6 +1243,14 @@ def _finalize(detail: dict) -> dict:
         detail["e2e_host_efficiency_pct"] = round(
             100.0 * fps_e2e / detail["hostceil_fps"], 1
         )
+        best = (detail.get("e2e_spread") or {}).get("max")
+        if best:
+            # healthy-phase capability: the best rep against the ceiling
+            # (the median mixes tunnel phases; VERDICT r3 item 2 asks what
+            # the pipeline achieves when the link is healthy)
+            detail["e2e_host_efficiency_best_pct"] = round(
+                100.0 * best / detail["hostceil_fps"], 1
+            )
         note = _host_phase_note(fps_e2e, detail["hostceil_fps"])
         if note:
             detail["e2e_host_efficiency_note"] = note
