@@ -46,6 +46,15 @@ CHUNK = 64
 REPS = 3
 
 
+def _default_roi_frames() -> int:
+    """The ROI chunk length the headline track() call actually resolves —
+    the device stages and the engine-decision report must measure the SAME
+    K (the engine cache is keyed on it), not a hardcoded historical value."""
+    from pawsometracker_tpu.api import _resolve_roi_frames
+
+    return _resolve_roi_frames(None, 1, "predict")
+
+
 def _stats(samples, ndigits=1):
     return {
         "med": round(statistics.median(samples), ndigits),
@@ -197,8 +206,9 @@ def stage_e2e(d):
         from pawsometracker_tpu.pipeline import pick_bounded_engine, roi_geometry
 
         spec = make_spec((H, W), WINDOW, TARGET_WIDTH, True)
-        ch, cw, _ = roi_geometry(spec, 8, 1, "predict")
-        eng, info = pick_bounded_engine(make_spec((ch, cw), WINDOW, TARGET_WIDTH, True), 8)
+        K = _default_roi_frames()  # the K the measured track() itself used
+        ch, cw, _ = roi_geometry(spec, K, 1, "predict")
+        eng, info = pick_bounded_engine(make_spec((ch, cw), WINDOW, TARGET_WIDTH, True), K)
         out["engine_used"] = eng
         out["engine_info"] = {k: v for k, v in info.items() if k != "mismatch"}
     except Exception:
@@ -307,7 +317,7 @@ def stage_device_roi(d):
     from pawsometracker_tpu.pipeline import make_chained, roi_geometry
 
     spec = make_spec((H, W), WINDOW, TARGET_WIDTH, True)
-    K = 8
+    K = _default_roi_frames()
     ch, cw, margin = roi_geometry(spec, K, 1, "predict")
     roi_spec = make_spec((ch, cw), WINDOW, TARGET_WIDTH, True)
     fns = tracker_fns(roi_spec)
@@ -385,7 +395,7 @@ def stage_subpixel(d):
     from pawsometracker_tpu.pipeline import make_chained, pick_bounded_engine, roi_geometry
 
     spec = make_spec((H, W), WINDOW, TARGET_WIDTH, True)
-    K = 8
+    K = _default_roi_frames()
     ch, cw, _ = roi_geometry(spec, K, 1, "predict")
     roi_spec = make_spec((ch, cw), WINDOW, TARGET_WIDTH, True)
     eng, info = pick_bounded_engine(roi_spec, K, subpixel=True)
@@ -518,8 +528,11 @@ def stage_hostceil(d):
     # decode-only 676-709 fps vs decode+crop 647-688 on this host — the C++
     # crop adds <=5%), so the only ceiling-raiser is the documented
     # fast-decode option (skip the in-loop deblock; pixels not bit-exact vs
-    # a spec decode, same oracle) — record that ceiling alongside
+    # a spec decode, same oracle) — record that ceiling alongside, with its
+    # OWN replay audit (a replay desyncs the per-run truth cursor exactly
+    # as for the spec reps above)
     os.environ["PAWSIO_FAST_DECODE"] = "1"  # stage subprocess: dies with it
+    replays_f0 = plmod.replay_count
     fpss_f = []
     for _ in range(REPS):
         t0 = time.perf_counter()
@@ -528,6 +541,11 @@ def stage_hostceil(d):
     sf = _stats(fpss_f)
     out["hostceil_fast_fps"] = sf["med"]
     out["hostceil_fast_spread"] = sf
+    replays_f = plmod.replay_count - replays_f0
+    if replays_f:
+        out["hostceil_fast_degraded"] = (
+            f"replays={replays_f}: truth cursor desynced, not a pure ceiling"
+        )
     return out
 
 
@@ -546,7 +564,7 @@ def stage_mfu(d):
     from pawsometracker_tpu.pipeline import roi_geometry
 
     spec = make_spec((H, W), WINDOW, TARGET_WIDTH, True)
-    K = 8
+    K = _default_roi_frames()
     ch, cw, _ = roi_geometry(spec, K, 1, "predict")
     roi_spec = make_spec((ch, cw), WINDOW, TARGET_WIDTH, True)
     L = roi_spec.kernel_len
@@ -769,7 +787,7 @@ def stage_batch_scaling(d):
     from pawsometracker_tpu.parallel.mesh import ShardedBatchTracker
 
     spec = make_spec((H, W), WINDOW, TARGET_WIDTH, True)
-    K = 8
+    K = _default_roi_frames()
     ch, cw, _ = roi_geometry(spec, K, 1, "predict")
     roi_spec = make_spec((ch, cw), WINDOW, TARGET_WIDTH, True)
     tracker = ShardedBatchTracker(roi_spec, None)

@@ -191,7 +191,7 @@ def _auto_ring_gate(file, roi_frames: int, depth_gate: int, lanes: int = 1) -> i
 def _resolve_roi_frames(roi_frames, pipeline_depth: int, speculate: str = "predict") -> int:
     if roi_frames is not None:
         return int(roi_frames)
-    if speculate == "predict" or pipeline_depth == 0:
+    if speculate == "predict":
         # predict-mode crops don't grow with depth (slack is small) OR with
         # K while K <= 2*window_radius (the slack floor), so a longer chunk
         # amortizes the per-chunk host work (ctypes crop call, H2D staging,
@@ -200,8 +200,10 @@ def _resolve_roi_frames(roi_frames, pipeline_depth: int, speculate: str = "predi
         # 500, K=16: replay-prone at 461, K=24: storms); the pre-controller
         # sweep picked 8 because replay cost then grew with K.
         return 12
-    # contain mode: keep the crop half-extent (depth+1)*K*r constant across
-    # depths by shrinking K, so speculation costs no extra bytes per frame
+    # contain mode: the crop half-extent is (depth+1)*K*r — K goes straight
+    # into bytes/frame there (K=12 would be +50% per axis at depth 0), so
+    # keep the synchronous K=8 and shrink with depth to hold the crop size
+    # constant across speculation depths
     return max(1, 8 // (int(pipeline_depth) + 1))
 
 

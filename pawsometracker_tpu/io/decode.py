@@ -108,7 +108,14 @@ def probe(path) -> VideoInfo:
         from .native_io import native_available, native_probe
 
         if native_available():
-            return native_probe(path)
+            info = native_probe(path)
+            # frame_count 0 = the container header carries no per-stream
+            # count AND the (fresh) native duration estimate failed — or a
+            # stale prebuilt .so predates that estimate. Fall through to the
+            # cv2 probe, whose computed count the batch progress estimation
+            # relies on; every other field is authoritative from libav.
+            if info.frame_count > 0:
+                return info
     except Exception:
         pass  # fall through to the cv2 probe (native layer unbuildable)
     cv2 = _cv2()

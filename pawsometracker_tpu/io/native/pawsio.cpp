@@ -472,6 +472,20 @@ int pawsio_probe(const char *path, PawsInfo *info) {
   info->sar_num = sar.num;
   info->sar_den = sar.den;
   info->nframes = st->nb_frames;
+  if (info->nframes <= 0) {
+    // containers without a per-stream frame count in the header (matroska/
+    // webm commonly): estimate from duration * rate, matching what cv2's
+    // CAP_PROP_FRAME_COUNT reports for the same files — callers (batch
+    // progress estimation, duration clamps) treat the count as approximate
+    int64_t dur = st->duration;  // stream timebase ticks
+    if (dur > 0 && st->time_base.num > 0 && st->time_base.den > 0) {
+      double secs = dur * av_q2d(st->time_base);
+      info->nframes = (int64_t)(secs * info->fps + 0.5);
+    } else if (fmt->duration > 0) {
+      double secs = (double)fmt->duration / AV_TIME_BASE;
+      info->nframes = (int64_t)(secs * info->fps + 0.5);
+    }
+  }
   avformat_close_input(&fmt);
   return 0;
 }

@@ -1886,17 +1886,22 @@ class SpeculativePipeline:
                 # (bounded by the replay-hysteresis soft cap: a depth that
                 # just mispredicted is not re-entered until earned back)
                 self.depth_cur += 1
-            elif self._depth_soft_cap < self.depth_max:
-                # blocked AT the soft cap: more depth would genuinely help —
-                # authorize (but don't perform) a cap-relax exploration
-                self._cap_wanted = True
-            if self.depth_cur >= min(self.depth_max, self._depth_soft_cap) and self._grow_groups:
-                # depth exhausted and the drain STILL blocks: the per-chunk
-                # RPC round trip itself is the residual — coalesce dispatches
-                # (capped so two groups stay in flight: overlap, not batching)
-                grow = getattr(self.engine, "grow_group", None)  # duck-typed
-                if grow is not None:
-                    grow(max(1, (self.depth_cur + 1) // 2))
+            else:
+                # a SUBSEQUENT blocked drain with the depth already at its
+                # ceiling (max or replay-learned soft cap): the per-chunk
+                # RPC round trip itself is the residual — authorize a
+                # cap-relax exploration and coalesce dispatches (group cap
+                # (depth+1)//2 keeps two groups in flight: overlap, not
+                # batching). Kept sequential with deepening (else-branch):
+                # growing the group in the same event that deepened would
+                # coalesce before the added depth had a chance to hide the
+                # round trip.
+                if self._depth_soft_cap < self.depth_max:
+                    self._cap_wanted = True
+                if self._grow_groups:
+                    grow = getattr(self.engine, "grow_group", None)  # duck-typed
+                    if grow is not None:
+                        grow(max(1, (self.depth_cur + 1) // 2))
         if self.mode == "predict" and not self._contained(
             pos_np, entry.origins, entry.valid
         ):
@@ -1936,17 +1941,18 @@ class SpeculativePipeline:
             remaining = n_rest
             eof = False
             while True:
-                # evidence-proportional speculation horizon: until a
-                # velocity estimate exists every aim is a standing-still
-                # guess (drain the probe synchronously), and a velocity
-                # measured over N frames says nothing about where the target
-                # is 5N frames out — so the in-flight depth may not exceed
-                # the chunks of history observed. Without this a
+                # evidence-proportional speculation horizon (auto depth
+                # only — a user-PINNED pipeline_depth is honored as asked):
+                # until a velocity estimate exists every aim is a
+                # standing-still guess (drain the probe synchronously), and
+                # a velocity measured over N frames says nothing about where
+                # the target is 5N frames out — so the in-flight depth may
+                # not exceed the chunks of history observed. Without this a
                 # warm-started (memoized) pipeline runs 30+ frames ahead on
                 # a 2-frame probe secant and pays a deterministic
                 # start-of-clip replay (profiled on the bench circle: aimed
                 # from the probe at horizon ~25, miss 55 px vs 40 slack).
-                if self.mode != "predict":
+                if self.mode != "predict" or not self.auto_depth:
                     depth_eff = self.depth_cur
                 elif not self._vel_ready:
                     depth_eff = 0

@@ -462,3 +462,32 @@ def test_stale_so_open_fallbacks(counter_video):
     with mock.patch.object(native_io, "_load", return_value=_StaleLib(real, {"pawsio_open_span"})):
         with pytest.raises(RuntimeError, match="pawsio_open_span"):
             native_io.NativeFrameSource(counter_video, fps=24, slot0=3)
+
+
+def test_probe_frame_count_on_headerless_containers(tmp_path, monkeypatch):
+    """Matroska-style containers carry no per-stream frame count in the
+    header: the native probe must estimate one from duration*rate (matching
+    cv2's computed CAP_PROP_FRAME_COUNT), and decode.probe must fall back to
+    the cv2 probe when a (stale) native layer still reports 0 — the batch
+    progress estimation relies on a nonzero count."""
+    import cv2
+
+    from pawsometracker_tpu.io import decode as decode_mod
+
+    p = str(tmp_path / "clip.mkv")
+    vw = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"FFV1"), 24, (64, 48),
+                         isColor=False)
+    for i in range(30):
+        vw.write(np.full((48, 64), i, np.uint8))
+    vw.release()
+
+    assert native_io.native_probe(p).frame_count == 30  # fresh build estimates
+    assert decode_mod.probe(p).frame_count == 30
+
+    # stale .so path: native reports 0 -> cv2 fallback supplies the count
+    from dataclasses import replace
+
+    real = native_io.native_probe
+    monkeypatch.setattr(native_io, "native_probe",
+                        lambda path: replace(real(path), frame_count=0))
+    assert decode_mod.probe(p).frame_count == 30
