@@ -874,8 +874,14 @@ def stage_startup(d):
         env = dict(os.environ)
         env["JAX_COMPILATION_CACHE_DIR"] = cache
         env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
-        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                           text=True, timeout=600, env=env)
+        # each run bounded so cold + 2 warm runs always fit the stage's
+        # 600 s cap with headroom (a wedged run loses ITS tag only, not
+        # the measurements already taken)
+        try:
+            r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                               text=True, timeout=170, env=env)
+        except subprocess.TimeoutExpired:
+            return {f"startup_{tag}_error": "timeout after 170s (wedged phase)"}
         # parse the in-process number instead of trusting the return code:
         # the tunneled-TPU plugin can abort at interpreter EXIT (after the
         # measurement printed) — the number is valid, the rc is not

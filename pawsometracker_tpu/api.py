@@ -149,8 +149,10 @@ def _scan_fn_for(spec, engine: str):
     return tracker_fns(spec).scan
 
 
-#: frames per ROI mini-chunk; None = auto (8, except contain-mode pipelining
-#: where K shrinks to keep the crop size constant — see _resolve_roi_frames)
+#: frames per ROI mini-chunk; None = auto (12 in predict mode — measured
+#: fastest once the error-gated depth controller made replay cost
+#: K-independent; contain mode keeps 8, shrinking with depth to hold the
+#: crop size constant — see _resolve_roi_frames)
 DEFAULT_ROI_FRAMES = None
 
 #: chunks the host may run ahead of the device. "auto" adapts at runtime from
@@ -273,7 +275,11 @@ def _track_one(
         depth_gate = AUTO_DEPTH_MAX
     else:
         pipeline_depth = depth_gate = max(0, int(pipeline_depth))
-    roi_frames = _resolve_roi_frames(roi_frames, depth_gate, speculate)
+    # resolve K from the EFFECTIVE mode, not the raw kwarg: depth_gate=0
+    # always runs contain geometry (run_roi_pipeline derives mode the same
+    # way), where K goes straight into crop bytes and must stay at 8
+    effective_mode = speculate if depth_gate > 0 else "contain"
+    roi_frames = _resolve_roi_frames(roi_frames, depth_gate, effective_mode)
     from .diagnose import Dont
 
     retention_possible = (

@@ -1470,14 +1470,20 @@ class _Pending:
 
     ``exact``: dispatched through the rewind queue with nothing in flight,
     i.e. aimed from the EXACT last accepted position — the replay progress
-    candidate. ``off`` (``[L]``): frame offset of this entry within its
-    ``tokens`` (nonzero only for the sub-chunks of a SPLIT exact entry; the
-    retained-ring delivery never needs it — ring position is in-flight
-    arithmetic — but numpy-chunk delivery slices ``tokens[off + i]``)."""
+    candidate. ``blind``: aimed BEFORE any velocity estimate existed (the
+    run-start probe): its miss is a property of the standing-still guess,
+    not of the speculation horizon, so the error-gated depth controller
+    must not learn from it. ``off`` (``[L]``): frame offset of this entry
+    within its ``tokens`` (nonzero only for the sub-chunks of a SPLIT exact
+    entry; the retained-ring delivery never needs it — ring position is
+    in-flight arithmetic — but numpy-chunk delivery slices
+    ``tokens[off + i]``)."""
 
-    __slots__ = ("handle", "origins", "valid", "tokens", "buf", "exact", "off")
+    __slots__ = ("handle", "origins", "valid", "tokens", "buf", "exact", "off",
+                 "blind")
 
-    def __init__(self, handle, origins, valid, tokens, buf, exact=False, off=None):
+    def __init__(self, handle, origins, valid, tokens, buf, exact=False, off=None,
+                 blind=False):
         self.handle = handle
         self.origins = origins
         self.valid = valid
@@ -1485,6 +1491,7 @@ class _Pending:
         self.buf = buf
         self.exact = exact
         self.off = np.zeros(len(valid), np.int64) if off is None else off
+        self.blind = blind
 
 
 class SpeculativePipeline:
@@ -1727,7 +1734,11 @@ class SpeculativePipeline:
             if k > 0:
                 self.P[lane] = abs_pos[lane, k - 1]
         self.tracked += valid
-        if self.auto_depth and self.mode == "predict":
+        if self.auto_depth and self.mode == "predict" and not ent.blind:
+            # blind entries (aimed before any velocity existed) miss by the
+            # target's full speed*h — a property of the standing-still
+            # probe, not of the speculation horizon; learning from them
+            # collapsed a cold start's soft cap to 1 on any fast target
             self._update_depth_from_error(abs_pos, origins, valid)
         if buf is not None and len(self._free) < self._pool_max:
             self._free.append(buf)
@@ -2000,7 +2011,10 @@ class SpeculativePipeline:
                     continue
                 tokens, valid = got
                 handle = self.engine.dispatch(buf, origins, self.P, valid)
-                self._pending.append(_Pending(handle, origins, valid, tokens, buf))
+                self._pending.append(
+                    _Pending(handle, origins, valid, tokens, buf,
+                             blind=not self._vel_ready)
+                )
                 remaining -= int(valid.max())
             if self.auto_depth:
                 # record only on clean completion (an exception leaves the

@@ -966,3 +966,36 @@ def test_coordinated_turn_aim_exact_on_circles():
             np.testing.assert_allclose(origins[0, i] + p.margin, np.round(want))
     finally:
         _AUTO_DEPTH_MEMO.clear()
+
+
+def test_default_k_respects_effective_mode(tmp_path, monkeypatch):
+    """pipeline_depth=0 runs contain geometry even with the default
+    speculate='predict' kwarg — the auto K must resolve 8 there (K goes
+    straight into contain crop bytes), and 12 only in effective predict
+    mode. Pinned end-to-end by spying roi_geometry's K."""
+    from pawsometracker_tpu import multi as multi_mod
+    from pawsometracker_tpu import pipeline as pl
+
+    seen = []
+    orig = pl.roi_geometry
+
+    def spy(spec, k_frames, depth=0, mode="contain"):
+        seen.append((k_frames, mode))
+        return orig(spec, k_frames, depth, mode)
+
+    rng = np.random.default_rng(3)
+    _, tra = helpers.build_trajectory(20, 24, (50, 50), rng)
+    f = helpers.trajectory2video(tra[:20], str(tmp_path), 24, 100, 100, 10, True)
+    kw = dict(fps=24, start_location=IJ(50, 50), target_width=10, stream="roi")
+
+    import pawsometracker_tpu.api as api_mod
+
+    monkeypatch.setattr(api_mod, "roi_geometry", spy)
+    monkeypatch.setattr(pl, "roi_geometry", spy)
+    track(f, pipeline_depth=0, **kw)  # default speculate -> contain at depth 0
+    assert all(k == 8 for k, m in seen if m == "contain"), seen
+    assert not any(m == "predict" for _, m in seen), seen
+
+    seen.clear()
+    track(f, pipeline_depth=2, **kw)
+    assert any(k == 12 and m == "predict" for k, m in seen), seen
