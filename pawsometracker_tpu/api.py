@@ -163,26 +163,33 @@ DEFAULT_ROI_FRAMES = None
 DEFAULT_PIPELINE_DEPTH = "auto"
 
 
-def _auto_ring_gate(file, roi_frames: int, depth_gate: int, lanes: int = 1) -> int:
+def _auto_ring_gate(file, roi_frames: int, depth_gate: int, lanes: int = 1,
+                    info=None) -> int:
     """Memory-aware depth gate for ``pipeline_depth="auto"`` ring sizing:
-    when the frame size is knowable BEFORE open (ndarray input, or a cheap
-    native header probe), clamp the gate so the retained C++ decode ring
-    ((gate+2)*K preallocated gray8 frames) respects PAWS_RING_BUDGET_MB —
-    the same bound :func:`pipeline.auto_depth_cap` applies to the runtime
-    depth, so the controller never outruns the ring. Unprobeable inputs keep
-    the unclamped gate (the ring is then merely never undersized)."""
+    when the frame size is knowable BEFORE open (ndarray input, a caller's
+    already-probed ``info``, or a cheap native header probe), clamp the gate
+    so the retained C++ decode ring ((gate+2)*K preallocated gray8 frames)
+    respects PAWS_RING_BUDGET_MB — the same bound
+    :func:`pipeline.auto_depth_cap` applies to the runtime depth, so the
+    controller never outruns the ring. Unprobeable inputs keep the unclamped
+    gate (the ring is then merely never undersized). ``info``: a
+    :class:`~.io.decode.VideoInfo` the caller probed already (track_batch
+    probes once for bucketing) — passing it avoids a second header read."""
     from .pipeline import auto_depth_cap
 
     shape = None
-    if hasattr(file, "shape") and getattr(file, "ndim", 0) >= 3:
+    if info is not None:
+        if info.height > 0 and info.width > 0:
+            shape = (int(info.height), int(info.width))
+    elif hasattr(file, "shape") and getattr(file, "ndim", 0) >= 3:
         shape = (int(file.shape[1]), int(file.shape[2]))
     else:
         try:
             from .io.native_io import native_probe
 
-            info = native_probe(file)
-            if info.height > 0 and info.width > 0:
-                shape = (int(info.height), int(info.width))
+            probed = native_probe(file)
+            if probed.height > 0 and probed.width > 0:
+                shape = (int(probed.height), int(probed.width))
         except Exception:
             shape = None
     if shape is None:
@@ -191,9 +198,13 @@ def _auto_ring_gate(file, roi_frames: int, depth_gate: int, lanes: int = 1) -> i
 
 
 def _resolve_roi_frames(roi_frames, pipeline_depth: int, speculate: str = "predict") -> int:
+    """Auto ROI chunk length. Owns the EFFECTIVE-mode rule: ``depth == 0``
+    always runs contain geometry regardless of the ``speculate`` kwarg (the
+    pipeline frontends derive mode the same way), so callers pass their raw
+    arguments and cannot re-introduce the K-of-the-wrong-mode bug."""
     if roi_frames is not None:
         return int(roi_frames)
-    if speculate == "predict":
+    if speculate == "predict" and int(pipeline_depth) > 0:
         # predict-mode crops don't grow with depth (slack is small) OR with
         # K while K <= 2*window_radius (the slack floor), so a longer chunk
         # amortizes the per-chunk host work (ctypes crop call, H2D staging,
@@ -202,10 +213,10 @@ def _resolve_roi_frames(roi_frames, pipeline_depth: int, speculate: str = "predi
         # 500, K=16: replay-prone at 461, K=24: storms); the pre-controller
         # sweep picked 8 because replay cost then grew with K.
         return 12
-    # contain mode: the crop half-extent is (depth+1)*K*r — K goes straight
-    # into bytes/frame there (K=12 would be +50% per axis at depth 0), so
-    # keep the synchronous K=8 and shrink with depth to hold the crop size
-    # constant across speculation depths
+    # contain mode (incl. depth 0): the crop half-extent is (depth+1)*K*r —
+    # K goes straight into bytes/frame there (K=12 would be +50% per axis at
+    # depth 0), so keep the synchronous K=8 and shrink with depth to hold
+    # the crop size constant across speculation depths
     return max(1, 8 // (int(pipeline_depth) + 1))
 
 
@@ -275,11 +286,7 @@ def _track_one(
         depth_gate = AUTO_DEPTH_MAX
     else:
         pipeline_depth = depth_gate = max(0, int(pipeline_depth))
-    # resolve K from the EFFECTIVE mode, not the raw kwarg: depth_gate=0
-    # always runs contain geometry (run_roi_pipeline derives mode the same
-    # way), where K goes straight into crop bytes and must stay at 8
-    effective_mode = speculate if depth_gate > 0 else "contain"
-    roi_frames = _resolve_roi_frames(roi_frames, depth_gate, effective_mode)
+    roi_frames = _resolve_roi_frames(roi_frames, depth_gate, speculate)
     from .diagnose import Dont
 
     retention_possible = (

@@ -266,6 +266,8 @@ def _track_batch_uniform(
         stream != "full" and mode == "predict" and all(p is None for p in dia_paths)
     )
     if auto_depth:
+        from .api import _auto_ring_gate
+
         # each of the B videos opens its own retained ring, so the budget is
         # divided across lanes (PAWS_RING_BUDGET_MB bounds the TOTAL);
         # clamp by the LARGEST probeable frame so no source's ring is
@@ -273,24 +275,15 @@ def _track_batch_uniform(
         # from the caller's probe infos (track_batch probed each file ONCE
         # for bucketing) — re-probing here would demux every container a
         # second time; direct callers without infos fall back to the
-        # per-file header probe.
-        if infos is not None:
-            depth_gate = min(
-                (
-                    min(depth_gate,
-                        auto_depth_cap(i.frame_shape, roi_frames, lanes=B))
-                    for i in infos
-                    if i.height > 0 and i.width > 0
-                ),
-                default=depth_gate,
-            )
-        else:
-            from .api import _auto_ring_gate
-
-            depth_gate = min(
-                (_auto_ring_gate(f, roi_frames, depth_gate, lanes=B) for f in files),
-                default=depth_gate,
-            )
+        # per-file header probe inside the gate.
+        per_file_infos = infos if infos is not None else [None] * B
+        depth_gate = min(
+            (
+                _auto_ring_gate(f, roi_frames, depth_gate, lanes=B, info=i)
+                for f, i in zip(files, per_file_infos)
+            ),
+            default=depth_gate,
+        )
     ring = (depth_gate + 2) * roi_frames + 8 if retention_possible else None
 
     sources = []

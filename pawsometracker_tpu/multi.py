@@ -131,12 +131,7 @@ def track_multi(
         depth_gate = AUTO_DEPTH_MAX
     else:
         pipeline_depth = depth_gate = max(0, int(pipeline_depth))
-    # effective mode: depth 0 runs contain geometry (run_multi_roi_pipeline
-    # derives it the same way), where K=12 would inflate every per-target
-    # crop ~2.2x — resolve K from the mode actually used
-    roi_frames = _resolve_roi_frames(
-        roi_frames, depth_gate, "predict" if depth_gate > 0 else "contain"
-    )
+    roi_frames = _resolve_roi_frames(roi_frames, depth_gate, "predict")
     if pipeline_depth == "auto":
         from .api import _auto_ring_gate
 

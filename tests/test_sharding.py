@@ -281,14 +281,25 @@ def test_track_batch_opens_each_container_once(tmp_path, monkeypatch):
     monkeypatch.setattr(decode_mod, "probe", counting_probe)
     monkeypatch.setattr(batch_mod, "open_source", counting_open)
 
-    def no_reprobe(*a, **k):
-        raise AssertionError("_auto_ring_gate re-probed a file track_batch already probed")
+    # the ring gate must reuse the caller's probe infos, never re-read the
+    # container header itself: native header reads stay bounded by the B
+    # probes decode.probe performs (raising here would be swallowed by
+    # probe()'s own fallback, so count instead)
+    from pawsometracker_tpu.io import native_io as native_mod
 
-    monkeypatch.setattr(api_mod, "_auto_ring_gate", no_reprobe)
+    native_calls = {"n": 0}
+    real_np = native_mod.native_probe
+
+    def counting_np(p):
+        native_calls["n"] += 1
+        return real_np(p)
+
+    monkeypatch.setattr(native_mod, "native_probe", counting_np)
 
     results = track_batch(files, start_location=IJ(50, 50), target_width=10)
     assert len(results) == 3
     assert calls == {"probe": 3, "open": 3}
+    assert native_calls["n"] <= 3, native_calls
 
 
 def test_track_batch_mesh_subpixel_matches_single(tmp_path, mesh8):
