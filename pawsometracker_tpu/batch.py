@@ -258,7 +258,9 @@ def _track_batch_uniform(
     else:
         auto_depth, depth_gate = False, max(0, int(pipeline_depth))
     mode = "predict" if depth_gate > 0 else "contain"
-    roi_frames = _resolve_roi_frames(roi_frames, depth_gate, mode)
+    # raw speculation intent goes to the resolver (it owns the depth-0 ->
+    # contain rule); `mode` stays for the retention/geometry decisions below
+    roi_frames = _resolve_roi_frames(roi_frames, depth_gate, "predict")
     # ONE gate for the retained native path: ring sizing here, the per-source
     # capability check completes it after the sources are open
     dia_paths = _broadcast(diagnostic_files, B, None) if diagnostic_files else [None] * B

@@ -256,7 +256,6 @@ def test_track_batch_opens_each_container_once(tmp_path, monkeypatch):
     round-3 code probed per file AND re-probed inside the ring gate on top
     of the decode open (VERDICT r3 weak #7)."""
     import helpers
-    import pawsometracker_tpu.api as api_mod
     import pawsometracker_tpu.batch as batch_mod
     from pawsometracker_tpu import IJ
     from pawsometracker_tpu.batch import track_batch
@@ -299,7 +298,11 @@ def test_track_batch_opens_each_container_once(tmp_path, monkeypatch):
     results = track_batch(files, start_location=IJ(50, 50), target_width=10)
     assert len(results) == 3
     assert calls == {"probe": 3, "open": 3}
-    assert native_calls["n"] <= 3, native_calls
+    # probe() performs at most one native header read per file; the ring
+    # gate must add none. Without the native layer the bound is zero —
+    # a flat 3 would mask a re-probing regression there.
+    bound = 3 if native_mod.native_available() else 0
+    assert native_calls["n"] <= bound, (native_calls, bound)
 
 
 def test_track_batch_mesh_subpixel_matches_single(tmp_path, mesh8):
