@@ -346,3 +346,55 @@ def test_engine_measurement_tie_divergence_pins_xla(monkeypatch, tmp_path):
     assert info.get("parity") is True, info  # asymmetric probe still agrees
     assert info.get("tie_parity") is False, info
     assert eng == "xla"
+
+
+def test_randomized_tie_geometries_parity(rng):
+    """Randomized hardening of the tie gate: symmetric blobs, flat fields,
+    plateaus and mirror-duplicated noise all create exact response ties;
+    interpret-mode pallas (same XLA dots as the XLA engine) must agree on
+    every argmax. Catches tie-sensitive drift in either scan's reduction
+    structure before the hardware gate would."""
+    import jax.numpy as jnp
+
+    ch = cw = 41
+    K = 4
+    spec = make_spec((ch, cw), 15, 6, True)
+    fns = tracker_fns(spec)
+    pal = pallas_scan_fn(spec, bounded=True, interpret=True)
+    deltas = np.zeros((K, 2), np.int32)
+    lo = np.zeros((K, 2), np.int32)
+    hi = np.tile(np.array([[ch - 1, cw - 1]], np.int32), (K, 1))
+    pos = jnp.asarray(np.array([ch // 2, cw // 2], np.int32))
+    f = np.uint8(128)
+
+    yy, xx = np.mgrid[:ch, :cw]
+
+    def sym_blob(ci, cj, sig, amp):
+        b = np.exp(-((yy - ci) ** 2 + (xx - cj) ** 2) / (2.0 * sig**2))
+        return np.clip(128 - amp * b, 0, 255).astype(np.uint8)
+
+    cases = []
+    for _ in range(8):
+        kind = rng.integers(0, 4)
+        if kind == 0:  # flat field (whole-window tie)
+            fr = np.full((ch, cw), int(rng.integers(0, 256)), np.uint8)
+        elif kind == 1:  # centered symmetric blob (mirror ties)
+            fr = sym_blob(ch // 2, cw // 2, float(rng.uniform(1.5, 6)),
+                          float(rng.uniform(40, 120)))
+        elif kind == 2:  # square plateau (block of equal maxima)
+            fr = np.full((ch, cw), 128, np.uint8)
+            s = int(rng.integers(2, 8))
+            i0, j0 = int(rng.integers(5, ch - 10)), int(rng.integers(5, cw - 10))
+            fr[i0:i0 + s, j0:j0 + s] = 20
+        else:  # mirror-duplicated noise (two exactly equal peaks)
+            half = rng.integers(0, 256, size=(ch, cw // 2 + 1)).astype(np.uint8)
+            fr = np.concatenate([half[:, :-1], half[:, ::-1][:, :cw - cw // 2]],
+                                axis=1)[:, :cw]
+        cases.append(np.ascontiguousarray(fr))
+
+    for fr in cases:
+        crops = np.broadcast_to(fr, (K, ch, cw)).copy()
+        out_x = np.asarray(fns.scan_bounded(jnp.asarray(crops), pos, f,
+                                            deltas, lo, hi))
+        out_p = np.asarray(pal(jnp.asarray(crops), pos, f, deltas, lo, hi))
+        np.testing.assert_array_equal(out_p, out_x)
