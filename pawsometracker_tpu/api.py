@@ -256,6 +256,7 @@ def _track_one(
     speculate: str = "predict",
     subpixel: bool = False,
     decode_workers: int | None = None,
+    fast_decode: bool | None = None,
     progress=None,
     input_fps: float | None = None,
 ):
@@ -300,7 +301,7 @@ def _track_one(
     ring = (depth_gate + 2) * roi_frames + 8 if retention_possible else None
     src = open_source(
         file, start=start, stop=stop, fps=fps, backend=backend, prefetch=ring,
-        workers=decode_workers, input_fps=input_fps,
+        workers=decode_workers, input_fps=input_fps, fast_decode=fast_decode,
     )
     prefetchers: list[ChunkPrefetcher] = []  # joined in finally BEFORE src.close()
     try:
@@ -451,6 +452,7 @@ def track(
     speculate: str = "predict",
     subpixel: bool = False,
     decode_workers: int | None = None,
+    fast_decode: bool | None = None,
     progress=None,
     input_fps: float | None = None,
 ):
@@ -483,6 +485,10 @@ def track(
     ``decode_workers`` (default: the ``PAWSIO_DECODE_WORKERS`` env var)
     decodes with that many cooperating native decoders — bit-identical
     frames, for multi-core hosts (see :mod:`.io.parallel_decode`);
+    ``fast_decode=True`` skips the h264 in-loop deblocking filter in the
+    native decoder (~10-30% faster on decode-bound hosts; decoded pixels are
+    NOT bit-exact vs a spec decode, but tracks stay inside the <1 px oracle —
+    default ``None`` follows the ``PAWSIO_FAST_DECODE`` env var);
     ``progress`` is an optional ``callback(frames_done, frames_expected)``
     invoked after each accepted chunk of the CURRENT file (per-file on
     segmented inputs; ``frames_expected`` excludes frame 1 and can exceed
@@ -522,6 +528,7 @@ def track(
             speculate=speculate,
             subpixel=subpixel,
             decode_workers=decode_workers,
+            fast_decode=fast_decode,
             progress=progress,
             input_fps=input_fps,
         )
@@ -549,6 +556,7 @@ def track(
             speculate=speculate,
             subpixel=subpixel,
             decode_workers=decode_workers,
+            fast_decode=fast_decode,
             progress=progress,
             input_fps=input_fps,
         )
@@ -575,6 +583,7 @@ def _track_many(
     speculate,
     subpixel,
     decode_workers=None,
+    fast_decode=None,
     progress=None,
     input_fps=None,
 ):
@@ -631,6 +640,7 @@ def _track_many(
                 speculate=speculate,
                 subpixel=subpixel,
                 decode_workers=decode_workers,
+                fast_decode=fast_decode,
                 progress=progress,
                 input_fps=input_fps,
             )

@@ -91,6 +91,7 @@ def track_batch(
     engine: str = "auto",
     subpixel: bool = False,
     decode_workers: int | None = None,
+    fast_decode: bool | None = None,
     progress=None,
     input_fps: float | None = None,
 ):
@@ -190,6 +191,7 @@ def track_batch(
             engine=engine,
             subpixel=subpixel,
             decode_workers=decode_workers,
+            fast_decode=fast_decode,
             progress=bucket_cb,
             input_fps=input_fps,
         )
@@ -222,6 +224,7 @@ def _track_batch_uniform(
     engine: str = "auto",
     subpixel: bool = False,
     decode_workers: int | None = None,
+    fast_decode: bool | None = None,
     progress=None,
     input_fps: float | None = None,
 ):
@@ -294,7 +297,7 @@ def _track_batch_uniform(
             sources.append(
                 open_source(f, start=t0, stop=t1, fps=fps, backend=backend,
                             prefetch=ring, workers=decode_workers,
-                            input_fps=input_fps)
+                            input_fps=input_fps, fast_decode=fast_decode)
             )
 
         shapes = {s.info.frame_shape for s in sources}

@@ -415,6 +415,7 @@ def open_source(
     prefetch: int | None = None,
     workers: int | None = None,
     input_fps: float | None = None,
+    fast_decode: bool | None = None,
 ):
     """Open a frame source, preferring the native libav decoder when built.
 
@@ -430,7 +431,15 @@ def open_source(
     keyframe-seek spans — bit-identical frames, ~Wx throughput on multi-core
     hosts (see :mod:`.parallel_decode`). The parallel source serves full
     frames only (no C++ retained-crop ring), so it suits decode-bound
-    workloads; single-worker sources keep the in-ring ROI fast path."""
+    workloads; single-worker sources keep the in-ring ROI fast path.
+
+    ``fast_decode=True`` asks the native decoder to skip the h264 in-loop
+    deblocking filter (~10-30% faster on decode-bound hosts). Decoded pixels
+    are NOT bit-exact vs a spec decode — the zero-sum DoG argmax is robust to
+    the difference (tracks stay inside the <1 px oracle) but cross-backend
+    parity comparisons must leave it off. Native-decoder knob only: the
+    OpenCV fallback logs a one-time warning and decodes normally. Default
+    ``None`` follows the ``PAWSIO_FAST_DECODE`` env var."""
     if isinstance(path, np.ndarray) or is_frame_stack(path):
         # any ndarray routes here so a wrong-shaped one gets the shape error,
         # not a "could not open video" from the file backends
@@ -450,11 +459,13 @@ def open_source(
                     from .parallel_decode import ParallelNativeSource
 
                     return ParallelNativeSource(
-                        path, start=start, stop=stop, fps=fps, workers=workers
+                        path, start=start, stop=stop, fps=fps, workers=workers,
+                        fast=fast_decode,
                     )
                 return NativeFrameSource(
                     path, start=start, stop=stop, fps=fps,
                     prefetch=8 if prefetch is None else prefetch,
+                    fast=fast_decode,
                 )
             if backend == "native":
                 # an EXPLICIT native request must fail loudly, not silently
@@ -466,6 +477,12 @@ def open_source(
         except Exception:
             if backend == "native":
                 raise
+    if fast_decode:
+        logger.warning(
+            "fast_decode requested but the OpenCV fallback decoder is in use "
+            "(native libpawsio unavailable or backend='opencv') — decoding "
+            "normally; fast decode is a native-decoder knob"
+        )
     return OpenCVFrameSource(path, start=start, stop=stop, fps=fps)
 
 

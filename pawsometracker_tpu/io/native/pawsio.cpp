@@ -443,6 +443,14 @@ struct PawsInfo {
 
 const char *pawsio_last_error() { return g_last_error.c_str(); }
 
+// fast-decode override: -1 = follow the PAWSIO_FAST_DECODE env var (default),
+// 0/1 = explicit API request. The Python `fast_decode` kwarg sets this around
+// each open under a lock instead of mutating the process environment (getenv
+// during a concurrent setenv is undefined behavior; an atomic int is not).
+std::atomic<int> g_fast_decode{-1};
+
+void pawsio_set_fast_decode(int v) { g_fast_decode.store(v < 0 ? -1 : (v ? 1 : 0)); }
+
 int pawsio_probe(const char *path, PawsInfo *info) {
   AVFormatContext *fmt = nullptr;
   int ret = avformat_open_input(&fmt, path, nullptr, nullptr);
@@ -606,12 +614,18 @@ static void *open_impl(const char *path, double start, double stop, double fps,
     d->dec->thread_count = thr ? atoi(thr) : 0;
   }
   d->dec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
-  // PAWSIO_FAST_DECODE=1: skip the h264 in-loop deblocking filter — ~10-30%
-  // faster on decode-bound hosts at the cost of slightly different pixel
-  // values (NOT bit-exact vs a spec decode; the zero-sum DoG argmax is
-  // robust to it, but cross-backend parity tests must not set this)
-  const char *fastd = getenv("PAWSIO_FAST_DECODE");
-  if (fastd && fastd[0] == '1') {
+  // fast decode: skip the h264 in-loop deblocking filter — ~10-30% faster on
+  // decode-bound hosts at the cost of slightly different pixel values (NOT
+  // bit-exact vs a spec decode; the zero-sum DoG argmax is robust to it, but
+  // cross-backend parity tests must not set this). Request order: the
+  // pawsio_set_fast_decode override (the Python fast_decode kwarg), else the
+  // PAWSIO_FAST_DECODE env var.
+  int fast = g_fast_decode.load();
+  if (fast < 0) {
+    const char *fastd = getenv("PAWSIO_FAST_DECODE");
+    fast = (fastd && fastd[0] == '1') ? 1 : 0;
+  }
+  if (fast) {
     d->dec->skip_loop_filter = AVDISCARD_ALL;
     d->dec->flags2 |= AV_CODEC_FLAG2_FAST;
   }

@@ -30,6 +30,53 @@ _lib = None
 _lib_lock = threading.Lock()
 _build_attempted = False
 
+# serializes fast-decode requests around decoder opens: the setting is
+# process-global in the .so (or the environment, on a stale prebuilt .so
+# without the setter), so concurrent opens with DIFFERENT fast settings must
+# not interleave set/open/reset windows
+_fast_lock = threading.Lock()
+
+
+class _FastDecodeRequest:
+    """Apply a per-open fast-decode request around a native decoder open.
+
+    ``fast=None`` is a no-op (the PAWSIO_FAST_DECODE env var keeps ruling).
+    With the current .so the request goes through ``pawsio_set_fast_decode``
+    (an atomic int — safe against concurrent getenv); a stale prebuilt .so
+    falls back to setting the env var for the duration of the open, which the
+    C++ side reads at avcodec_open2 time either way.
+    """
+
+    def __init__(self, lib, fast: bool | None):
+        self._lib = lib
+        self._fast = fast
+        self._env_prev: str | None = None
+
+    def __enter__(self):
+        if self._fast is None:
+            return self
+        _fast_lock.acquire()
+        if hasattr(self._lib, "pawsio_set_fast_decode"):
+            self._lib.pawsio_set_fast_decode(1 if self._fast else 0)
+        else:
+            self._env_prev = os.environ.get("PAWSIO_FAST_DECODE")
+            os.environ["PAWSIO_FAST_DECODE"] = "1" if self._fast else "0"
+        return self
+
+    def __exit__(self, *exc):
+        if self._fast is None:
+            return False
+        try:
+            if hasattr(self._lib, "pawsio_set_fast_decode"):
+                self._lib.pawsio_set_fast_decode(-1)
+            elif self._env_prev is None:
+                os.environ.pop("PAWSIO_FAST_DECODE", None)
+            else:
+                os.environ["PAWSIO_FAST_DECODE"] = self._env_prev
+        finally:
+            _fast_lock.release()
+        return False
+
 
 class _PawsInfo(ctypes.Structure):
     _fields_ = [
@@ -116,6 +163,9 @@ def _load():
               ctypes.c_int, ctypes.c_int, ctypes.c_int,
               ctypes.POINTER(ctypes.c_int64), ctypes.c_uint8],
              ctypes.c_int),
+            # process-global fast-decode override (-1 env / 0 off / 1 on) —
+            # the fast_decode kwarg sets it around each open under _fast_lock
+            ("pawsio_set_fast_decode", [ctypes.c_int], None),
         ]
         for _name, _args, _res in _optional:
             try:
@@ -275,6 +325,7 @@ class NativeFrameSource:
         threads: int = -1,
         slot0: int = 0,
         seek_hint: float = -1.0,
+        fast: bool | None = None,
     ):
         lib = _load()
         if lib is None:
@@ -288,32 +339,33 @@ class NativeFrameSource:
         # the per-frame-origin fallback for stale prebuilt libraries
         self._py_retained = 0
         info = _PawsInfo()
-        if slot0 > 0:
-            if not hasattr(lib, "pawsio_open_span"):
-                raise RuntimeError("libpawsio.so predates pawsio_open_span — rebuild")
-            # mid-stream entry on the GLOBAL slot grid (bit-exact with a
-            # slot0=0 decoder's later slots; see parallel_decode.py).
-            # seek_hint >= 0: exact demux seek target (the keyframe-aligned
-            # planner passes the keyframe time itself)
-            if seek_hint >= 0 and hasattr(lib, "pawsio_open_span2"):
-                self._h = lib.pawsio_open_span2(
-                    self.path.encode(), self.start, self.stop, self.fps, int(slot0),
-                    int(threads), float(seek_hint), ctypes.byref(info),
+        with _FastDecodeRequest(lib, fast):
+            if slot0 > 0:
+                if not hasattr(lib, "pawsio_open_span"):
+                    raise RuntimeError("libpawsio.so predates pawsio_open_span — rebuild")
+                # mid-stream entry on the GLOBAL slot grid (bit-exact with a
+                # slot0=0 decoder's later slots; see parallel_decode.py).
+                # seek_hint >= 0: exact demux seek target (the keyframe-aligned
+                # planner passes the keyframe time itself)
+                if seek_hint >= 0 and hasattr(lib, "pawsio_open_span2"):
+                    self._h = lib.pawsio_open_span2(
+                        self.path.encode(), self.start, self.stop, self.fps, int(slot0),
+                        int(threads), float(seek_hint), ctypes.byref(info),
+                    )
+                else:
+                    self._h = lib.pawsio_open_span(
+                        self.path.encode(), self.start, self.stop, self.fps, int(slot0),
+                        int(threads), ctypes.byref(info),
+                    )
+            elif threads >= 0 and hasattr(lib, "pawsio_open2"):
+                self._h = lib.pawsio_open2(
+                    self.path.encode(), self.start, self.stop, self.fps, int(threads),
+                    ctypes.byref(info),
                 )
             else:
-                self._h = lib.pawsio_open_span(
-                    self.path.encode(), self.start, self.stop, self.fps, int(slot0),
-                    int(threads), ctypes.byref(info),
+                self._h = lib.pawsio_open(
+                    self.path.encode(), self.start, self.stop, self.fps, ctypes.byref(info)
                 )
-        elif threads >= 0 and hasattr(lib, "pawsio_open2"):
-            self._h = lib.pawsio_open2(
-                self.path.encode(), self.start, self.stop, self.fps, int(threads),
-                ctypes.byref(info),
-            )
-        else:
-            self._h = lib.pawsio_open(
-                self.path.encode(), self.start, self.stop, self.fps, ctypes.byref(info)
-            )
         if not self._h:
             raise IOError(f"could not open video: {self.path} ({_last_error(lib)})")
         sar = float(Fraction(info.sar_num, info.sar_den)) if info.sar_den else 1.0

@@ -122,6 +122,7 @@ class ParallelNativeSource:
         span_frames: int = DEFAULT_SPAN_FRAMES,
         threads_per_worker: int = 1,
         keyframe_align: bool = True,
+        fast: bool | None = None,
     ):
         from .native_io import NativeFrameSource, native_probe
 
@@ -133,6 +134,7 @@ class ParallelNativeSource:
         self._src_cls = NativeFrameSource
         self._span_frames = int(span_frames)
         self._threads_per_worker = int(threads_per_worker)
+        self._fast = fast
         W = max(1, int(workers))
         if not parallel_ok(self.info, self.fps):
             W = 1  # upsampling/VFR-risky: keep the single-decoder guarantee
@@ -158,7 +160,8 @@ class ParallelNativeSource:
             # (span entry at slot0 needs the holder guarantee; a single
             # decoder from `start` needs nothing)
             self._seq = NativeFrameSource(
-                self.path, start=self.start, stop=self.stop, fps=self.fps, prefetch=0
+                self.path, start=self.start, stop=self.stop, fps=self.fps, prefetch=0,
+                fast=fast,
             )
             return
 
@@ -346,6 +349,7 @@ class ParallelNativeSource:
             fps=self.fps,
             prefetch=0,  # synchronous ring-less decode inside this thread
             threads=self._threads_per_worker,
+            fast=self._fast,
             slot0=a - lead,
             # keyframe-aligned spans: seek to the keyframe ITSELF (its slot is
             # a-1, the lead frame) — zero decode-discard on entry

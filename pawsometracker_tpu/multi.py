@@ -49,6 +49,7 @@ def track_multi(
     engine: str = "auto",
     subpixel: bool = False,
     decode_workers: int | None = None,
+    fast_decode: bool | None = None,
     diagnostic_file: str | None = None,
     progress=None,
     input_fps: float | None = None,
@@ -144,7 +145,7 @@ def track_multi(
 
     src = open_source(
         file, start=start, stop=stop, fps=fps, backend=backend, prefetch=ring,
-        workers=decode_workers, input_fps=input_fps,
+        workers=decode_workers, input_fps=input_fps, fast_decode=fast_decode,
     )
     prefetchers = []  # joined in finally BEFORE src.close()
     dia = None  # created INSIDE the try so the encoder can't leak if

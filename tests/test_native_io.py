@@ -4,6 +4,8 @@ backend."""
 
 
 
+import os
+
 import numpy as np
 import pytest
 
@@ -491,3 +493,131 @@ def test_probe_frame_count_on_headerless_containers(tmp_path, monkeypatch):
     monkeypatch.setattr(native_io, "native_probe",
                         lambda path: replace(real(path), frame_count=0))
     assert decode_mod.probe(p).frame_count == 30
+
+
+# ---- fast_decode kwarg (API surfacing of PAWSIO_FAST_DECODE) ---------------
+
+
+def _h264_clip(tmp_path, name="fastkw.mp4", T=48):
+    import cv2
+
+    h, w = 120, 160
+    path = str(tmp_path / name)
+    wtr = native_io.NativeVideoWriter(path, w, h, 24)
+    truth = []
+    for t in range(T):
+        ij = (40 + t // 2, 50 + t)
+        truth.append(ij)
+        f = np.full((h, w), 128, np.uint8)
+        cv2.circle(f, (ij[1], ij[0]), 5, 0, -1)
+        wtr.write(f)
+    wtr.release()
+    return path, truth
+
+
+def test_fast_decode_kwarg_matches_env_var(tmp_path, monkeypatch):
+    """track(fast_decode=True) requests the same decoder configuration as
+    PAWSIO_FAST_DECODE=1 (same skip_loop_filter decode -> identical frames ->
+    identical positions), without touching the process environment, and the
+    process-global override resets to -1 (env rules) after the open."""
+    import ctypes
+
+    from pawsometracker_tpu import IJ, track
+
+    path, truth = _h264_clip(tmp_path)
+    monkeypatch.setenv("PAWSIO_FAST_DECODE", "1")
+    ts_env, ij_env = track(
+        path, fps=24, start_location=IJ(40, 50), target_width=10, backend="native"
+    )
+    monkeypatch.delenv("PAWSIO_FAST_DECODE", raising=False)
+    ts_kw, ij_kw = track(
+        path, fps=24, start_location=IJ(40, 50), target_width=10,
+        backend="native", fast_decode=True,
+    )
+    np.testing.assert_array_equal(ts_kw, ts_env)
+    np.testing.assert_array_equal(np.asarray(ij_kw), np.asarray(ij_env))
+    err = np.linalg.norm(np.asarray(ij_kw) - np.asarray(truth), axis=1)
+    assert np.sqrt(np.mean(err**2)) < 1.0
+    assert "PAWSIO_FAST_DECODE" not in os.environ
+    lib = native_io._load()
+    assert ctypes.c_int.in_dll(lib, "g_fast_decode").value == -1
+
+
+def test_fast_decode_false_overrides_env(tmp_path, monkeypatch):
+    """fast_decode=False wins over PAWSIO_FAST_DECODE=1: the decode is a spec
+    decode, byte-identical to one with the env var unset."""
+    path, _ = _h264_clip(tmp_path, "specdec.mp4", T=24)
+    monkeypatch.delenv("PAWSIO_FAST_DECODE", raising=False)
+    with native_io.NativeFrameSource(path, fps=24, prefetch=0) as ns:
+        want = ns.read_chunk(24).copy()
+    monkeypatch.setenv("PAWSIO_FAST_DECODE", "1")
+    with native_io.NativeFrameSource(path, fps=24, prefetch=0, fast=False) as ns:
+        got = ns.read_chunk(24).copy()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fast_decode_stale_so_env_fallback(counter_video, monkeypatch):
+    """A stale .so without pawsio_set_fast_decode falls back to setting the
+    env var for the duration of the open — and restores it afterwards."""
+    import unittest.mock as mock
+
+    from pawsometracker_tpu.io.native_io import _FastDecodeRequest
+
+    real = native_io._load()
+    stale = _StaleLib(real, {"pawsio_set_fast_decode"})
+
+    monkeypatch.delenv("PAWSIO_FAST_DECODE", raising=False)
+    with _FastDecodeRequest(stale, True):
+        assert os.environ.get("PAWSIO_FAST_DECODE") == "1"
+    assert "PAWSIO_FAST_DECODE" not in os.environ
+
+    monkeypatch.setenv("PAWSIO_FAST_DECODE", "1")
+    with _FastDecodeRequest(stale, False):
+        assert os.environ.get("PAWSIO_FAST_DECODE") == "0"
+    assert os.environ.get("PAWSIO_FAST_DECODE") == "1"
+
+    # end to end through the constructor on the stale lib: decodes fine
+    with mock.patch.object(native_io, "_load", return_value=stale):
+        with native_io.NativeFrameSource(counter_video, fps=24, prefetch=0, fast=True) as ns:
+            f = ns.read()
+            assert f is not None and f.shape == (64, 96)
+    assert os.environ.get("PAWSIO_FAST_DECODE") == "1"  # restored, not clobbered
+
+
+def test_fast_decode_threads_through_parallel_source(counter_video, monkeypatch):
+    """ParallelNativeSource forwards the fast request to every worker decoder
+    (workers open lazily inside decode threads, where an env-around-open
+    window in open_source could never reach)."""
+    from pawsometracker_tpu.io import parallel_decode
+
+    seen = []
+    real_cls = native_io.NativeFrameSource
+
+    class _Recording(real_cls):
+        def __init__(self, *a, **kw):
+            seen.append(kw.get("fast"))
+            super().__init__(*a, **kw)
+
+    # ParallelNativeSource imports NativeFrameSource from native_io inside
+    # __init__, so patch the defining module
+    monkeypatch.setattr(native_io, "NativeFrameSource", _Recording)
+    src = parallel_decode.ParallelNativeSource(counter_video, fps=24, workers=1, fast=True)
+    try:
+        assert src._src_cls is _Recording  # worker path (W>1) goes via _src_cls
+        assert src.read() is not None
+    finally:
+        src.close()
+    assert seen and all(v is True for v in seen)
+
+
+def test_open_source_fast_decode_opencv_warns(counter_video, caplog):
+    """fast_decode on the OpenCV fallback is a no-op: one warning, normal
+    decode."""
+    import logging
+
+    from pawsometracker_tpu.io import decode
+
+    with caplog.at_level(logging.WARNING, logger="pawsometracker_tpu.io.decode"):
+        src = decode.open_source(counter_video, backend="opencv", fast_decode=True)
+    src.close()
+    assert any("fast_decode" in r.getMessage() for r in caplog.records)
