@@ -1020,9 +1020,12 @@ class _BatchedEngine(_GroupDispatchBase):
 
     Group dispatch works as in :class:`_SingleEngine` (the per-chunk RPC
     cost is per DISPATCH, not per lane, so N-target streams gain the same
-    ~S× reduction) — except under a mesh, where the super-program would need
-    explicit shardings for its intermediates; the sharded path keeps
-    per-chunk dispatch (``group_allowed=False``: the pin is ignored too)."""
+    ~S× reduction) — including under a mesh: the super-program is jitted
+    without explicit shardings, exactly like the per-chunk chained program,
+    so GSPMD propagates the crops' batch sharding (placed by ``shard``)
+    through the group while the small replicated operands (carry seeds,
+    origins, bounds) follow; results are bit-identical to per-chunk
+    dispatch (pinned by the virtual-mesh forced-group test)."""
 
     def __init__(self, scan_bounded, crop_shape, frame_shape, fills_dev, subpixel, timer, shard=None):
         import jax.numpy as jnp
@@ -1035,9 +1038,8 @@ class _BatchedEngine(_GroupDispatchBase):
         self.fills_dev = fills_dev
         self.subpixel = subpixel
         self.timer = timer
-        self._meshless = shard is None
         self.shard = shard if shard is not None else jnp.asarray
-        self._init_grouping(group_allowed=self._meshless)
+        self._init_grouping()
 
     def _reset_task(self):
         # absolute per-lane position carry [B, 2] int32 on device (see

@@ -327,3 +327,40 @@ def test_track_batch_mesh_subpixel_matches_single(tmp_path, mesh8):
     for f, (ts, ij) in zip(files, results):
         _, want = track(f, **kw)
         np.testing.assert_allclose(ij, want, atol=1e-9)
+
+
+def test_track_batch_mesh_group_dispatch_matches(tmp_path, mesh8, monkeypatch):
+    """Forced group dispatch UNDER A MESH (super-programs jitted over
+    mesh-sharded crops) must equal per-chunk mesh dispatch and the meshless
+    results exactly — the sharded batched engine previously pinned per-chunk
+    dispatch (group_allowed=False), leaving multi-chip batch runs paying one
+    RPC per chunk."""
+    import os
+
+    import helpers
+    from pawsometracker_tpu import IJ
+    from pawsometracker_tpu.batch import track_batch
+
+    rng = np.random.default_rng(33)
+    files = []
+    for b in range(4):
+        _, tra = helpers.build_trajectory(20, 24, (50, 50), rng)
+        f = helpers.trajectory2video(tra[:40], str(tmp_path), 24, 100, 100, 10, True)
+        f2 = str(tmp_path / f"grp{b}.avi")
+        os.rename(f, f2)
+        files.append(f2)
+
+    kw = dict(start_location=IJ(50, 50), target_width=10, stream="roi",
+              roi_frames=4, pipeline_depth=3)
+    meshless = track_batch(files, mesh=None, **kw)
+    perchunk = track_batch(files, mesh=mesh8, **kw)
+    monkeypatch.setenv("PAWS_DISPATCH_GROUP", "3")
+    grouped = track_batch(files, mesh=mesh8, **kw)
+    grouped_sub = track_batch(files, mesh=mesh8, subpixel=True, **kw)
+    monkeypatch.delenv("PAWS_DISPATCH_GROUP")
+    sub_want = track_batch(files, mesh=None, subpixel=True, **kw)
+    for (_, a), (_, b_), (_, c) in zip(meshless, perchunk, grouped):
+        np.testing.assert_array_equal(b_, a)
+        np.testing.assert_array_equal(c, a)
+    for (_, a), (_, b_) in zip(sub_want, grouped_sub):
+        np.testing.assert_array_equal(b_, a)
