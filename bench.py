@@ -217,18 +217,20 @@ def stage_e2e(d):
 
 
 def stage_e2e_fast(d):
-    """Auxiliary headroom number: e2e with PAWSIO_FAST_DECODE=1 (the native
-    layer skips the h264 in-loop deblocking filter — decode is the binding
-    roofline on this host, so this raises the ceiling ~10-30%). Pixels are
-    NOT bit-exact vs a spec decode (docs/deployment.md), which is why this
-    is reported alongside the spec-decode headline rather than replacing it;
-    the accuracy oracle still applies (rmse asserted < 1 px)."""
+    """Auxiliary headroom number: e2e with fast decode (the native layer
+    skips the h264 in-loop deblocking filter — decode is the binding
+    roofline on this host, so this raises the ceiling ~10-30%). Measured
+    through the supported per-call option (``track(fast_decode=True)``, same
+    path as the CLI ``--fast-decode``). Pixels are NOT bit-exact vs a spec
+    decode (docs/deployment.md), which is why this is reported alongside the
+    spec-decode headline rather than replacing it; the accuracy oracle still
+    applies (rmse asserted < 1 px)."""
     from pawsometracker_tpu import IJ, track
 
     path, truth = _clip(d)
     p0 = IJ(int(truth[0][0]), int(truth[0][1]))
-    kw = dict(start_location=p0, target_width=TARGET_WIDTH, window_size=WINDOW)
-    os.environ["PAWSIO_FAST_DECODE"] = "1"  # stage subprocess: dies with it
+    kw = dict(start_location=p0, target_width=TARGET_WIDTH, window_size=WINDOW,
+              fast_decode=True)
     track(path, **kw)  # warm (compiles + engine decision shared with e2e)
     fpss, rmse = [], None
     for _ in range(REPS):
@@ -531,12 +533,11 @@ def stage_hostceil(d):
     # a spec decode, same oracle) — record that ceiling alongside, with its
     # OWN replay audit (a replay desyncs the per-run truth cursor exactly
     # as for the spec reps above)
-    os.environ["PAWSIO_FAST_DECODE"] = "1"  # stage subprocess: dies with it
     replays_f0 = plmod.replay_count
     fpss_f = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        ts, ij = track(path, **kw)
+        ts, ij = track(path, fast_decode=True, **kw)
         fpss_f.append(len(ij) / max(time.perf_counter() - t0, 1e-9))
     sf = _stats(fpss_f)
     out["hostceil_fast_fps"] = sf["med"]
