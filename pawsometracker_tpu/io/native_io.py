@@ -40,7 +40,10 @@ _fast_lock = threading.Lock()
 class _FastDecodeRequest:
     """Apply a per-open fast-decode request around a native decoder open.
 
-    ``fast=None`` is a no-op (the PAWSIO_FAST_DECODE env var keeps ruling).
+    ``fast=None`` leaves the setting alone (the PAWSIO_FAST_DECODE env var
+    keeps ruling) but still serializes on the lock: the override is
+    process-global, so an unqualified open racing an explicit request's
+    set/open/reset window would otherwise inherit the other open's setting.
     With the current .so the request goes through ``pawsio_set_fast_decode``
     (an atomic int — safe against concurrent getenv); a stale prebuilt .so
     falls back to setting the env var for the duration of the open, which the
@@ -53,9 +56,9 @@ class _FastDecodeRequest:
         self._env_prev: str | None = None
 
     def __enter__(self):
+        _fast_lock.acquire()
         if self._fast is None:
             return self
-        _fast_lock.acquire()
         if hasattr(self._lib, "pawsio_set_fast_decode"):
             self._lib.pawsio_set_fast_decode(1 if self._fast else 0)
         else:
@@ -64,9 +67,9 @@ class _FastDecodeRequest:
         return self
 
     def __exit__(self, *exc):
-        if self._fast is None:
-            return False
         try:
+            if self._fast is None:
+                return False
             if hasattr(self._lib, "pawsio_set_fast_decode"):
                 self._lib.pawsio_set_fast_decode(-1)
             elif self._env_prev is None:

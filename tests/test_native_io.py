@@ -621,3 +621,18 @@ def test_open_source_fast_decode_opencv_warns(counter_video, caplog):
         src = decode.open_source(counter_video, backend="opencv", fast_decode=True)
     src.close()
     assert any("fast_decode" in r.getMessage() for r in caplog.records)
+
+
+def test_fast_decode_unqualified_request_holds_the_lock():
+    """fast=None requests serialize on the same lock as explicit ones: the
+    override is process-global, so an unqualified open racing an explicit
+    request's set/open/reset window would otherwise inherit that open's
+    fast setting."""
+    from pawsometracker_tpu.io import native_io as nio
+    from pawsometracker_tpu.io.native_io import _FastDecodeRequest
+
+    lib = nio._load()
+    with _FastDecodeRequest(lib, None):
+        assert not nio._fast_lock.acquire(blocking=False)
+    assert nio._fast_lock.acquire(blocking=False)
+    nio._fast_lock.release()
