@@ -70,6 +70,14 @@ MODES = {
         {"PAWS_DISPATCH_GROUP": "", "PAWS_SYNC_DISPATCH": "0"},
         {"pipeline_depth": 3, "roi_frames": 8, "speculate": "predict"},
     ),
+    # spec decode (shipped default) vs the fast_decode loop-filter skip —
+    # decode is the binding roofline, so B should win by the hostceil delta
+    "fastdec": (
+        {"PAWS_DISPATCH_GROUP": "", "PAWS_SYNC_DISPATCH": "0"},
+        {},
+        {"PAWS_DISPATCH_GROUP": "", "PAWS_SYNC_DISPATCH": "0"},
+        {"fast_decode": True},
+    ),
 }
 
 
