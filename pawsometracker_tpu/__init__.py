@@ -36,7 +36,7 @@ from .ops.dog_kernel import (
     guess_window_size,
 )
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "track",
