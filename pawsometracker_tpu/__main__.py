@@ -72,11 +72,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode-workers", type=int, default=None,
                    help="cooperating native decoders per video (bit-identical; "
                         "default: the PAWSIO_DECODE_WORKERS env var)")
-    p.add_argument("--fast-decode", action="store_true", default=None,
+    p.add_argument("--fast-decode", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="skip the h264 in-loop deblocking filter in the native "
                         "decoder (~10-30%% faster on decode-bound hosts; pixels "
                         "not bit-exact vs a spec decode, tracks stay inside the "
-                        "<1 px oracle; default: the PAWSIO_FAST_DECODE env var)")
+                        "<1 px oracle). --no-fast-decode forces a spec decode "
+                        "over the PAWSIO_FAST_DECODE env var; default: the env "
+                        "var rules")
     p.add_argument("--input-fps", type=float, default=None,
                    help="native rate of .npy/.npz frame-stack inputs (default: "
                         "already at --fps)")

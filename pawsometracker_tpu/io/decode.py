@@ -45,6 +45,10 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+# one-time flag: fast_decode on the OpenCV fallback warns once per process,
+# not once per open (a 100-file batch would otherwise emit 100 copies)
+_warned_fast_opencv = False
+
 __all__ = [
     "VideoInfo",
     "probe",
@@ -478,11 +482,14 @@ def open_source(
             if backend == "native":
                 raise
     if fast_decode:
-        logger.warning(
-            "fast_decode requested but the OpenCV fallback decoder is in use "
-            "(native libpawsio unavailable or backend='opencv') — decoding "
-            "normally; fast decode is a native-decoder knob"
-        )
+        global _warned_fast_opencv
+        if not _warned_fast_opencv:
+            _warned_fast_opencv = True
+            logger.warning(
+                "fast_decode requested but the OpenCV fallback decoder is in "
+                "use (native libpawsio unavailable or backend='opencv') — "
+                "decoding normally; fast decode is a native-decoder knob"
+            )
     return OpenCVFrameSource(path, start=start, stop=stop, fps=fps)
 
 

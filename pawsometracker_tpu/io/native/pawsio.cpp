@@ -577,8 +577,13 @@ long long pawsio_keyframes(const char *path, double *out_sec, long long cap) {
 // seek_hint >= 0: explicit demux seek target (seconds) — the keyframe-aligned
 // span planner passes the exact keyframe time so BACKWARD seek cannot round
 // down past it onto the previous keyframe. < 0: derive from slot0.
+// fast_req: per-open fast-decode request (-1 = follow the process-global
+// override / env var, 0 = force spec decode, 1 = force fast) — the
+// pawsio_open3 entry point passes it explicitly so concurrent opens with
+// different fast settings need no global state at all.
 static void *open_impl(const char *path, double start, double stop, double fps,
-                       long long slot0, int threads, double seek_hint, PawsInfo *info) {
+                       long long slot0, int threads, double seek_hint, int fast_req,
+                       PawsInfo *info) {
   auto d = new Decoder();
   d->start = start;
   d->duration = stop - start;
@@ -618,9 +623,9 @@ static void *open_impl(const char *path, double start, double stop, double fps,
   // decode-bound hosts at the cost of slightly different pixel values (NOT
   // bit-exact vs a spec decode; the zero-sum DoG argmax is robust to it, but
   // cross-backend parity tests must not set this). Request order: the
-  // pawsio_set_fast_decode override (the Python fast_decode kwarg), else the
-  // PAWSIO_FAST_DECODE env var.
-  int fast = g_fast_decode.load();
+  // per-open fast_req (pawsio_open3), else the pawsio_set_fast_decode
+  // override (older Python bindings), else the PAWSIO_FAST_DECODE env var.
+  int fast = fast_req >= 0 ? fast_req : g_fast_decode.load();
   if (fast < 0) {
     const char *fastd = getenv("PAWSIO_FAST_DECODE");
     fast = (fastd && fastd[0] == '1') ? 1 : 0;
@@ -682,22 +687,31 @@ static void *open_impl(const char *path, double start, double stop, double fps,
 }
 
 void *pawsio_open(const char *path, double start, double stop, double fps, PawsInfo *info) {
-  return open_impl(path, start, stop, fps, 0, -1, -1.0, info);
+  return open_impl(path, start, stop, fps, 0, -1, -1.0, -1, info);
 }
 
 void *pawsio_open2(const char *path, double start, double stop, double fps, int threads,
                    PawsInfo *info) {
-  return open_impl(path, start, stop, fps, 0, threads, -1.0, info);
+  return open_impl(path, start, stop, fps, 0, threads, -1.0, -1, info);
 }
 
 void *pawsio_open_span(const char *path, double start, double stop, double fps,
                        long long slot0, int threads, PawsInfo *info) {
-  return open_impl(path, start, stop, fps, slot0, threads, -1.0, info);
+  return open_impl(path, start, stop, fps, slot0, threads, -1.0, -1, info);
 }
 
 void *pawsio_open_span2(const char *path, double start, double stop, double fps,
                         long long slot0, int threads, double seek_sec, PawsInfo *info) {
-  return open_impl(path, start, stop, fps, slot0, threads, seek_sec, info);
+  return open_impl(path, start, stop, fps, slot0, threads, seek_sec, -1, info);
+}
+
+// superset entry point: every open option in one signature, including the
+// per-open fast-decode request (-1 env / 0 spec / 1 fast). Preferred by the
+// Python bindings when present — no process-global state, no open lock.
+void *pawsio_open3(const char *path, double start, double stop, double fps,
+                   long long slot0, int threads, double seek_sec, int fast,
+                   PawsInfo *info) {
+  return open_impl(path, start, stop, fps, slot0, threads, seek_sec, fast, info);
 }
 
 int pawsio_start_prefetch(void *h, int depth) {

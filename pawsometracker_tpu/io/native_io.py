@@ -30,15 +30,17 @@ _lib = None
 _lib_lock = threading.Lock()
 _build_attempted = False
 
-# serializes fast-decode requests around decoder opens: the setting is
-# process-global in the .so (or the environment, on a stale prebuilt .so
-# without the setter), so concurrent opens with DIFFERENT fast settings must
-# not interleave set/open/reset windows
+# serializes fast-decode requests around decoder opens on STALE prebuilt
+# .so's that predate pawsio_open3 (the current library carries the request
+# per-open, lock-free): there the setting is process-global in the .so (or
+# the environment, before pawsio_set_fast_decode), so concurrent opens with
+# DIFFERENT fast settings must not interleave set/open/reset windows
 _fast_lock = threading.Lock()
 
 
 class _FastDecodeRequest:
-    """Apply a per-open fast-decode request around a native decoder open.
+    """Apply a per-open fast-decode request around a native decoder open —
+    the degradation path for stale prebuilt .so's without ``pawsio_open3``.
 
     ``fast=None`` leaves the setting alone (the PAWSIO_FAST_DECODE env var
     keeps ruling) but still serializes on the lock: the override is
@@ -167,8 +169,15 @@ def _load():
               ctypes.POINTER(ctypes.c_int64), ctypes.c_uint8],
              ctypes.c_int),
             # process-global fast-decode override (-1 env / 0 off / 1 on) —
-            # the fast_decode kwarg sets it around each open under _fast_lock
+            # the stale-.so fallback for the fast_decode kwarg (see open3)
             ("pawsio_set_fast_decode", [ctypes.c_int], None),
+            # superset open: slot0 + threads + seek hint + per-open fast
+            # request in one signature — no global state, no open lock
+            ("pawsio_open3",
+             [ctypes.c_char_p, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+              ctypes.c_longlong, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+              ctypes.POINTER(_PawsInfo)],
+             ctypes.c_void_p),
         ]
         for _name, _args, _res in _optional:
             try:
@@ -342,6 +351,17 @@ class NativeFrameSource:
         # the per-frame-origin fallback for stale prebuilt libraries
         self._py_retained = 0
         info = _PawsInfo()
+        if hasattr(lib, "pawsio_open3"):
+            # preferred: the superset entry point carries the fast request
+            # per-open — no process-global state, no lock, full open
+            # concurrency for parallel-decode workers
+            self._h = lib.pawsio_open3(
+                self.path.encode(), self.start, self.stop, self.fps, int(slot0),
+                int(threads), float(seek_hint),
+                -1 if fast is None else int(bool(fast)), ctypes.byref(info),
+            )
+            self._finish_open(lib, info, prefetch)
+            return
         with _FastDecodeRequest(lib, fast):
             if slot0 > 0:
                 if not hasattr(lib, "pawsio_open_span"):
@@ -369,6 +389,10 @@ class NativeFrameSource:
                 self._h = lib.pawsio_open(
                     self.path.encode(), self.start, self.stop, self.fps, ctypes.byref(info)
                 )
+        self._finish_open(lib, info, prefetch)
+
+    def _finish_open(self, lib, info: _PawsInfo, prefetch: int):
+        """Shared tail of ``__init__`` for the open3 and ladder open paths."""
         if not self._h:
             raise IOError(f"could not open video: {self.path} ({_last_error(lib)})")
         sar = float(Fraction(info.sar_num, info.sar_den)) if info.sar_den else 1.0

@@ -496,7 +496,8 @@ class ParallelNativeSource:
         self._spans.clear()
         self._cur = None
         seq = self._src_cls(
-            self.path, start=self.start, stop=self.stop, fps=self.fps, prefetch=0
+            self.path, start=self.start, stop=self.stop, fps=self.fps, prefetch=0,
+            fast=self._fast,
         )
         skip = self._consumed_until
         H, W = self.info.frame_shape

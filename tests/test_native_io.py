@@ -457,11 +457,17 @@ def test_stale_so_open_fallbacks(counter_video):
     # hide open2: plain open used, decode still works
     import unittest.mock as mock
 
-    with mock.patch.object(native_io, "_load", return_value=_StaleLib(real, {"pawsio_open2"})):
+    with mock.patch.object(
+        native_io, "_load",
+        return_value=_StaleLib(real, {"pawsio_open2", "pawsio_open3"}),
+    ):
         with native_io.NativeFrameSource(counter_video, fps=24, prefetch=0, threads=2) as ns:
             f = ns.read()
             assert f is not None and f.shape == (64, 96)
-    with mock.patch.object(native_io, "_load", return_value=_StaleLib(real, {"pawsio_open_span"})):
+    with mock.patch.object(
+        native_io, "_load",
+        return_value=_StaleLib(real, {"pawsio_open_span", "pawsio_open3"}),
+    ):
         with pytest.raises(RuntimeError, match="pawsio_open_span"):
             native_io.NativeFrameSource(counter_video, fps=24, slot0=3)
 
@@ -557,14 +563,15 @@ def test_fast_decode_false_overrides_env(tmp_path, monkeypatch):
 
 
 def test_fast_decode_stale_so_env_fallback(counter_video, monkeypatch):
-    """A stale .so without pawsio_set_fast_decode falls back to setting the
-    env var for the duration of the open — and restores it afterwards."""
+    """A stale .so without pawsio_open3 OR pawsio_set_fast_decode falls back
+    to setting the env var for the duration of the open — and restores it
+    afterwards."""
     import unittest.mock as mock
 
     from pawsometracker_tpu.io.native_io import _FastDecodeRequest
 
     real = native_io._load()
-    stale = _StaleLib(real, {"pawsio_set_fast_decode"})
+    stale = _StaleLib(real, {"pawsio_set_fast_decode", "pawsio_open3"})
 
     monkeypatch.delenv("PAWSIO_FAST_DECODE", raising=False)
     with _FastDecodeRequest(stale, True):
@@ -636,3 +643,51 @@ def test_fast_decode_unqualified_request_holds_the_lock():
         assert not nio._fast_lock.acquire(blocking=False)
     assert nio._fast_lock.acquire(blocking=False)
     nio._fast_lock.release()
+
+
+def test_fast_decode_mid_ladder_setter_path(tmp_path, monkeypatch):
+    """A .so with pawsio_set_fast_decode but no pawsio_open3 applies the
+    request through the locked global override — same decoder config as the
+    env var, so frames are byte-identical to an env-var fast decode, and the
+    override resets to -1 afterwards."""
+    import ctypes
+    import unittest.mock as mock
+
+    path, _ = _h264_clip(tmp_path, "midladder.mp4", T=24)
+    monkeypatch.setenv("PAWSIO_FAST_DECODE", "1")
+    with native_io.NativeFrameSource(path, fps=24, prefetch=0) as ns:
+        want_fast = ns.read_chunk(24).copy()
+    monkeypatch.delenv("PAWSIO_FAST_DECODE")
+    real = native_io._load()
+    stale = _StaleLib(real, {"pawsio_open3"})
+    with mock.patch.object(native_io, "_load", return_value=stale):
+        with native_io.NativeFrameSource(path, fps=24, prefetch=0, fast=True) as ns:
+            got = ns.read_chunk(24).copy()
+    np.testing.assert_array_equal(got, want_fast)
+    assert ctypes.c_int.in_dll(real, "g_fast_decode").value == -1
+
+
+def test_cli_no_fast_decode_negation():
+    """--no-fast-decode parses to False (the CLI can express the documented
+    explicit-False override of PAWSIO_FAST_DECODE), --fast-decode to True,
+    absent to None (env rules)."""
+    from pawsometracker_tpu.__main__ import build_parser
+
+    p = build_parser()
+    assert p.parse_args(["v.mp4"]).fast_decode is None
+    assert p.parse_args(["v.mp4", "--fast-decode"]).fast_decode is True
+    assert p.parse_args(["v.mp4", "--no-fast-decode"]).fast_decode is False
+
+
+def test_fast_decode_opencv_warns_once(counter_video, caplog, monkeypatch):
+    """The OpenCV-fallback warning is once per process, not once per open —
+    a 100-file batch must not emit 100 copies."""
+    import logging
+
+    from pawsometracker_tpu.io import decode
+
+    monkeypatch.setattr(decode, "_warned_fast_opencv", False)
+    with caplog.at_level(logging.WARNING, logger="pawsometracker_tpu.io.decode"):
+        for _ in range(3):
+            decode.open_source(counter_video, backend="opencv", fast_decode=True).close()
+    assert sum("fast_decode" in r.getMessage() for r in caplog.records) == 1

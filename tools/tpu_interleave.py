@@ -70,11 +70,13 @@ MODES = {
         {"PAWS_DISPATCH_GROUP": "", "PAWS_SYNC_DISPATCH": "0"},
         {"pipeline_depth": 3, "roi_frames": 8, "speculate": "predict"},
     ),
-    # spec decode (shipped default) vs the fast_decode loop-filter skip —
-    # decode is the binding roofline, so B should win by the hostceil delta
+    # spec decode vs the fast_decode loop-filter skip — decode is the
+    # binding roofline, so B should win by the hostceil delta. The A arm
+    # pins fast_decode=False explicitly (an ambient PAWSIO_FAST_DECODE=1
+    # would otherwise make both arms fast and flatten the ratio)
     "fastdec": (
         {"PAWS_DISPATCH_GROUP": "", "PAWS_SYNC_DISPATCH": "0"},
-        {},
+        {"fast_decode": False},
         {"PAWS_DISPATCH_GROUP": "", "PAWS_SYNC_DISPATCH": "0"},
         {"fast_decode": True},
     ),
