@@ -86,22 +86,43 @@ def argmax_colmajor(x: jax.Array) -> jax.Array:
 
 
 def mode_u8(frame: jax.Array) -> jax.Array:
-    """Most common byte value of a uint8 array (lowest value wins ties).
+    """Most common byte value of a uint8 frame, with StatsBase tie semantics.
 
     Device-side analog of the reference's ``mode(first_frame)`` fill value
-    (reference: src/PawsomeTracker.jl:47-48). KNOWN DIVERGENCE: StatsBase's
-    ``mode`` breaks count ties by INSERTION ORDER (first value encountered
-    while scanning the frame), while this histogram argmax picks the LOWEST
-    byte. A tie requires two gray levels with exactly equal pixel counts in
-    frame 1 — practically unobservable on camera footage, and the fill only
-    matters for windows hanging off the frame edge; the zero-sum DoG response
-    is additionally invariant to any CONSTANT fill level. Documented rather
-    than chased (unverifiable offline; VERDICT r3 "missing" #3).
+    (reference: src/PawsomeTracker.jl:47-48). StatsBase's dict-based ``mode``
+    returns the first value to REACH the maximal count while iterating the
+    array (``c > mc`` updates strictly), so on an exact count tie the winner
+    is the value whose ``cmax``-th occurrence comes earliest in scan order.
+    The reference iterates the H×W ``PermutedDimsArray`` view, whose
+    ``eachindex`` is column-major over the view dims — Fortran order over an
+    ``[H, W]`` row-major frame. Replicated exactly: a stable value-sort
+    assigns each element its per-value occurrence number, and the winner is
+    the earliest scan position whose occurrence number equals the max count.
     """
-    counts = jnp.zeros((256,), jnp.int32).at[frame.ravel().astype(jnp.int32)].add(1)
-    return jnp.argmax(counts).astype(jnp.uint8)
+    flat = frame.T.ravel().astype(jnp.int32)  # column-major scan order
+    n = flat.shape[0]
+    counts = jnp.zeros((256,), jnp.int32).at[flat].add(1)
+    cmax = counts.max()
+    order = jnp.argsort(flat, stable=True)  # scan positions grouped by value
+    sorted_vals = flat[order]
+    starts = jnp.cumsum(counts) - counts  # group start offset per value
+    occ = jnp.arange(n, dtype=jnp.int32) - starts[sorted_vals] + 1
+    winner_pos = jnp.where(occ == cmax, order, n).min()
+    return flat[winner_pos].astype(jnp.uint8)
 
 
 def mode_u8_host(frame: np.ndarray) -> int:
-    """Host-side mode of a uint8 frame (lowest value wins ties)."""
-    return int(np.bincount(np.asarray(frame, dtype=np.uint8).ravel(), minlength=256).argmax())
+    """Host-side mode of a uint8 frame (StatsBase tie semantics, see mode_u8)."""
+    flat = np.asarray(frame, dtype=np.uint8).ravel(order="F")
+    counts = np.bincount(flat, minlength=256)
+    cmax = int(counts.max())
+    tied = np.flatnonzero(counts == cmax)
+    if tied.size == 1:
+        return int(tied[0])
+    # Tie: first value to reach cmax = earliest cmax-th occurrence in scan order.
+    best_v = best_pos = None
+    for v in tied:
+        pos = int(np.flatnonzero(flat == v)[cmax - 1])
+        if best_pos is None or pos < best_pos:
+            best_v, best_pos = int(v), pos
+    return best_v

@@ -92,10 +92,23 @@ def test_mode_u8(rng):
     x[:20] = 77
     assert mode_u8_host(x) == 77
     assert int(mode_u8(jnp.asarray(x))) == 77
-    # tie -> lowest value
+    # tie -> StatsBase semantics: first value to REACH the max count in
+    # column-major scan order wins (reference: src/PawsomeTracker.jl:47-48).
     y = np.array([3, 3, 9, 9], np.uint8)
     assert mode_u8_host(y) == 3
     assert int(mode_u8(jnp.asarray(y))) == 3
+    # Higher byte completes its count first -> it wins (lowest-byte would say 10).
+    z = np.array([[200, 10], [200, 10]], np.uint8)  # F-order: 200,200,10,10
+    assert mode_u8_host(z) == 200
+    assert int(mode_u8(jnp.asarray(z))) == 200
+    # Scan order is Fortran (column-major over the H×W view), not row-major:
+    # F-order gives 10 its 3rd occurrence first; C-order would pick 200.
+    w = np.array([[10, 10, 200, 200], [200, 10, 7, 7]], np.uint8)
+    assert mode_u8_host(w) == 10
+    assert int(mode_u8(jnp.asarray(w))) == 10
+    # w in C-order really is a different answer (guards the order claim above)
+    flat_c = w.ravel(order="C")
+    assert np.flatnonzero(flat_c == 200)[2] < np.flatnonzero(flat_c == 10)[2]
 
 
 @pytest.mark.parametrize("dark", [True, False])
