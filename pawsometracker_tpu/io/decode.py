@@ -45,9 +45,10 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-# one-time flag: fast_decode on the OpenCV fallback warns once per process,
+# one-time flags: fast_decode on a non-native path warns once per process,
 # not once per open (a 100-file batch would otherwise emit 100 copies)
 _warned_fast_opencv = False
+_warned_fast_array = False
 
 __all__ = [
     "VideoInfo",
@@ -442,11 +443,20 @@ def open_source(
     are NOT bit-exact vs a spec decode — the zero-sum DoG argmax is robust to
     the difference (tracks stay inside the <1 px oracle) but cross-backend
     parity comparisons must leave it off. Native-decoder knob only: the
-    OpenCV fallback logs a one-time warning and decodes normally. Default
+    OpenCV fallback logs a one-time warning and decodes normally, and
+    in-memory frame arrays log a one-time no-op warning. Default
     ``None`` follows the ``PAWSIO_FAST_DECODE`` env var."""
     if isinstance(path, np.ndarray) or is_frame_stack(path):
         # any ndarray routes here so a wrong-shaped one gets the shape error,
         # not a "could not open video" from the file backends
+        if fast_decode:
+            global _warned_fast_array
+            if not _warned_fast_array:
+                _warned_fast_array = True
+                logger.warning(
+                    "fast_decode requested for an in-memory frame array — "
+                    "there is nothing to decode; the knob is a no-op here"
+                )
         return ArrayFrameSource(path, start=start, stop=stop, fps=fps,
                                 input_fps=input_fps)
     if workers is None:

@@ -49,7 +49,14 @@ class _FastDecodeRequest:
     With the current .so the request goes through ``pawsio_set_fast_decode``
     (an atomic int — safe against concurrent getenv); a stale prebuilt .so
     falls back to setting the env var for the duration of the open, which the
-    C++ side reads at avcodec_open2 time either way.
+    C++ side reads at avcodec_open2 time either way. That env fallback
+    mutates ``os.environ`` around the open: POSIX makes getenv during a
+    concurrent setenv undefined, so while pawsio opens themselves are
+    serialized on the lock, unrelated threads calling getenv (libav, other
+    native libs) could in principle race the window. This is an accepted
+    degradation path for stale builds only — thread-heavy processes should
+    rebuild the .so (delete ``libpawsio.so`` to trigger it) rather than rely
+    on the env window.
     """
 
     def __init__(self, lib, fast: bool | None):
@@ -324,7 +331,13 @@ def native_keyframes(path: str, cap: int = 1 << 18) -> np.ndarray:
 
 
 class NativeFrameSource:
-    """Drop-in for OpenCVFrameSource backed by the C++ libav decoder."""
+    """Drop-in for OpenCVFrameSource backed by the C++ libav decoder.
+
+    ``seek_hint`` (an exact demux seek target, passed by the keyframe-aligned
+    parallel-decode planner) is only meaningful for mid-stream entry and is
+    ignored when ``slot0 == 0`` — matching the pre-``pawsio_open3`` entry
+    ladder, where only ``pawsio_open_span2`` (slot0 > 0) consumed it.
+    """
 
     def __init__(
         self,
@@ -357,7 +370,7 @@ class NativeFrameSource:
             # concurrency for parallel-decode workers
             self._h = lib.pawsio_open3(
                 self.path.encode(), self.start, self.stop, self.fps, int(slot0),
-                int(threads), float(seek_hint),
+                int(threads), float(seek_hint) if slot0 > 0 else -1.0,
                 -1 if fast is None else int(bool(fast)), ctypes.byref(info),
             )
             self._finish_open(lib, info, prefetch)
