@@ -290,9 +290,12 @@ def _track_one(
     roi_frames = _resolve_roi_frames(roi_frames, depth_gate, speculate)
     from .diagnose import Dont
 
+    # diagnostics no longer force the slow path: the overlay writer reads
+    # zero-copy retained-frame views straight from the C++ decode ring at
+    # drain time (SingleVideoSource.accept), so the ring is sized for
+    # retention with or without a diagnostic file
     retention_possible = (
         stream != "full" and depth_gate > 0 and speculate == "predict"
-        and isinstance(dia, Dont)
     )
     if pipeline_depth == "auto" and stream != "full":
         # (the full-frame path derives its own budgeted depth and never
@@ -355,10 +358,13 @@ def _track_one(
 
         timer = Timer()
         if n > 1 and use_roi:
-            # when diagnostics are off and the native decoder is active, crops
-            # are cut in C++ straight from the decode ring: full frames never
-            # cross into Python
-            native_roi = isinstance(dia, Dont) and hasattr(src, "read_roi_chunk")
+            # when the native decoder is active, crops are cut in C++ straight
+            # from the decode ring: full frames never cross into Python. With
+            # diagnostics ON this additionally needs zero-copy retained-frame
+            # views (fresh .so) — the overlay resizes out of the ring
+            native_roi = hasattr(src, "read_roi_chunk") and (
+                isinstance(dia, Dont) or getattr(src, "can_view_retained", False)
+            )
             pos_blocks, off_blocks, tracked = run_roi_pipeline(
                 src,
                 spec,

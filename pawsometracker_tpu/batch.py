@@ -267,9 +267,10 @@ def _track_batch_uniform(
     # ONE gate for the retained native path: ring sizing here, the per-source
     # capability check completes it after the sources are open
     dia_paths = _broadcast(diagnostic_files, B, None) if diagnostic_files else [None] * B
-    retention_possible = (
-        stream != "full" and mode == "predict" and all(p is None for p in dia_paths)
-    )
+    # per-lane overlays ride the retained ring too (zero-copy views at accept
+    # time), so diagnostics don't gate retention — the per-source capability
+    # check (can_view_retained) completes the gate after the opens
+    retention_possible = stream != "full" and mode == "predict"
     if auto_depth:
         from .api import _auto_ring_gate
 
@@ -405,7 +406,8 @@ def _track_batch_uniform(
             and all(
                 hasattr(s, "read_roi_chunk_retained")
                 and getattr(s, "ring_frames", 0) >= (depth_gate + 2) * roi_frames
-                for s in sources
+                and (p is None or getattr(s, "can_view_retained", False))
+                for s, p in zip(sources, dia_paths)
             )
         )
         if nat_retained:

@@ -966,6 +966,33 @@ int pawsio_recrop(void *h, uint8_t *dst, int first, int k, int ch, int cw,
   return k;
 }
 
+// Pointer to the gray pixels of RETAINED frame `idx` (0 = oldest) plus its
+// row stride, valid until that frame is released. Zero-copy overlay support:
+// the diagnostic writer downscales straight out of the decode ring, so
+// enabling diagnostics no longer forces full frames through Python (the
+// reference pays a full-frame read either way: src/diagnose.jl:30-38).
+// NULL on range error.
+const uint8_t *pawsio_retained_ptr(void *h, int idx, int *stride) {
+  auto d = static_cast<Decoder *>(h);
+  size_t head, read;
+  {
+    std::unique_lock<std::mutex> lk(d->mu);
+    head = d->ring_head;
+    read = d->ring_read;
+  }
+  if (idx < 0 || (size_t)idx >= read) {
+    set_error("retained_ptr index outside the retained window");
+    return nullptr;
+  }
+  const Decoder::RingSlot &s = d->ring_slots[(head + idx) % d->ring_depth];
+  if (s.is_frame) {
+    *stride = s.fr->linesize[0];
+    return s.fr->data[0];
+  }
+  *stride = d->width;
+  return s.gray.data();
+}
+
 // Per-frame-origin recrop: origins is int64[k*2] (row, col) pairs.
 int pawsio_recrop2(void *h, uint8_t *dst, int first, int k, int ch, int cw,
                    const int64_t *origins, uint8_t fill) {

@@ -178,6 +178,11 @@ def _load():
             # process-global fast-decode override (-1 env / 0 off / 1 on) —
             # the stale-.so fallback for the fast_decode kwarg (see open3)
             ("pawsio_set_fast_decode", [ctypes.c_int], None),
+            # zero-copy view of a retained ring frame (diagnostic overlay
+            # downscales straight out of the decode ring)
+            ("pawsio_retained_ptr",
+             [ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int)],
+             ctypes.c_void_p),
             # superset open: slot0 + threads + seek hint + per-open fast
             # request in one signature — no global state, no open lock
             ("pawsio_open3",
@@ -419,6 +424,9 @@ class NativeFrameSource:
         #: decode-ahead ring capacity in frames (0 = ring-less synchronous
         #: decode); retained ROI reads need ring_frames >= retained + ahead
         self.ring_frames = int(prefetch)
+        #: zero-copy retained-frame views available (fresh .so) — gates the
+        #: diagnostics-on native fast path in the speculative pipeline
+        self.can_view_retained = hasattr(lib, "pawsio_retained_ptr")
         if prefetch:
             lib.pawsio_start_prefetch(self._h, int(prefetch))
 
@@ -594,6 +602,22 @@ class NativeFrameSource:
             raise IOError(f"decode error: {_last_error(self._lib)}")
         self._py_retained += got
         return got
+
+    def retained_frame(self, idx: int) -> np.ndarray:
+        """Zero-copy ``[H, W] uint8`` view of retained frame ``idx`` (0 =
+        oldest). The view aliases the decode ring and is valid ONLY until
+        that frame is :meth:`release`\\ d — consume it immediately (the
+        diagnostic overlay writer resizes straight out of the ring; full
+        frames never cross into Python)."""
+        stride = ctypes.c_int()
+        ptr = self._lib.pawsio_retained_ptr(self._h, int(idx), ctypes.byref(stride))
+        if not ptr:
+            raise IOError(f"retained_frame: {_last_error(self._lib)}")
+        h, w = self.info.height, self.info.width
+        n = stride.value * (h - 1) + w
+        buf = (ctypes.c_uint8 * n).from_address(ptr)
+        a = np.frombuffer(buf, np.uint8)
+        return np.lib.stride_tricks.as_strided(a, shape=(h, w), strides=(stride.value, 1))
 
     def release(self, n: int):
         """Free the ``n`` oldest retained frames (the ring can refill them)."""

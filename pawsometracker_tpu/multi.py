@@ -78,8 +78,10 @@ def track_multi(
     ``diagnostic_file`` writes ONE shared 640x360 overlay video with N
     markers and one 100-point trail per target (the single-target overlay
     semantics of reference src/diagnose.jl:30-38, fanned out; frame 1 sets
-    the scale only, frames 2..n are written). Diagnostics need full frames
-    in Python, so they pin the prefetcher delivery path.
+    the scale only, frames 2..n are written). With the native decoder the
+    overlay resizes zero-copy retained-frame views straight out of the C++
+    decode ring, so diagnostics stay on the fast path; without it they read
+    full frames through the prefetcher.
     """
     import jax.numpy as jnp
 

@@ -1180,14 +1180,20 @@ class SingleVideoSource:
         self.dia = dia
         self.mode = mode
         self.keep_for_dia = not isinstance(dia, Dont)
-        self.use_native_roi = native_roi and mode == "contain"
+        # contain-mode native reads don't retain frames, so diagnostics (which
+        # read each frame at accept time) pin the prefetcher delivery there
+        self.use_native_roi = native_roi and mode == "contain" and not self.keep_for_dia
         # retained reads DEADLOCK if the ring cannot hold the in-flight chunks
-        # plus one decoding chunk, so require a ring sized by the caller
+        # plus one decoding chunk, so require a ring sized by the caller.
+        # Diagnostics stay ON the native fast path when the .so can serve
+        # zero-copy retained-frame views (accept() overlays straight from the
+        # ring before releasing) — the round-4 ~10x diagnostics cliff fix.
         self.use_native_retained = (
             native_roi
             and mode == "predict"
             and hasattr(src, "read_roi_chunk_retained")
             and getattr(src, "ring_frames", 0) >= (depth + 2) * K
+            and (not self.keep_for_dia or getattr(src, "can_view_retained", False))
         )
         self._pf = None
         if not (self.use_native_roi or self.use_native_retained):
@@ -1252,6 +1258,12 @@ class SingleVideoSource:
         k = int(valid[0])
         f0 = int(off[0])
         if tokens is RETAINED:
+            if self.keep_for_dia:
+                # overlay straight from the ring (zero-copy views), THEN
+                # release — the frames are the oldest retained
+                with timer.section("diagnose"):
+                    for i in range(k):
+                        self.dia(self.src.retained_frame(i), abs_pos[0, i])
             self.src.release(k)  # this chunk's frames are the oldest retained
         elif tokens is not None:
             with timer.section("diagnose"):
@@ -1277,12 +1289,12 @@ class FanoutSource:
         self.keep_for_dia = dia is not None and not isinstance(dia, Dont)
         # the fan-out crops per target via advance/recrop at EVERY depth
         # (contain mode included) — the capability gate is the ring size;
-        # diagnostics need full frames in Python, so they pin the
-        # prefetcher delivery (same rule as SingleVideoSource)
+        # diagnostics ride the ring too when the .so serves zero-copy
+        # retained-frame views (same rule as SingleVideoSource)
         self.native = (
-            not self.keep_for_dia
-            and hasattr(src, "read_roi_chunk_retained")
+            hasattr(src, "read_roi_chunk_retained")
             and getattr(src, "ring_frames", 0) >= (depth + 2) * K
+            and (not self.keep_for_dia or getattr(src, "can_view_retained", False))
         )
         self._retained = 0  # frames advanced into the ring but not released
         self._pf = None
@@ -1331,6 +1343,10 @@ class FanoutSource:
         k = int(valid[0])
         f0 = int(off[0])
         if tokens is RETAINED:
+            if self.keep_for_dia:
+                with timer.section("diagnose"):
+                    for i in range(k):
+                        self.dia(self.src.retained_frame(i), abs_pos[:, i])
             self.src.release(k)
             self._retained -= k
         elif tokens is not None:
@@ -1349,11 +1365,14 @@ class PerVideoSource:
 
     def __init__(self, sources, *, K, ch, cw, fills, dias, ns, nat_retained,
                  prefetcher_objs):
+        from .diagnose import Dont
+
         B = len(sources)
         self.sources = sources
         self.B, self.K, self.ch, self.cw = B, K, ch, cw
         self.fills = fills
         self.dias = dias
+        self.keeps = [d is not None and not isinstance(d, Dont) for d in dias]
         self.nat_retained = nat_retained
         self.active = [True] * B
         if nat_retained:
@@ -1439,6 +1458,11 @@ class PerVideoSource:
             f0 = int(off[b])
             if k > 0:
                 if tokens[b] is RETAINED:
+                    if self.keeps[b]:
+                        with timer.section("diagnose"):
+                            for i in range(k):
+                                self.dias[b](self.sources[b].retained_frame(i),
+                                             abs_pos[b, i])
                     self.sources[b].release(k)
                     self._retained[b] -= k
                 else:
