@@ -1037,7 +1037,7 @@ void pawsio_close(void *h) { delete static_cast<Decoder *>(h); }
 // variable-frame-rate writing via pawsio_enc_write_pts; tb_den == 0 keeps the
 // constant-frame-rate 1/fps time base.
 static void *enc_open_impl(const char *path, int w, int h, double fps, int sar_num,
-                           int sar_den, int tb_num, int tb_den) {
+                           int sar_den, int tb_num, int tb_den, int fast = 0) {
   auto e = new Encoder();
   e->width = w;
   e->height = h;
@@ -1072,7 +1072,12 @@ static void *enc_open_impl(const char *path, int w, int h, double fps, int sar_n
   if (e->fmt->oformat->flags & AVFMT_GLOBALHEADER)
     e->enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
   if (codec->id == AV_CODEC_ID_H264) {
-    av_opt_set(e->enc->priv_data, "preset", "veryfast", 0);
+    // fast != 0: the diagnostic-overlay writer — encode cost sits directly
+    // on the tracking critical path (same core as decode), so trade
+    // compression for speed; file synthesis keeps veryfast for
+    // record-comparable fixtures
+    av_opt_set(e->enc->priv_data, "preset", fast ? "ultrafast" : "veryfast", 0);
+    if (fast) av_opt_set(e->enc->priv_data, "tune", "zerolatency", 0);
     av_opt_set(e->enc->priv_data, "crf", "23", 0);
     // VFR mode (test-harness fixtures): no B-frames, so decode order ==
     // display order — consumers that key frames off the container pts (e.g.
@@ -1121,6 +1126,12 @@ void *pawsio_enc_open_sar(const char *path, int w, int h, double fps, int sar_nu
 
 void *pawsio_enc_open(const char *path, int w, int h, double fps) {
   return enc_open_impl(path, w, h, fps, 1, 1, 0, 0);
+}
+
+// Latency-tuned encoder (x264 ultrafast + zerolatency) for writers that sit
+// on the tracking critical path — the diagnostic overlay.
+void *pawsio_enc_open_fast(const char *path, int w, int h, double fps) {
+  return enc_open_impl(path, w, h, fps, 1, 1, 0, 0, 1);
 }
 
 // Variable-frame-rate encoder: frames carry explicit pts in {tb_num, tb_den}

@@ -178,6 +178,10 @@ def _load():
             # process-global fast-decode override (-1 env / 0 off / 1 on) —
             # the stale-.so fallback for the fast_decode kwarg (see open3)
             ("pawsio_set_fast_decode", [ctypes.c_int], None),
+            # latency-tuned encoder for the diagnostic overlay writer
+            ("pawsio_enc_open_fast",
+             [ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double],
+             ctypes.c_void_p),
             # zero-copy view of a retained ring frame (diagnostic overlay
             # downscales straight out of the decode ring)
             ("pawsio_retained_ptr",
@@ -685,18 +689,31 @@ class NativeVFRWriter:
 
 
 class NativeVideoWriter:
-    """GRAY8 -> H.264 (libx264) encoder for the diagnostic stream."""
+    """GRAY8 -> H.264 (libx264) encoder for the diagnostic stream.
 
-    def __init__(self, path: str, width: int, height: int, fps: float, sar=(1, 1)):
+    ``fast=True`` (fresh .so) uses the latency-tuned encoder (x264 ultrafast
+    + zerolatency) — for writers on the tracking critical path, where encode
+    time competes with decode for the same core. Default writers keep
+    veryfast for record-comparable fixture synthesis.
+    """
+
+    def __init__(self, path: str, width: int, height: int, fps: float, sar=(1, 1),
+                 fast: bool = False):
         lib = _load()
         if lib is None:
             raise RuntimeError("native pawsio library unavailable")
         self._lib = lib
         self.width = int(width)
         self.height = int(height)
-        self._h = lib.pawsio_enc_open_sar(
-            str(path).encode(), self.width, self.height, float(fps), int(sar[0]), int(sar[1])
-        )
+        if fast and sar == (1, 1) and hasattr(lib, "pawsio_enc_open_fast"):
+            self._h = lib.pawsio_enc_open_fast(
+                str(path).encode(), self.width, self.height, float(fps)
+            )
+        else:
+            self._h = lib.pawsio_enc_open_sar(
+                str(path).encode(), self.width, self.height, float(fps),
+                int(sar[0]), int(sar[1])
+            )
         if not self._h:
             raise IOError(f"could not open encoder for {path} ({_last_error(lib)})")
 
