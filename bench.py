@@ -95,6 +95,59 @@ def _clip(d):
     return os.path.join(d, "bench1080.mp4"), np.load(os.path.join(d, "truth.npy"))
 
 
+def synthesize_realistic_clip(d: str):
+    """1080p clip with the SAME circular motion as the clean headline clip,
+    under realistic degradations (tests/test_realistic.py's model): a
+    soft-edged Gaussian blob (FWHM = target width) instead of a hard disc,
+    static background texture (arena clutter), per-frame sensor noise, and a
+    global illumination ramp — so the headline fps/rmse claims don't ride a
+    clean disc on flat gray (round-4 VERDICT #5). H.264-encoded like the
+    clean clip; the noisy content costs genuinely more bits to decode."""
+    import cv2
+
+    path = os.path.join(d, "bench1080_real.mp4")
+    try:
+        from pawsometracker_tpu.io.native_io import NativeVideoWriter, native_available
+
+        vw = NativeVideoWriter(path, W, H, FPS) if native_available() else None
+    except Exception:
+        vw = None
+    if vw is None:
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), FPS, (W, H), isColor=False)
+        assert vw.isOpened()
+    rng = np.random.default_rng(7)
+    texture = rng.uniform(-20.0, 20.0, (H, W)).astype(np.float32)
+    sigma = TARGET_WIDTH / (2.0 * np.sqrt(2.0 * np.log(2.0)))
+    ext = int(np.ceil(4 * sigma))
+    yy, xx = np.mgrid[-ext : ext + 1, -ext : ext + 1].astype(np.float32)
+    blob = 110.0 * np.exp(-(yy**2 + xx**2) / (2.0 * sigma**2))
+    truth = []
+    for t in range(N_FRAMES):
+        ang = 2 * np.pi * t / N_FRAMES
+        ij = (int(540 + 300 * np.sin(ang)), int(960 + 600 * np.cos(ang)))
+        truth.append(ij)
+        img = np.full((H, W), 128.0, np.float32)
+        img += texture
+        img += 40.0 * (t / (N_FRAMES - 1))  # illumination drift
+        r0, c0 = ij[0] - ext, ij[1] - ext
+        img[r0 : r0 + blob.shape[0], c0 : c0 + blob.shape[1]] -= blob
+        # sigma 2.5: post-ISP sensor noise at camera-realistic bitrates
+        # (~15-20 Mbps at crf 23; iid sigma 8 encoded to an absurd 55 Mbps
+        # no real recorder emits, and decode cost scales with bits)
+        img += rng.standard_normal((H, W), dtype=np.float32) * 2.5
+        vw.write(np.clip(np.rint(img), 0, 255).astype(np.uint8))
+    vw.release()
+    np.save(os.path.join(d, "truth_real.npy"), np.asarray(truth))
+    return path
+
+
+def _clip_real(d):
+    return (
+        os.path.join(d, "bench1080_real.mp4"),
+        np.load(os.path.join(d, "truth_real.npy")),
+    )
+
+
 def _degraded_plan(probe_fps: float, wedged_below: float, slow_below: float):
     """Shared wedge-phase plan sizing for the headline stages: returns
     ``(reps, stop_seconds_or_None, degraded)`` — full plan on a healthy
@@ -335,6 +388,89 @@ def stage_e2e_dia(d):
             f"overlay has {n_overlay} frames, expected n-1={n - 1} "
             "(frames 2..n, reference semantics)"
         )
+    return out
+
+
+def stage_realistic(d):
+    """Realistic-conditions headline (round-4 VERDICT #5): the SAME circular
+    motion as the clean clip, but a soft Gaussian blob on textured, noisy,
+    brightness-drifting 1080p footage (tests/test_realistic.py's degradation
+    model), H.264-encoded. Interleaved A/B with the clean clip so the ratio
+    rides one tunnel/host phase. The noisy content encodes to far more bits,
+    so its DECODE is intrinsically more expensive — the ratio reports what a
+    real recording costs, not a code regression."""
+    from pawsometracker_tpu import IJ, track
+
+    if not os.path.exists(os.path.join(d, "bench1080_real.mp4")):
+        synthesize_realistic_clip(d)
+    rpath, rtruth = _clip_real(d)
+    cpath, ctruth = _clip(d)
+    kw_r = dict(start_location=IJ(int(rtruth[0][0]), int(rtruth[0][1])),
+                target_width=TARGET_WIDTH, window_size=WINDOW)
+    kw_c = dict(start_location=IJ(int(ctruth[0][0]), int(ctruth[0][1])),
+                target_width=TARGET_WIDTH, window_size=WINDOW)
+    track(cpath, **kw_c)  # warm (shared spec/geometry)
+    track(rpath, **kw_r)
+
+    # phase health is probed on the CLEAN clip: the realistic clip's decode
+    # is intrinsically slower (more bits), so its probe would read a healthy
+    # link as wedged and burn the whole phase-wait deadline
+    def probe():
+        t0 = time.perf_counter()
+        track(cpath, stop=32 / FPS, **kw_c)
+        return 32 / max(time.perf_counter() - t0, 1e-9)
+
+    history: list = []
+    probe_fps = _wait_for_healthy_phase(probe, E2E_HEALTHY_PROBE_FPS, PHASE_WAIT_S, history)
+    reps, stop, degraded = _degraded_plan(probe_fps, wedged_below=8, slow_below=E2E_HEALTHY_PROBE_FPS)
+    real, clean, rmse = [], [], None
+    for _ in range(reps):
+        for which in ("clean", "real"):
+            path, kw = (cpath, kw_c) if which == "clean" else (rpath, kw_r)
+            t0 = time.perf_counter()
+            ts, ij = track(path, **kw) if stop is None else track(path, stop=stop, **kw)
+            dt = time.perf_counter() - t0
+            (clean if which == "clean" else real).append(len(ij) / dt)
+            if which == "real":
+                err = np.linalg.norm(np.asarray(ij) - rtruth[: len(ij)], axis=1)
+                rmse = float(np.sqrt(np.mean(err**2)))
+    # decode-only arm: pins the ratio's cause (bits -> decode cost) — the
+    # tracking overhead on top of decode is the same for both clips
+    from pawsometracker_tpu.io.decode import open_source
+
+    t0 = time.perf_counter()
+    with open_source(rpath, fps=FPS) as src:
+        nd = 0
+        while src.read() is not None:
+            nd += 1
+    dec_fps = nd / max(time.perf_counter() - t0, 1e-9)
+    # fast-decode arm: skipping the h264 in-loop deblock recovers a chunk of
+    # the bitrate-driven decode cost on real footage (one pass; rmse gated)
+    t0 = time.perf_counter()
+    ts_f, ij_f = track(rpath, fast_decode=True, **kw_r)
+    fast_fps = len(ij_f) / max(time.perf_counter() - t0, 1e-9)
+    err_f = np.linalg.norm(np.asarray(ij_f) - rtruth[: len(ij_f)], axis=1)
+    rmse_fast = float(np.sqrt(np.mean(err_f**2)))
+    s_r, s_c = _stats(real), _stats(clean)
+    out = {
+        "realistic_fps": s_r["med"],
+        "realistic_spread": s_r,
+        "realistic_clean_fps": s_c["med"],
+        "realistic_vs_clean": round(s_r["med"] / max(s_c["med"], 1e-9), 3),
+        "realistic_decode_fps": round(dec_fps, 1),
+        "realistic_fast_fps": round(fast_fps, 1),
+        "realistic_fast_rmse_px": round(rmse_fast, 3),
+        "realistic_mbps": round(os.path.getsize(rpath) * 8 / (N_FRAMES / FPS) / 1e6, 1),
+        "realistic_rmse_px": round(rmse, 3),
+        "realistic_probe_history": history,
+    }
+    if degraded:
+        out["realistic_degraded"] = (
+            f"probe {probe_fps:.1f} fps: tunnel-wedged phase, shortened plan — "
+            "treat realistic_fps as a lower bound"
+        )
+    if rmse is not None and rmse >= 1.0:
+        out["realistic_error"] = f"realistic rmse {rmse:.3f} outside the <1px oracle"
     return out
 
 
@@ -1075,6 +1211,7 @@ STAGES = {
     "cpu_mt": (stage_cpu_mt, 420),
     "e2e_fast": (stage_e2e_fast, 600),
     "e2e_dia": (stage_e2e_dia, 900),
+    "realistic": (stage_realistic, 900),
     "device_roi": (stage_device_roi, 420),
     "subpixel": (stage_subpixel, 420),
     "batch": (stage_batch, 900),
@@ -1086,7 +1223,8 @@ STAGES = {
 #: stages that must run even when the budget math says skip (their results
 #: are the artifact: headline, denominators, efficiency, MFU, scaling)
 REQUIRED_STAGES = frozenset(
-    {"mfu", "decode", "cpu_e2e", "hostceil", "e2e", "batch_scaling", "e2e_dia"}
+    {"mfu", "decode", "cpu_e2e", "hostceil", "e2e", "batch_scaling", "e2e_dia",
+     "realistic"}
 )
 
 
