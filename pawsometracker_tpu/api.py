@@ -164,7 +164,7 @@ DEFAULT_PIPELINE_DEPTH = "auto"
 
 
 def _auto_ring_gate(file, roi_frames: int, depth_gate: int, lanes: int = 1,
-                    info=None) -> int:
+                    info=None, zero_copy: bool = False) -> int:
     """Memory-aware depth gate for ``pipeline_depth="auto"`` ring sizing:
     when the frame size is knowable BEFORE open (ndarray input, a caller's
     already-probed ``info``, or a cheap native header probe), clamp the gate
@@ -174,9 +174,14 @@ def _auto_ring_gate(file, roi_frames: int, depth_gate: int, lanes: int = 1,
     controller never outruns the ring. Unprobeable inputs keep the unclamped
     gate (the ring is then merely never undersized). ``info``: a
     :class:`~.io.decode.VideoInfo` the caller probed already (track_batch
-    probes once for bucketing) — passing it avoids a second header read."""
+    probes once for bucketing) — passing it avoids a second header read.
+    ``zero_copy``: the input is a passthrough ndarray whose chunks are served
+    as VIEWS (no decode ring, no retained copies), so the memory budget has
+    nothing to bound — the gate is returned unclamped."""
     from .pipeline import auto_depth_cap
 
+    if zero_copy:
+        return depth_gate
     shape = None
     if info is not None:
         if info.height > 0 and info.width > 0:
@@ -297,10 +302,15 @@ def _track_one(
     retention_possible = (
         stream != "full" and depth_gate > 0 and speculate == "predict"
     )
+    zero_copy_input = (
+        isinstance(file, np.ndarray) and file.ndim == 3
+        and input_fps is None and start == 0.0
+    )
     if pipeline_depth == "auto" and stream != "full":
         # (the full-frame path derives its own budgeted depth and never
         # retains a ring, so the header probe would be dead per-call I/O)
-        depth_gate = _auto_ring_gate(file, roi_frames, depth_gate)
+        depth_gate = _auto_ring_gate(file, roi_frames, depth_gate,
+                                     zero_copy=zero_copy_input)
     ring = (depth_gate + 2) * roi_frames + 8 if retention_possible else None
     src = open_source(
         file, start=start, stop=stop, fps=fps, backend=backend, prefetch=ring,

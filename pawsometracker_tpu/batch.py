@@ -285,8 +285,16 @@ def _track_batch_uniform(
         per_file_infos = infos if infos is not None else [None] * B
         depth_gate = min(
             (
-                _auto_ring_gate(f, roi_frames, depth_gate, lanes=B, info=i)
-                for f, i in zip(files, per_file_infos)
+                _auto_ring_gate(
+                    f, roi_frames, depth_gate, lanes=B, info=i,
+                    # passthrough ndarrays serve chunk VIEWS: no ring, no
+                    # retained copies — nothing for the budget to bound
+                    zero_copy=(
+                        isinstance(f, np.ndarray) and f.ndim == 3
+                        and input_fps is None and t0 == 0.0
+                    ),
+                )
+                for f, i, t0 in zip(files, per_file_infos, starts)
             ),
             default=depth_gate,
         )
@@ -443,10 +451,13 @@ def _track_batch_uniform(
                 mode=mode,
                 depth="auto" if auto_depth else depth_gate,
                 # ring gate, re-bounded by the TRUE decoded size (covers
-                # unprobeable inputs whose gate stayed unclamped)
-                auto_cap=min(
-                    depth_gate,
-                    auto_depth_cap(frame_shape, roi_frames, lanes=B),
+                # unprobeable inputs whose gate stayed unclamped); view-serving
+                # array sources retain no copies, so nothing to bound there
+                auto_cap=(
+                    depth_gate
+                    if all(getattr(s, "serves_views", False) for s in sources)
+                    else min(depth_gate,
+                             auto_depth_cap(frame_shape, roi_frames, lanes=B))
                 ) if auto_depth else None,
                 engine=_BatchedEngine(
                     scan_bounded, (ch, cw), frame_shape, fills_dev, subpixel,

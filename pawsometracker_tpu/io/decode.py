@@ -392,6 +392,34 @@ class ArrayFrameSource(_ResamplingSource):
         self._start_frac = Fraction(self.start).limit_denominator(1001000)
         self._in_idx = 0
         self._init_resampler_state()
+        # Zero-copy passthrough: a plain gray ndarray at the output rate with
+        # start=0 maps 1:1 onto the output grid (k0=0, anchor slot 0, no
+        # drops/dups), so reads can serve VIEWS of the backing array instead
+        # of 2 MB/frame copies — the dominant host cost for in-memory batch
+        # tracking. n_out: frames m with m/fps < duration (strict, matching
+        # the resampler's emit clamp). Resampling/start/RGB/lazy stacks fall
+        # back to the exact per-frame resampler.
+        self.serves_views = (
+            isinstance(self.frames, np.ndarray)
+            and self.frames.ndim == 3
+            and self._native_frac == self._fps_frac
+            and self._start_frac == 0
+        )
+        if self.serves_views:
+            if math.isinf(self.duration):
+                n_out = t_total
+            else:
+                # frame m is emitted iff m/fps < duration — the EXACT float
+                # comparison the resampler's emit clamp makes, so the two
+                # paths can never disagree at a boundary (a Fraction round
+                # trip of the duration would: limit_denominator(1e-9) == 0)
+                n_out = min(t_total, max(0, math.ceil(self.duration * self.fps)))
+                while n_out > 0 and (n_out - 1) / self.fps >= self.duration:
+                    n_out -= 1
+                while n_out < t_total and n_out / self.fps < self.duration:
+                    n_out += 1
+            self._zc_n = n_out
+            self._zc_pos = 0
 
     def _next_input(self):
         while self._in_idx < self.frames.shape[0]:
@@ -408,6 +436,27 @@ class ArrayFrameSource(_ResamplingSource):
                 f = f[..., 0] if f.shape[-1] == 1 else _rgb_to_gray_u8(f)
             return f, tp
         return None
+
+    # -- zero-copy passthrough overrides (see serves_views) ----------------
+    def read(self) -> np.ndarray | None:
+        if not self.serves_views:
+            return super().read()
+        if self._zc_pos >= self._zc_n:
+            return None
+        f = self.frames[self._zc_pos]  # VIEW of the backing array
+        self._zc_pos += 1
+        return f
+
+    def read_chunk(self, n: int, out: np.ndarray | None = None) -> np.ndarray:
+        """Zero-copy: up to ``n`` frames as a VIEW ``[k, H, W]`` of the
+        backing array (``out`` ignored — do not mutate the result; the
+        prefetcher's recycle pool skips view-serving sources)."""
+        if not self.serves_views:
+            return super().read_chunk(n, out)
+        k = min(int(n), self._zc_n - self._zc_pos)
+        view = self.frames[self._zc_pos : self._zc_pos + max(k, 0)]
+        self._zc_pos += max(k, 0)
+        return view
 
 
 def open_source(
@@ -515,6 +564,10 @@ class ChunkPrefetcher:
         self.source = source
         self.chunk_size = int(chunk_size)
         self.max_frames = max_frames
+        # a view-serving source's chunks alias ITS backing array: pooling
+        # their base and handing it out as a write buffer would overwrite
+        # the user's frames — recycle becomes a no-op for those sources
+        self._recyclable = not getattr(source, "serves_views", False)
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         # recycled chunk buffers: the consumer returns them via recycle() once
         # it is done, so steady state runs with ~depth+1 buffers and no fresh
@@ -532,7 +585,10 @@ class ChunkPrefetcher:
             return None
 
     def recycle(self, chunk: np.ndarray):
-        """Return a consumed chunk's underlying buffer for reuse."""
+        """Return a consumed chunk's underlying buffer for reuse (no-op for
+        view-serving sources — their chunks alias the user's array)."""
+        if not self._recyclable:
+            return
         base = chunk.base if chunk.base is not None else chunk
         self._free.put(base)
 

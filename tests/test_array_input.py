@@ -195,3 +195,67 @@ def test_memmap_npy_stack(tmp_path):
     _, ij_eager = track(frames, **kw)
     _, ij_mm = track(mm, **kw)
     np.testing.assert_array_equal(ij_mm, ij_eager)
+
+
+# -- zero-copy passthrough (serves_views) ------------------------------------
+
+
+def test_zero_copy_views_match_resampler_fuzz():
+    """The zero-copy passthrough (views of the backing array) must emit
+    exactly the frames the per-frame resampler emits, across stop clamps
+    and chunk sizes — differential fuzz, view-path vs forced-copy-path."""
+    rng = np.random.default_rng(9)
+    T, h, w = 37, 8, 9
+    frames = rng.integers(0, 255, size=(T, h, w)).astype(np.uint8)
+    for fps in (24.0, 25.0, 30.0):
+        for stop in (np.inf, T / fps, (T - 3) / fps, 0.5, 17.21 / fps, 1e-9):
+            a = ArrayFrameSource(frames, fps=fps, stop=stop)
+            assert a.serves_views
+            b = ArrayFrameSource(frames, fps=fps, stop=stop)
+            b.serves_views = False  # force the exact per-frame resampler
+            got, want = [], []
+            while True:
+                f = a.read_chunk(5)
+                if f.shape[0] == 0:
+                    break
+                assert f.base is not None  # really a view
+                got.append(f.copy())
+            while True:
+                f = b.read_chunk(5)
+                if f.shape[0] == 0:
+                    break
+                want.append(f.copy())
+            if want:
+                np.testing.assert_array_equal(
+                    np.concatenate(got), np.concatenate(want),
+                    err_msg=f"fps={fps} stop={stop}")
+            else:
+                assert not got, f"fps={fps} stop={stop}"
+
+
+def test_zero_copy_disabled_off_passthrough():
+    frames = np.zeros((10, 8, 8), np.uint8)
+    assert not ArrayFrameSource(frames, fps=24, input_fps=30).serves_views
+    assert not ArrayFrameSource(frames, fps=24, start=0.5).serves_views
+    assert not ArrayFrameSource(np.zeros((10, 8, 8, 3), np.uint8), fps=24).serves_views
+    assert ArrayFrameSource(frames, fps=24, input_fps=24.0).serves_views
+
+
+def test_zero_copy_track_leaves_array_untouched(tmp_path):
+    """The recycle pool must never hand the user's array out as a write
+    buffer: after a full track() the input frames are byte-identical."""
+    frames, tra = _spiral_frames()
+    snapshot = frames.copy()
+    _, ij = track(frames, start_location=IJ(50, 50), target_width=10)
+    np.testing.assert_array_equal(frames, snapshot)
+    m = min(len(ij), len(tra))
+    rmse = np.sqrt(np.mean(np.sum((np.asarray(ij)[:m] - tra[:m]) ** 2, axis=1)))
+    assert rmse < 1.0
+
+
+def test_zero_copy_batch_matches_single():
+    frames, _ = _spiral_frames()
+    kw = dict(start_location=IJ(50, 50), target_width=10)
+    _, ij_single = track(frames, **kw)
+    for ts_b, ij_b in track_batch([frames, frames], **kw):
+        np.testing.assert_array_equal(ij_b, ij_single)
