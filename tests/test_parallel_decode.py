@@ -547,3 +547,152 @@ def test_plan_spans_no_trailing_sliver(monkeypatch):
                         lambda p: np.array([0.0, 100.0 / 24.0]))
     src2._plan_spans()
     assert src2._starts == [0, 64, 106], src2._starts
+
+
+# -- mocked-decoder concurrency (round-4 VERDICT #8) -------------------------
+#
+# The raw libav W-x scaling can only be measured on a multi-core host (the
+# bench `pdecode` stage stays armed for that); what IS testable anywhere is
+# the scheduling math itself: with a mocked slow decoder whose per-frame cost
+# is sleep (GIL-free, so spans overlap even on one core), the span scheduler
+# must deliver W-way overlap, respect the workers+2 open-span budget, and
+# still produce the exact in-order frame stream.
+
+
+class _MockClock:
+    """Shared recording state for one mocked run."""
+
+    def __init__(self):
+        import threading
+
+        self.lock = threading.Lock()
+        self.open_now = 0
+        self.max_open = 0
+        self.windows = []  # (t_open, t_close, slot0) per decoder
+
+
+def _mock_decoder_cls(clock, T, delay, h=16, w=24):
+    import time as _time
+
+    def frame_of(slot):
+        f = np.empty((h, w), np.uint8)
+        f[:] = (slot * 7 + 3) % 256
+        return f
+
+    class MockDecoder:
+        def __init__(self, path, *, start=0.0, stop=math.inf, fps=24.0,
+                     prefetch=0, threads=-1, slot0=0, seek_hint=-1.0, fast=None):
+            self.slot0 = int(slot0)
+            self.pos = int(slot0)
+            self._t_open = _time.perf_counter()
+            with clock.lock:
+                clock.open_now += 1
+                clock.max_open = max(clock.max_open, clock.open_now)
+
+        def read_chunk(self, n, out=None):
+            k = max(0, min(int(n), T - self.pos))
+            _time.sleep(delay * k)  # "decode" cost: GIL-free wait
+            chunk = np.stack([frame_of(self.pos + i) for i in range(k)]) if k \
+                else np.empty((0, h, w), np.uint8)
+            self.pos += k
+            return chunk
+
+        @property
+        def last_pts(self):
+            return self.pos - 1  # holder pts == slot: 1:1 CFR stream
+
+        @property
+        def last_slot(self):
+            return self.pos - 1
+
+        def close(self):
+            with clock.lock:
+                clock.open_now -= 1
+                clock.windows.append(
+                    (self._t_open, __import__("time").perf_counter(), self.slot0)
+                )
+
+    return MockDecoder
+
+
+def _mocked_source(monkeypatch, clock, *, T, delay, workers, span_frames):
+    import types
+
+    from pawsometracker_tpu.io import parallel_decode
+    from pawsometracker_tpu.io.decode import VideoInfo
+
+    mock_cls = _mock_decoder_cls(clock, T, delay)
+    info = VideoInfo(width=24, height=16, fps=24.0, sar=1.0, frame_count=T)
+    monkeypatch.setattr(native_io, "NativeFrameSource", mock_cls)
+    monkeypatch.setattr(native_io, "native_probe", lambda p: info)
+    monkeypatch.setattr(
+        native_io, "_load",
+        lambda: types.SimpleNamespace(pawsio_open_span=True, pawsio_last_slot=True),
+    )
+    return parallel_decode.ParallelNativeSource(
+        "mock.mp4", fps=24.0, stop=T / 24.0, workers=workers,
+        span_frames=span_frames, keyframe_align=False,
+    )
+
+
+def test_mocked_scheduler_w_way_overlap(monkeypatch):
+    """W=4 workers over a slow mocked decoder: the stream is exact and in
+    order, the wall clock beats the serial decode by a wide margin (the
+    overlap is real), at least min(W, spans) decoders ran concurrently, and
+    the open-span budget (workers + 2) was never exceeded."""
+    import time
+
+    T, delay, W, S = 96, 0.004, 4, 16
+    clock = _MockClock()
+    src = _mocked_source(monkeypatch, clock, T=T, delay=delay, workers=W, span_frames=S)
+    try:
+        t0 = time.perf_counter()
+        frames = []
+        while True:
+            c = src.read_chunk(13)
+            if c.shape[0] == 0:
+                break
+            frames.append(c.copy())
+        wall = time.perf_counter() - t0
+    finally:
+        src.close()
+    got = np.concatenate(frames)
+    assert got.shape[0] == T
+    want = np.stack([np.full((16, 24), (s * 7 + 3) % 256, np.uint8) for s in range(T)])
+    np.testing.assert_array_equal(got, want)  # exact, in order
+
+    serial = T * delay
+    assert wall < 0.62 * serial, f"no W-way overlap: wall {wall:.3f}s vs serial {serial:.3f}s"
+    assert clock.max_open >= min(W, T // S) - 1  # decoders genuinely concurrent
+    assert clock.max_open <= W + 2  # flow-control budget respected
+
+    # every span decoded its own slot range (lead frame = one slot early)
+    slot0s = sorted(w[2] for w in clock.windows)
+    assert slot0s[0] == 0 and len(slot0s) == T // S
+
+
+def test_mocked_scheduler_budget_blocks_runahead(monkeypatch):
+    """With a consumer that pauses mid-stream, workers may run at most
+    workers+2 spans ahead (open or buffered) — the budget semaphore holds
+    even while the consumer is idle."""
+    import time
+
+    T, delay, W, S = 160, 0.001, 2, 16
+    clock = _MockClock()
+    src = _mocked_source(monkeypatch, clock, T=T, delay=delay, workers=W, span_frames=S)
+    try:
+        assert src.read_chunk(4).shape[0] == 4  # start the stream
+        time.sleep(0.25)  # give workers time to run ahead as far as allowed
+        with src._lock:
+            claimed = src._next_ticket
+        # budget: W+2 spans open/buffered beyond the one being consumed
+        assert claimed <= 1 + (W + 2) + 1
+        rest = []
+        while True:
+            c = src.read_chunk(32)
+            if c.shape[0] == 0:
+                break
+            rest.append(c.copy())
+        assert 4 + sum(c.shape[0] for c in rest) == T
+    finally:
+        src.close()
