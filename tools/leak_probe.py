@@ -5,10 +5,16 @@ every host->device transfer permanently grows host RSS by ~the transferred
 byte count plus ~2 KB — `jnp.asarray(np_buffer)` alone reproduces it, with
 the SAME source buffer, after gc, and despite an explicit `.delete()` on the
 device array. The true CPU backend is clean (0.0 MB over the same calls), so
-this is a platform-client bug, not a framework one. Consequences and the
-framework-level mitigations are documented in docs/deployment.md ("Known
-platform issue"); `track_resumable(isolate_slices=True)` bounds a long run's
-RSS by running checkpoint slices in subprocesses.
+this is a platform-client bug, not a framework one. The minimal repro is
+written up upstream-ready in docs/axon_h2d_retention.md; consequences and
+the framework-level mitigations are in docs/deployment.md ("Known platform
+issue"); `track_resumable(isolate_slices=True)` bounds a long run's RSS by
+running checkpoint slices in subprocesses.
+
+The probe is importable (`probe(backend)`) so the test suite can gate the
+library-side invariant: the CPU backend must stay clean — any regression
+there would mean the framework itself (not the platform client) started
+retaining per-transfer memory.
 
 Usage:
     python tools/leak_probe.py          # active backend (TPU under axon)
@@ -28,13 +34,15 @@ def rss_mb() -> float:
         return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 1e6
 
 
-def main():
+def probe(backend: str | None = None) -> dict:
+    """Run the retention probe; ``backend`` forces a JAX platform (must be
+    called before any other JAX use in the process to take effect)."""
     import numpy as np
 
     import jax
 
-    if len(sys.argv) > 1:
-        jax.config.update("jax_platforms", sys.argv[1])
+    if backend:
+        jax.config.update("jax_platforms", backend)
     import jax.numpy as jnp
 
     out = {"backend": jax.default_backend(), "jax": jax.__version__, "trials": []}
@@ -59,7 +67,11 @@ def main():
                 "retained_kb_per_call": round(grew * 1024 / n, 1),
             }
         )
-    print(json.dumps(out))
+    return out
+
+
+def main():
+    print(json.dumps(probe(sys.argv[1] if len(sys.argv) > 1 else None)))
 
 
 if __name__ == "__main__":
