@@ -474,6 +474,66 @@ def stage_realistic(d):
     return out
 
 
+def stage_dskip(d):
+    """fps-downsampling packet skip (round-4 VERDICT #3): tracking below the
+    native rate never decodes the drop-fated non-reference h264 packets.
+    Structurally, the 24 fps headline clip tracked at 24 fps drops NOTHING
+    (every input frame is emitted), so the skip cannot apply there — this
+    stage measures the case it targets: a 48 fps 1080p clip decoded at 24
+    (the reference's custom-fps use case, src/PawsomeTracker.jl:155),
+    A/B with the skip disabled, plus the skipped-packet count. Decode-only
+    and CPU-side (no TPU), so it is immune to tunnel phases."""
+    import cv2
+
+    from pawsometracker_tpu.io import native_io
+
+    path = os.path.join(d, "bench48.mp4")
+    if not os.path.exists(path):
+        vw = native_io.NativeVideoWriter(path, W, H, 2 * FPS)
+        base = np.full((H, W), 128, np.uint8)
+        for t in range(N_FRAMES):
+            ang = 2 * np.pi * t / N_FRAMES
+            f = base.copy()
+            cv2.circle(f, (int(960 + 600 * np.cos(ang)), int(540 + 300 * np.sin(ang))), 12, 30, -1)
+            vw.write(f)
+        vw.release()
+
+    def one(disable):
+        if disable:
+            os.environ["PAWSIO_NO_SKIP_DROPPED"] = "1"
+        else:
+            os.environ.pop("PAWSIO_NO_SKIP_DROPPED", None)
+        with native_io.NativeFrameSource(path, fps=FPS, prefetch=0) as s:
+            t0 = time.perf_counter()
+            n = 0
+            while s.read() is not None:
+                n += 1
+            return n / max(time.perf_counter() - t0, 1e-9), s.skipped_packets
+
+    on, off = [], []
+    skipped = 0
+    try:
+        for _ in range(REPS):
+            f_off, _ = one(True)
+            f_on, skipped = one(False)
+            off.append(f_off)
+            on.append(f_on)
+    finally:
+        os.environ.pop("PAWSIO_NO_SKIP_DROPPED", None)
+    s_on, s_off = _stats(on), _stats(off)
+    return {
+        "dskip_decode_fps": s_on["med"],
+        "dskip_spread": s_on,
+        "dskip_off_decode_fps": s_off["med"],
+        "dskip_speedup": round(s_on["med"] / max(s_off["med"], 1e-9), 2),
+        "dskip_packets_skipped": int(skipped),
+        "dskip_note": (
+            "48->24 fps downsampling; the 24 fps headline clip drops no "
+            "frames, so the skip is structurally inapplicable there"
+        ),
+    }
+
+
 def _decode_all(d):
     from pawsometracker_tpu.io.decode import open_source
 
@@ -1276,6 +1336,7 @@ STAGES = {
     "batch": (stage_batch, 900),
     "batch_mem": (stage_batch_mem, 900),
     "pdecode": (stage_pdecode, 420),
+    "dskip": (stage_dskip, 420),
     "device": (stage_device, 420),
     "pallas": (stage_pallas, 420),
 }

@@ -26,6 +26,7 @@
 #include <cstring>
 #include <deque>
 #include <mutex>
+#include <set>
 #include <string>
 #include <thread>
 #include <vector>
@@ -133,9 +134,56 @@ struct Decoder {
   int thread_err = 0;
   std::string thread_err_msg;
 
+  // ---- fps-downsampling packet skip (exact) ----------------------------
+  // When the output fps is below the native rate, the fps filter DROPS the
+  // input frames whose output slot is also claimed by their display
+  // successor. A dropped frame that is additionally a NON-REFERENCE frame
+  // (every VCL NAL has nal_ref_idc == 0) contributes nothing to decoder
+  // state, so its packet need not be decoded at all. Exactness guards:
+  //   - CFR verified per packet (constant pkt->duration, pts on the grid);
+  //   - the display successor (pts + dur) must have been OBSERVED in the
+  //     demux stream before the skip decision (reorder-safe via a small
+  //     seen-pts set) — a frame whose successor is absent is a HOLDER and
+  //     is always sent;
+  //   - H.264 AVCC only (mp4/mov); anything irregular disables skipping,
+  //     falling back to full decode (bit-exact either way — skipped frames
+  //     are exactly those the resampler provably never emits).
+  // Kill switch: PAWSIO_NO_SKIP_DROPPED=1.
+  bool skip_enabled = false;
+  bool skip_cfr_ok = true;
+  int skip_nal_len = 0;           // AVCC NAL length-prefix size
+  int64_t skip_dur = 0;           // verified constant packet duration (ticks)
+  int64_t skip_max_pts = INT64_MIN;
+  bool demuxer_done = false;      // av_read_frame returned EOF
+  std::deque<AVPacket *> pkt_q;   // reorder-window holding queue
+  std::set<int64_t> seen_pts;     // pts observed, pruned as fronts release
+  long long skipped_pkts = 0;
+
+  // True when every VCL NAL in the packet has nal_ref_idc == 0 (AVCC).
+  bool pkt_is_nonref(const AVPacket *p) const {
+    const uint8_t *dta = p->data;
+    int sz = p->size, L = skip_nal_len, i = 0;
+    bool saw_vcl = false;
+    while (i + L <= sz) {
+      uint32_t n = 0;
+      for (int k = 0; k < L; k++) n = (n << 8) | dta[i + k];
+      i += L;
+      if (n == 0 || i + (int64_t)n > sz) return false;  // malformed: send it
+      uint8_t h = dta[i];
+      int type = h & 0x1F, ref = (h >> 5) & 3;
+      if (type >= 1 && type <= 5) {
+        if (ref) return false;
+        saw_vcl = true;
+      }
+      i += n;
+    }
+    return saw_vcl;
+  }
+
   size_t frame_bytes() const { return (size_t)width * height; }
 
   ~Decoder() {
+    for (AVPacket *p : pkt_q) av_packet_free(&p);
     if (th.joinable()) {
       stop_thread = true;
       cv_pop.notify_all();
@@ -227,25 +275,103 @@ struct Decoder {
       }
       if (demux_eof) return 0;
       // feed more packets
-      while (true) {
-        ret = av_read_frame(fmt, pkt);
-        if (ret < 0) {
-          demux_eof = true;
-          avcodec_send_packet(dec, nullptr);  // flush
+      if (!skip_enabled) {
+        while (true) {
+          ret = av_read_frame(fmt, pkt);
+          if (ret < 0) {
+            demux_eof = true;
+            avcodec_send_packet(dec, nullptr);  // flush
+            break;
+          }
+          if (pkt->stream_index != stream_idx) {
+            av_packet_unref(pkt);
+            continue;
+          }
+          ret = avcodec_send_packet(dec, pkt);
+          av_packet_unref(pkt);
+          if (ret < 0 && ret != AVERROR(EAGAIN)) {
+            set_averror("send_packet", ret);
+            return -1;
+          }
           break;
         }
-        if (pkt->stream_index != stream_idx) {
-          av_packet_unref(pkt);
-          continue;
-        }
-        ret = avcodec_send_packet(dec, pkt);
-        av_packet_unref(pkt);
-        if (ret < 0 && ret != AVERROR(EAGAIN)) {
-          set_averror("send_packet", ret);
-          return -1;
-        }
-        break;
+      } else if (feed_with_skip() < 0) {
+        return -1;
       }
+    }
+  }
+
+  // Skip-path packet feed: hold packets in a reorder queue until the front
+  // is decidable, skip drop-fated nonref packets, send everything else.
+  // Returns 0 after feeding one packet / skipping some / reaching EOF
+  // (decoder flushed); <0 on error.
+  int feed_with_skip() {
+    while (true) {
+      if (!pkt_q.empty()) {
+        AVPacket *front = pkt_q.front();
+        bool meta_ok = skip_cfr_ok && skip_dur > 0 &&
+                       front->pts != AV_NOPTS_VALUE;
+        bool succ_seen = meta_ok && seen_pts.count(front->pts + skip_dur) > 0;
+        // decidable once the successor is seen, provably absent (demux ran
+        // ~2 reorder windows past it), at demux EOF, or when skipping is off
+        bool decidable = !meta_ok || succ_seen || demuxer_done ||
+                         skip_max_pts >= front->pts + 33 * skip_dur ||
+                         pkt_q.size() > 48;
+        if (decidable) {
+          pkt_q.pop_front();
+          bool skip = false;
+          if (meta_ok && succ_seen) {
+            int64_t ps = front->pts - start_pts;
+            if (slot_of(ps) == slot_of(ps + skip_dur) && pkt_is_nonref(front))
+              skip = true;
+          }
+          if (meta_ok) {
+            // prune seen-pts entries no future front can reference
+            int64_t low = front->pts - 64 * skip_dur;
+            seen_pts.erase(seen_pts.begin(), seen_pts.lower_bound(low));
+          }
+          if (skip) {
+            skipped_pkts++;
+            av_packet_free(&front);
+            continue;  // nothing fed yet — decide the next front / read more
+          }
+          int ret = avcodec_send_packet(dec, front);
+          av_packet_free(&front);
+          if (ret < 0 && ret != AVERROR(EAGAIN)) {
+            set_averror("send_packet", ret);
+            return -1;
+          }
+          return 0;  // decoder has a new packet
+        }
+      }
+      if (demuxer_done) {
+        // queue drained (fronts are always decidable at demux EOF)
+        demux_eof = true;
+        avcodec_send_packet(dec, nullptr);  // flush
+        return 0;
+      }
+      int ret = av_read_frame(fmt, pkt);
+      if (ret < 0) {
+        demuxer_done = true;
+        continue;
+      }
+      if (pkt->stream_index != stream_idx) {
+        av_packet_unref(pkt);
+        continue;
+      }
+      if (pkt->pts == AV_NOPTS_VALUE || pkt->duration <= 0) {
+        skip_cfr_ok = false;  // grid unverifiable: stop skipping, keep going
+      } else {
+        if (skip_dur == 0) skip_dur = pkt->duration;
+        else if (pkt->duration != skip_dur) skip_cfr_ok = false;
+        if (skip_cfr_ok) {
+          seen_pts.insert(pkt->pts);
+          if (pkt->pts > skip_max_pts) skip_max_pts = pkt->pts;
+        }
+      }
+      AVPacket *cp = av_packet_alloc();
+      av_packet_move_ref(cp, pkt);
+      pkt_q.push_back(cp);
     }
   }
 
@@ -511,6 +637,12 @@ long long pawsio_last_pts(void *h) {
 
 // Global output slot of the most recent emitted frame; INT64_MIN before any
 // emission. Synchronous (ring-less) reads only.
+// Packets never sent to the decoder by the fps-downsampling skip
+// (observability: tests + bench A/B).
+long long pawsio_skipped_packets(void *h) {
+  return static_cast<Decoder *>(h)->skipped_pkts;
+}
+
 long long pawsio_last_slot(void *h) {
   return (long long)static_cast<Decoder *>(h)->last_emit_slot;
 }
@@ -647,6 +779,20 @@ static void *open_impl(const char *path, double start, double stop, double fps,
   d->start_pts = d->tb > 0 ? (int64_t)llrint(start / d->tb) : 0;
   AVRational fr = av_guess_frame_rate(d->fmt, st, nullptr);
   d->native_fps = fr.num > 0 && fr.den > 0 ? av_q2d(fr) : 24.0;
+  // fps-downsampling packet skip (see the Decoder member block): h264 AVCC
+  // content tracked below its native rate never decodes the drop-fated
+  // nonref frames at all. Bit-exact by construction; PAWSIO_NO_SKIP_DROPPED
+  // disables for A/B measurement.
+  {
+    const AVCodecParameters *par = st->codecpar;
+    const char *off = getenv("PAWSIO_NO_SKIP_DROPPED");
+    if (!(off && off[0] == '1') && fps < d->native_fps - 1e-6 &&
+        par->codec_id == AV_CODEC_ID_H264 && par->extradata_size >= 5 &&
+        par->extradata[0] == 1) {
+      d->skip_nal_len = (par->extradata[4] & 3) + 1;
+      d->skip_enabled = true;
+    }
+  }
   // same-size pixel-format conversion only: SWS_POINT avoids filter setup
   d->sws = sws_getContext(d->width, d->height, d->dec->pix_fmt, d->width, d->height,
                           AV_PIX_FMT_GRAY8, SWS_POINT, nullptr, nullptr, nullptr);

@@ -163,6 +163,8 @@ def _load():
              ctypes.c_longlong),
             ("pawsio_last_pts", [ctypes.c_void_p], ctypes.c_longlong),
             ("pawsio_last_slot", [ctypes.c_void_p], ctypes.c_longlong),
+            # packets never decoded thanks to the fps-downsampling skip
+            ("pawsio_skipped_packets", [ctypes.c_void_p], ctypes.c_longlong),
             # per-frame-origin ROI reads (speculative pipeline: each frame
             # cropped at its own predicted position)
             ("pawsio_read_roi_batch2",
@@ -589,6 +591,15 @@ class NativeFrameSource:
         if not hasattr(self._lib, "pawsio_last_pts"):
             return -(1 << 63)
         return int(self._lib.pawsio_last_pts(self._h))
+
+    @property
+    def skipped_packets(self) -> int:
+        """Packets never sent to the decoder by the fps-downsampling skip
+        (drop-fated non-reference frames on CFR h264 content; 0 when the
+        optimization is inactive or on a stale .so)."""
+        if not hasattr(self._lib, "pawsio_skipped_packets"):
+            return 0
+        return int(self._lib.pawsio_skipped_packets(self._h))
 
     @property
     def last_slot(self) -> int:
