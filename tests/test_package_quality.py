@@ -118,6 +118,17 @@ def test_html_site_renders(tmp_path):
         assert title in html
         assert "\n## " not in html  # headings converted, not leaked raw
     assert (tmp_path / "style.css").exists()
+    # the COMMITTED site (docs/site/, the in-repo navigable artifact —
+    # reference ships its Documenter build too) must be current: byte-equal
+    # to a fresh render of the committed sources
+    site = os.path.join(root, "docs", "site")
+    assert os.path.isdir(site), "docs/site missing — run tools/build_docs.py --html"
+    for slug, _, _ in build_docs.SITE_PAGES:
+        committed = os.path.join(site, f"{slug}.html")
+        assert os.path.exists(committed), f"{slug}.html missing from docs/site"
+        assert open(committed).read() == (tmp_path / f"{slug}.html").read_text(), (
+            f"docs/site/{slug}.html is stale — run tools/build_docs.py --html"
+        )
 
 
 def test_license_and_citation_shipped():
