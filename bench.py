@@ -401,13 +401,16 @@ def stage_e2e_dia(d):
             f"probe {probe_fps:.1f} fps: tunnel-wedged phase, shortened plan — "
             "treat e2e_dia_fps as a lower bound"
         )
+    errors = []
     if rmse is not None and rmse >= 1.0:
-        out["e2e_dia_error"] = f"diagnostics-on rmse {rmse:.3f} outside the <1px oracle"
+        errors.append(f"diagnostics-on rmse {rmse:.3f} outside the <1px oracle")
     if n_overlay != n - 1:
-        out["e2e_dia_error"] = (
+        errors.append(
             f"overlay has {n_overlay} frames, expected n-1={n - 1} "
             "(frames 2..n, reference semantics)"
         )
+    if errors:
+        out["e2e_dia_error"] = "; ".join(errors)
     return out
 
 

@@ -105,6 +105,19 @@ def _initial_position(frame0: np.ndarray, guess, auto: bool, spec, fill: int, su
     return fns.snap(frame_dev, g, fill), np.zeros(2, np.float32)
 
 
+def _views_available() -> bool:
+    """True when the native layer can serve zero-copy retained-frame views
+    (fresh .so with ``pawsio_retained_ptr``) — the capability the
+    diagnostics-on retained-ring path needs (probed BEFORE open so a stale
+    .so never allocates a retention-sized ring it cannot use)."""
+    try:
+        from .io.native_io import _load
+
+        return hasattr(_load(), "pawsio_retained_ptr")
+    except Exception:
+        return False
+
+
 def _on_tpu() -> bool:
     import jax
 
@@ -278,7 +291,8 @@ def _track_one(
 
     # size the native decode ring so the speculative ROI pipeline can RETAIN
     # its in-flight chunks for mispredict replay (pipeline.py) — only when
-    # that path can actually run (ROI not disabled, predict mode, no overlay:
+    # that path can actually run (ROI not disabled, predict mode; with a
+    # diagnostic file additionally a .so serving zero-copy retained views:
     # otherwise keep the small default ring and its memory footprint)
     # "auto": the ROI pipeline adapts depth at runtime from the measured drain
     # latency (pipeline.run_roi_pipeline); gates/sizing here use the cap
@@ -298,9 +312,12 @@ def _track_one(
     # diagnostics no longer force the slow path: the overlay writer reads
     # zero-copy retained-frame views straight from the C++ decode ring at
     # drain time (SingleVideoSource.accept), so the ring is sized for
-    # retention with or without a diagnostic file
+    # retention with a diagnostic file too — PROVIDED the .so can serve the
+    # views (a stale prebuilt .so falls back to the Python prefetcher, where
+    # a retention-sized ring would be pure memory overhead)
     retention_possible = (
         stream != "full" and depth_gate > 0 and speculate == "predict"
+        and (isinstance(dia, Dont) or _views_available())
     )
     zero_copy_input = (
         isinstance(file, np.ndarray) and file.ndim == 3

@@ -268,9 +268,17 @@ def _track_batch_uniform(
     # capability check completes it after the sources are open
     dia_paths = _broadcast(diagnostic_files, B, None) if diagnostic_files else [None] * B
     # per-lane overlays ride the retained ring too (zero-copy views at accept
-    # time), so diagnostics don't gate retention — the per-source capability
-    # check (can_view_retained) completes the gate after the opens
-    retention_possible = stream != "full" and mode == "predict"
+    # time), so diagnostics don't gate retention — provided the .so serves
+    # the views (probed pre-open; a stale .so would otherwise allocate B
+    # retention-sized rings its prefetcher fallback cannot use). The
+    # per-source capability check (can_view_retained) completes the gate
+    # after the opens.
+    from .api import _views_available
+
+    retention_possible = (
+        stream != "full" and mode == "predict"
+        and (all(p is None for p in dia_paths) or _views_available())
+    )
     if auto_depth:
         from .api import _auto_ring_gate
 

@@ -409,14 +409,24 @@ class ArrayFrameSource(_ResamplingSource):
             if math.isinf(self.duration):
                 n_out = t_total
             else:
-                # frame m is emitted iff m/fps < duration — the EXACT float
-                # comparison the resampler's emit clamp makes, so the two
-                # paths can never disagree at a boundary (a Fraction round
-                # trip of the duration would: limit_denominator(1e-9) == 0)
+                # frame m is emitted iff BOTH resampler gates pass, evaluated
+                # with the EXACT float expressions those gates use — the
+                # input keep check float(Fraction(m)/native_frac) < duration
+                # (_next_input) and the emit clamp m/fps < duration — so the
+                # two paths cannot disagree even by 1 ulp at a boundary
+                # (m/fps and float(Fraction(m)/frac) differ by 1 ulp for
+                # NTSC-style rates; a Fraction round trip of the duration
+                # would break tiny durations: limit_denominator(1e-9) == 0)
+                def _emitted(m: int) -> bool:
+                    return (
+                        float(Fraction(m) / self._native_frac) < self.duration
+                        and m / self.fps < self.duration
+                    )
+
                 n_out = min(t_total, max(0, math.ceil(self.duration * self.fps)))
-                while n_out > 0 and (n_out - 1) / self.fps >= self.duration:
+                while n_out > 0 and not _emitted(n_out - 1):
                     n_out -= 1
-                while n_out < t_total and n_out / self.fps < self.duration:
+                while n_out < t_total and _emitted(n_out):
                     n_out += 1
             self._zc_n = n_out
             self._zc_pos = 0

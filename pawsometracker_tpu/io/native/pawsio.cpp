@@ -183,13 +183,14 @@ struct Decoder {
   size_t frame_bytes() const { return (size_t)width * height; }
 
   ~Decoder() {
-    for (AVPacket *p : pkt_q) av_packet_free(&p);
     if (th.joinable()) {
       stop_thread = true;
       cv_pop.notify_all();
       cv_push.notify_all();
       th.join();
     }
+    // AFTER the join: the prefetch thread touches pkt_q in feed_with_skip
+    for (AVPacket *p : pkt_q) av_packet_free(&p);
     if (sws) sws_freeContext(sws);
     if (frame) av_frame_free(&frame);
     if (pending_f) av_frame_free(&pending_f);
@@ -635,14 +636,14 @@ long long pawsio_last_pts(void *h) {
   return (long long)static_cast<Decoder *>(h)->last_emit_pts;
 }
 
-// Global output slot of the most recent emitted frame; INT64_MIN before any
-// emission. Synchronous (ring-less) reads only.
 // Packets never sent to the decoder by the fps-downsampling skip
 // (observability: tests + bench A/B).
 long long pawsio_skipped_packets(void *h) {
   return static_cast<Decoder *>(h)->skipped_pkts;
 }
 
+// Global output slot of the most recent emitted frame; INT64_MIN before any
+// emission. Synchronous (ring-less) reads only.
 long long pawsio_last_slot(void *h) {
   return (long long)static_cast<Decoder *>(h)->last_emit_slot;
 }

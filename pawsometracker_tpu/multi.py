@@ -141,8 +141,13 @@ def track_multi(
         depth_gate = _auto_ring_gate(file, roi_frames, depth_gate)
     # the multi-target native path crops per target via advance/recrop at
     # EVERY depth (contain mode included), so size the ring whenever ROI
-    # streaming is possible
-    ring = (depth_gate + 2) * roi_frames + 8 if stream != "full" else None
+    # streaming is possible — with a diagnostic file only if the .so can
+    # serve zero-copy retained views (else FanoutSource falls back to the
+    # prefetcher and the big ring would be dead memory)
+    from .api import _views_available
+
+    ring_ok = stream != "full" and (diagnostic_file is None or _views_available())
+    ring = (depth_gate + 2) * roi_frames + 8 if ring_ok else None
     from .diagnose import Diagnose, Dont
 
     src = open_source(

@@ -204,11 +204,19 @@ def test_zero_copy_views_match_resampler_fuzz():
     """The zero-copy passthrough (views of the backing array) must emit
     exactly the frames the per-frame resampler emits, across stop clamps
     and chunk sizes — differential fuzz, view-path vs forced-copy-path."""
+    from fractions import Fraction
+
     rng = np.random.default_rng(9)
     T, h, w = 37, 8, 9
     frames = rng.integers(0, 255, size=(T, h, w)).astype(np.uint8)
-    for fps in (24.0, 25.0, 30.0):
-        for stop in (np.inf, T / fps, (T - 3) / fps, 0.5, 17.21 / fps, 1e-9):
+    for fps in (24.0, 25.0, 30.0, 24000 / 1001, 30000 / 1001):
+        # NTSC-style rates: m/fps and float(Fraction(m)/frac) differ by 1 ulp
+        # for some m — include exact-boundary stops built BOTH ways so the
+        # view path must match the resampler at every ulp edge
+        frac_edges = [float(Fraction(k) / Fraction(fps).limit_denominator(1001000))
+                      for k in (9, 17, T)]
+        for stop in (np.inf, T / fps, (T - 3) / fps, 0.5, 17.21 / fps, 1e-9,
+                     *frac_edges):
             a = ArrayFrameSource(frames, fps=fps, stop=stop)
             assert a.serves_views
             b = ArrayFrameSource(frames, fps=fps, stop=stop)

@@ -29,10 +29,28 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.fixture
-def no_views(monkeypatch):
+from contextlib import contextmanager
+
+
+@contextmanager
+def views_disabled():
     """Disable zero-copy retained views -> the pre-round-5 full-frame
     fallback delivery (prefetcher + Python crops + per-frame dia)."""
+    orig = native_io.NativeFrameSource._finish_open
+
+    def patched(self, lib, info, prefetch):
+        orig(self, lib, info, prefetch)
+        self.can_view_retained = False
+
+    native_io.NativeFrameSource._finish_open = patched
+    try:
+        yield
+    finally:
+        native_io.NativeFrameSource._finish_open = orig
+
+
+@pytest.fixture
+def no_views(monkeypatch):
     orig = native_io.NativeFrameSource._finish_open
 
     def patched(self, lib, info, prefetch):
@@ -113,17 +131,8 @@ def test_dia_stays_on_fast_path_and_is_byte_equal(tmp_path, spy_single):
     return_fast = pathlib.Path(dia_fast).read_bytes()
     # fallback (views disabled) must produce the same bytes — separate block
     # so the monkeypatch scopes correctly
-    orig = native_io.NativeFrameSource._finish_open
-
-    def patched(self, lib, info, prefetch):
-        orig(self, lib, info, prefetch)
-        self.can_view_retained = False
-
-    native_io.NativeFrameSource._finish_open = patched
-    try:
+    with views_disabled():
         _, ij_slow = track(f, diagnostic_file=dia_slow, **kw)
-    finally:
-        native_io.NativeFrameSource._finish_open = orig
     assert spy_single[-1][0] is False  # fallback really took the slow delivery
     np.testing.assert_array_equal(ij_slow, ij_plain)
     assert hashlib.sha256(return_fast).hexdigest() == hashlib.sha256(
@@ -170,17 +179,8 @@ def test_dia_fast_path_replays_byte_equal(tmp_path, spy_single):
     assert spy_single[-1] == (True, True)
     np.testing.assert_array_equal(ij_fast, ij_full)
 
-    orig = native_io.NativeFrameSource._finish_open
-
-    def patched(self, lib, info, prefetch):
-        orig(self, lib, info, prefetch)
-        self.can_view_retained = False
-
-    native_io.NativeFrameSource._finish_open = patched
-    try:
+    with views_disabled():
         _, ij_slow = track(f, diagnostic_file=dia_slow, **kw)
-    finally:
-        native_io.NativeFrameSource._finish_open = orig
     np.testing.assert_array_equal(ij_slow, ij_full)
     np.testing.assert_array_equal(
         _decoded_frames(dia_fast), _decoded_frames(dia_slow)
@@ -211,17 +211,8 @@ def test_multi_dia_fast_path(tmp_path):
     _, ij_fast = track_multi(f, diagnostic_file=dia_fast, **kw)
     np.testing.assert_array_equal(ij_fast, ij_plain)
 
-    orig = native_io.NativeFrameSource._finish_open
-
-    def patched(self, lib, info, prefetch):
-        orig(self, lib, info, prefetch)
-        self.can_view_retained = False
-
-    native_io.NativeFrameSource._finish_open = patched
-    try:
+    with views_disabled():
         _, ij_slow = track_multi(f, diagnostic_file=dia_slow, **kw)
-    finally:
-        native_io.NativeFrameSource._finish_open = orig
     np.testing.assert_array_equal(ij_slow, ij_plain)
     np.testing.assert_array_equal(
         _decoded_frames(dia_fast), _decoded_frames(dia_slow)
@@ -249,17 +240,8 @@ def test_batch_dia_fast_path(tmp_path):
     for (_, ij_p), (_, ij_f) in zip(res_plain, res_fast):
         np.testing.assert_array_equal(ij_f, ij_p)
 
-    orig = native_io.NativeFrameSource._finish_open
-
-    def patched(self, lib, info, prefetch):
-        orig(self, lib, info, prefetch)
-        self.can_view_retained = False
-
-    native_io.NativeFrameSource._finish_open = patched
-    try:
+    with views_disabled():
         res_slow = track_batch([f, f], diagnostic_files=slow_paths, **kw)
-    finally:
-        native_io.NativeFrameSource._finish_open = orig
     for (_, ij_p), (_, ij_s) in zip(res_plain, res_slow):
         np.testing.assert_array_equal(ij_s, ij_p)
     for pf, ps in zip(fast_paths, slow_paths):
