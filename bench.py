@@ -315,7 +315,10 @@ def stage_e2e_fast(d):
         return 32 / max(time.perf_counter() - t0, 1e-9)
 
     history: list = []
-    probe_fps = _wait_for_healthy_phase(probe, E2E_HEALTHY_PROBE_FPS, PHASE_WAIT_S, history)
+    # bounded wait: the 600 s stage cap must leave room for the measured
+    # reps even when the phase stays bad (r5: a 420 s wait once burned the
+    # cap and timed the whole stage out)
+    probe_fps = _wait_for_healthy_phase(probe, E2E_HEALTHY_PROBE_FPS, 240, history)
     reps, stop, degraded = _degraded_plan(probe_fps, wedged_below=8, slow_below=E2E_HEALTHY_PROBE_FPS)
     fpss, rmse = [], None
     for _ in range(reps):
@@ -444,7 +447,10 @@ def stage_realistic(d):
         return 32 / max(time.perf_counter() - t0, 1e-9)
 
     history: list = []
-    probe_fps = _wait_for_healthy_phase(probe, E2E_HEALTHY_PROBE_FPS, PHASE_WAIT_S, history)
+    # short phase wait: the interleaved clean/real A/B normalizes the phase
+    # within the stage, so a long wait would only burn the stage cap (this
+    # stage also pays a ~1-2 min one-time noisy-clip synthesis+encode)
+    probe_fps = _wait_for_healthy_phase(probe, E2E_HEALTHY_PROBE_FPS, 120, history)
     reps, stop, degraded = _degraded_plan(probe_fps, wedged_below=8, slow_below=E2E_HEALTHY_PROBE_FPS)
     real, clean, rmse = [], [], None
     for _ in range(reps):
@@ -1341,25 +1347,30 @@ def stage_batch(d):
 # Every stage stays a subprocess with its own timeout: the TPU tunnel in
 # this environment can wedge for minutes, and a wedged stage must cost its
 # cap, not the run.
+# Execution order is the dict order: REQUIRED stages first (they always run
+# and their results are the artifact), then optional stages by value per
+# second — cheap CPU-only stages (dskip) and the round-5 demonstration
+# stages before the legacy micro stages, so a budget squeeze drops the least
+# informative measurements first.
 STAGES = {
     "mfu": (stage_mfu, 180),
     "decode": (stage_decode, 300),
     "cpu_e2e": (stage_cpu_e2e, 420),
     "hostceil": (stage_hostceil, 420),
     "e2e": (stage_e2e, 1200),
-    "batch_scaling": (stage_batch_scaling, 420),
-    "startup": (stage_startup, 600),
-    "cpu": (stage_cpu, 420),
-    "cpu_mt": (stage_cpu_mt, 420),
-    "e2e_fast": (stage_e2e_fast, 600),
     "e2e_dia": (stage_e2e_dia, 900),
     "realistic": (stage_realistic, 900),
+    "batch_scaling": (stage_batch_scaling, 420),
+    "dskip": (stage_dskip, 420),
+    "batch_mem": (stage_batch_mem, 900),
+    "e2e_fast": (stage_e2e_fast, 600),
     "device_roi": (stage_device_roi, 420),
     "subpixel": (stage_subpixel, 420),
     "batch": (stage_batch, 900),
-    "batch_mem": (stage_batch_mem, 900),
+    "cpu": (stage_cpu, 420),
+    "cpu_mt": (stage_cpu_mt, 420),
+    "startup": (stage_startup, 600),
     "pdecode": (stage_pdecode, 420),
-    "dskip": (stage_dskip, 420),
     "device": (stage_device, 420),
     "pallas": (stage_pallas, 420),
 }
