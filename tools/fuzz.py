@@ -74,6 +74,25 @@ def _vfr_clip(rng, d):
     return path, dur
 
 
+def _cfr_clip(rng, d):
+    """CFR h264 counter clip at a random native rate — downsampled decode of
+    these exercises the fps-downsampling packet skip (drop-fated nonref
+    packets never decoded) under random span/entry geometry."""
+    from pawsometracker_tpu.io import native_io
+
+    path = os.path.join(d, "c.mp4")
+    native = float(rng.choice([24, 30, 48, 60]))
+    n = int(rng.integers(60, 220))
+    w = native_io.NativeVideoWriter(path, 64, 48, native)
+    for k in range(n):
+        img = np.full((48, 64), 128, np.uint8)
+        img[:12, :12] = (k * 13) % 256
+        img[30:42, (k * 2) % 50 : (k * 2) % 50 + 10] = (k * 3) % 256
+        w.write(img)
+    w.release()
+    return path, n / native
+
+
 def fuzz_streams(seeds, base) -> int:
     from pawsometracker_tpu.io import native_io
     from pawsometracker_tpu.io.parallel_decode import ParallelNativeSource
@@ -82,7 +101,10 @@ def fuzz_streams(seeds, base) -> int:
     for seed in range(seeds):
         rng = np.random.default_rng(base + seed)
         with tempfile.TemporaryDirectory() as d:
-            path, dur = _vfr_clip(rng, d)
+            if rng.random() < 0.5:
+                path, dur = _cfr_clip(rng, d)  # skip-active when downsampled
+            else:
+                path, dur = _vfr_clip(rng, d)  # skip self-disables (CFR check)
             fps = float(rng.choice([10, 12, 18, 24, 25, 30, 48]))
             start = float(rng.choice([0.0, 0.0, rng.uniform(0, dur / 2)]))
             stop = float(rng.choice([np.inf, dur * rng.uniform(0.5, 1.2)]))
